@@ -1,0 +1,170 @@
+"""Tiered SFC strategy conformance tests.
+
+Ported from reference
+core/geotime/src/test/.../tiered/TieredSFCIndexStrategyTest.java:43-260.
+"""
+
+import numpy as np
+
+from geowave_ray.index.tiered import (
+    SpatialTemporalStrategy,
+    TieredStrategy,
+    spatial_strategy,
+)
+from geowave_ray.index.dimensions import LatitudeDimension, LongitudeDimension
+
+DEFINED_BITS_OF_PRECISION = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 18, 31]
+QUERY_RANGE_EPSILON = 1e-12
+
+
+def _defined_strategy():
+    return TieredStrategy(
+        [LongitudeDimension(), LatitudeDimension(half_range=True)],
+        DEFINED_BITS_OF_PRECISION,
+    )
+
+
+def _box_for(bits):
+    precision = 360.0 / (2**bits)
+    if precision > 180:
+        return [(-180.0, 180.0), (-90.0, 90.0)]
+    return [(0.0, precision), (-precision, 0.0)]
+
+
+def test_predefined_spatial_entries():
+    """testPredefinedSpatialEntries: exact-fit boxes land at their tier with 1
+    id when the next defined tier is not tier+1; else 2 ids (lon-only split,
+    90<precision<=180) or 4 ids at tier+1."""
+    strategy = _defined_strategy()
+    for i, bits in enumerate(DEFINED_BITS_OF_PRECISION):
+        precision = 360.0 / (2**bits)
+        box = _box_for(bits)
+        ids = strategy.get_insertion_ids(box)
+        tier_of = ids[0][0]
+
+        # query ranges: exactly one single-value range at the fitting tier
+        qbox = [
+            (box[0][0] + QUERY_RANGE_EPSILON, box[0][1] - QUERY_RANGE_EPSILON),
+            (box[1][0] + QUERY_RANGE_EPSILON, box[1][1] - QUERY_RANGE_EPSILON),
+        ]
+        qranges = strategy.get_query_ranges(qbox)
+        at_tier = [r for r in qranges if r.tier == bits]
+        assert len(at_tier) == 1, f"tier {bits}: expected 1 range, got {len(at_tier)}"
+        assert at_tier[0].lo == at_tier[0].hi, f"tier {bits}: expected single-value range"
+
+        next_is_increment = (
+            i < len(DEFINED_BITS_OF_PRECISION) - 1
+            and DEFINED_BITS_OF_PRECISION[i + 1] == bits + 1
+        )
+        if tier_of == 0 or not next_is_increment:
+            assert tier_of == bits, f"tier {bits}: got tier {tier_of}"
+            assert len(ids) == 1, f"tier {bits}: expected 1 id, got {len(ids)}"
+        else:
+            expected_tier = DEFINED_BITS_OF_PRECISION[i + 1]
+            expected_ids = 2 if (90 < precision <= 180) else 4
+            assert tier_of == expected_tier, f"tier {bits}: got tier {tier_of}"
+            assert len(ids) == expected_ids, (
+                f"tier {bits}: expected {expected_ids} ids, got {len(ids)}"
+            )
+
+
+def test_one_estimated_duplicate_insertion():
+    """testOneEstimatedDuplicateInsertion: with maxDuplicates=1 every box
+    collapses to exactly 1 id at its exact-fit tier (full incremental 0..31)."""
+    strategy = spatial_strategy(31)
+    for bits in DEFINED_BITS_OF_PRECISION:
+        box = _box_for(bits)
+        ids = strategy.get_insertion_ids(box, max_dup=1)
+        assert len(ids) == 1, f"tier {bits}: {len(ids)} ids"
+        assert ids[0][0] == bits, f"tier {bits}: tier byte {ids[0][0]}"
+
+
+def test_spatial_temporal_single_entry():
+    """testSingleEntry: 3-D point keys are 13 bytes (1 tier + 4 year + 8 sfc);
+    same-year points share the first 5 bytes; different year differs."""
+    st = SpatialTemporalStrategy((20, 20, 20))
+    mid_2020 = int(np.datetime64("2020-07-01T12:00:00").astype("datetime64[ms]").astype(np.int64))
+    start_2020 = int(np.datetime64("2020-01-01T00:00:00").astype("datetime64[ms]").astype(np.int64))
+    mid_2019 = int(np.datetime64("2019-07-01T12:00:00").astype("datetime64[ms]").astype(np.int64))
+
+    id1 = st.insertion_id_bytes(45.0, 45.0, mid_2020)
+    id2 = st.insertion_id_bytes(45.0, 45.0, start_2020)
+    id3 = st.insertion_id_bytes(45.0, 45.0, mid_2019)
+    assert len(id1) == 13
+    assert id1[:5] == id2[:5]  # same tier + year bin
+    assert id1[:5] != id3[:5]  # different year bin
+
+
+def test_point_insertion_ids_match_vectorized():
+    """Scalar byte-id path and vectorized encode_points agree on cells."""
+    strategy = spatial_strategy(31)
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    cells = strategy.encode_points(lon, lat)
+    for i in range(0, 200, 17):
+        ids = strategy.get_insertion_ids([(lon[i], lon[i]), (lat[i], lat[i])])
+        assert len(ids) == 1
+        assert ids[i % 1][0] == 31
+        assert int.from_bytes(ids[0][1:], "big") == int(cells[i])
+
+
+def test_insert_boxes_vectorized_matches_scalar():
+    strategy = spatial_strategy(31)
+    rng = np.random.default_rng(5)
+    n = 100
+    cx = rng.uniform(-170, 170, n)
+    cy = rng.uniform(-80, 80, n)
+    w = rng.uniform(0.0001, 20.0, n)
+    h = rng.uniform(0.0001, 20.0, n)
+    minx, maxx = cx - w / 2, cx + w / 2
+    miny, maxy = np.clip(cy - h / 2, -90, 90), np.clip(cy + h / 2, -90, 90)
+    rows, tiers, cells = strategy.insert_boxes([minx, miny], [maxx, maxy])
+    for i in range(n):
+        ids = strategy.get_insertion_ids([(minx[i], maxx[i]), (miny[i], maxy[i])])
+        got = sorted(
+            (int(tiers[k]), int(cells[k])) for k in np.nonzero(rows == i)[0]
+        )
+        want = sorted((b[0], int.from_bytes(b[1:], "big")) for b in ids)
+        assert got == want, f"row {i}: {got} != {want}"
+
+
+def test_query_ranges_contain_point_cells():
+    """Cells of points inside a query box appear in some query range at the
+    finest tier."""
+    strategy = spatial_strategy(31)
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(10, 20, 100)
+    lat = rng.uniform(40, 50, 100)
+    cells = strategy.encode_points(lon, lat)
+    qranges = [r for r in strategy.get_query_ranges([(10, 20), (40, 50)], 200) if r.tier == 31]
+    los = np.array([r.lo for r in qranges], dtype=np.uint64)
+    his = np.array([r.hi for r in qranges], dtype=np.uint64)
+    for c in cells:
+        assert ((los <= c) & (c <= his)).any()
+
+
+def test_antimeridian_box_splits():
+    """A lon range crossing ±180 produces ids in two separate lon bins
+    (LongitudeDefinition.java:33-67)."""
+    strategy = spatial_strategy(31)
+    ids = strategy.get_insertion_ids([(170.0, -170.0), (10.0, 20.0)])
+    assert len(ids) >= 2
+    # decoded cells must lie on both sides of the antimeridian
+    sides = set()
+    for b in ids:
+        tier = b[0]
+        cell = int.from_bytes(b[1:], "big")
+        (lo_lon, hi_lon), _ = strategy.get_range_for_id(tier, cell)
+        sides.add("west" if hi_lon <= -90 else "east")
+    assert sides == {"west", "east"}
+
+
+def test_range_for_id_roundtrip():
+    strategy = spatial_strategy(31)
+    lon, lat = np.asarray([12.345]), np.asarray([-33.21])
+    cell = int(strategy.encode_points(lon, lat)[0])
+    (lo_lon, hi_lon), (lo_lat, hi_lat) = strategy.get_range_for_id(31, cell)
+    assert lo_lon <= 12.345 <= hi_lon
+    assert lo_lat <= -33.21 <= hi_lat
+    assert (hi_lon - lo_lon) < 1e-6

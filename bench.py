@@ -1,0 +1,171 @@
+"""Benchmark harness: headline spatial-join + tile-assignment throughput.
+
+Run:        python bench.py                  (one JSON line to stdout)
+Scaling:    python bench.py --scaling        (8 vs 32 CPUs in fresh processes)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+The headline job mirrors the BASELINE.md protocol: a deterministic
+image-shaped table (derived from events.parquet + synthetic generator at
+matched scale) is cell-encoded (tiered Hilbert 31 bits), spatially joined
+against the 10k-zone polygon layer via the broadcast refiner path, and
+assigned pyramid tiles; per-query timings for the rest of the operator
+matrix are reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
+BENCH_ZONES = int(os.environ.get("GRAFT_BENCH_ZONES", "10000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def headline_throughput(num_cpus: int) -> dict:
+    """Spatial-join + tile-assignment over a deterministic synthetic image
+    table (no bytes in the joined path — payloads never shuffle)."""
+    import ray
+
+    from geowave_ray.sources.images import synth_images_ds, synth_zones_table
+    from geowave_ray.stages.encode import CellEncoder
+    from geowave_ray.stages.join import broadcast_spatial_join
+    from geowave_ray.stages.tiles import TileAssigner
+
+    _init_ray(num_cpus)
+    conc = (1, num_cpus)
+    zones = synth_zones_table(BENCH_ZONES)
+    n = BENCH_IMAGES
+
+    t0 = time.time()
+    images = synth_images_ds(n, with_bytes=False, override_num_blocks=num_cpus * 8)
+    encoded = images.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs=dict(bits=31),
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+    matches = broadcast_spatial_join(
+        encoded,
+        zones,
+        point_cols=("image_id", "cell"),
+        zone_cols=("zone_id",),
+        concurrency=conc,
+    )
+    n_matches = matches.count()
+    t_join = time.time() - t0
+
+    t0 = time.time()
+    images2 = synth_images_ds(n, with_bytes=False, override_num_blocks=num_cpus * 8)
+    tiles = images2.map_batches(
+        TileAssigner,
+        fn_constructor_kwargs=dict(pixel_res_deg=1e-4, keep_cols=("image_id",)),
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+    n_tiles = tiles.count()
+    t_tiles = time.time() - t0
+
+    total = t_join + t_tiles
+    return {
+        "rows": n,
+        "join_matches": n_matches,
+        "tile_rows": n_tiles,
+        "join_sec": round(t_join, 3),
+        "tiles_sec": round(t_tiles, 3),
+        "total_sec": round(total, 3),
+        "rows_per_sec": round(2 * n / total, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Per-query wall times over the driver testdata tables."""
+    import importlib
+
+    entry_mod = importlib.import_module("__ray_entry__")
+    out = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        try:
+            res = fn(sf_dir)
+            if hasattr(res, "count"):
+                res.count()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            out[name] = f"ERROR: {e}"
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--single", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_BENCH_IMAGES": str(BENCH_IMAGES)},
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        tp8 = results[8]["rows_per_sec"]
+        tp32 = results[32]["rows_per_sec"]
+        eff = (tp32 / tp8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                    "throughput_8cpu_rows_per_sec": tp8,
+                    "throughput_32cpu_rows_per_sec": tp32,
+                    "rows": results[8]["rows"],
+                }
+            )
+        )
+        return
+
+    if "--single" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single") + 1])
+        res = headline_throughput(cpus)
+        print(json.dumps(res))
+        ray.shutdown()
+        return
+
+    _init_ray(NUM_CPUS)
+    head = headline_throughput(NUM_CPUS)
+    qtimes = run_queries(SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assignment_throughput",
+                "value": head["rows_per_sec"],
+                "unit": "rows/sec",
+                "queries": qtimes,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "headline": head,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,785 @@
+"""The driver-facing query matrix: every entry is an operator/pipeline from
+SURVEY.md §2 expressed Ray-Data-first, with (where SQL-expressible) an
+exactly-mirrored DuckDB oracle over the same parquet tables.
+
+Design note for oracle parity: spatial inputs are derived from ``events``
+with integer arithmetic both engines evaluate identically (see
+sources/images.py); aggregated monetary/real values use integer-cents
+(floor(x*100)) so distributed partial sums are exact; kNN/ANN outputs carry
+(rank, ids) with ties broken by id in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..index.grid import GridScheme, grid_cell_sql
+from ..sources.images import (
+    LAT_EXPR_SQL,
+    LON_EXPR_SQL,
+    ZONES_SQL,
+    zones_from_range,
+)
+from ..stages.join import broadcast_spatial_join, default_concurrency
+
+N_ZONES = 200
+GRID_LEVEL = 6
+LOD_LEVEL = 8
+
+KNN_QUERIES = {
+    "query_id": ["q-00", "q-01", "q-02", "q-03", "q-04"],
+    "lon": [2.35, -74.0, 139.7, -43.2, 151.2],
+    "lat": [48.85, 40.7, 35.7, -22.9, -33.9],
+}
+KNN_K = 10
+
+BBOX = (-30.0, 10.0, 40.0, 60.0)  # minx, miny, maxx, maxy
+TIME_LO = "2024-03-01 00:00:00"
+TIME_HI = "2024-09-01 00:00:00"
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events_points(sf_dir: str, with_value: bool = False, with_ts: bool = False):
+    """Derived image-shaped points; see sources.images.images_from_events."""
+    import ray
+
+    cols = ["event_id", "user_id"] + (["value"] if with_value else []) + (
+        ["ts"] if with_ts else []
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        lon = ((ev * 7919 + us) % 36000) / 100.0 - 180.0
+        lat = ((ev * 104729 + us * 13) % 18000) / 100.0 - 90.0
+        out = {"image_id": ev, "lon": lon, "lat": lat}
+        if with_value:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            out["v_cents"] = np.floor(v * 100).astype(np.int64)
+        if with_ts:
+            out["ts"] = batch.column("ts")
+        return pa.table(out)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+_PTS_SQL = f"""
+SELECT event_id AS image_id,
+       {LON_EXPR_SQL} AS lon,
+       {LAT_EXPR_SQL} AS lat,
+       CAST(FLOOR(value * 100) AS BIGINT) AS v_cents,
+       ts
+FROM events
+""".strip()
+
+_ZONES_CTE = ZONES_SQL.format(n=N_ZONES)
+
+
+# ---------------------------------------------------------------- spatial
+def q_spatial_join_pairs(sf_dir: str):
+    pts = _events_points(sf_dir)
+    return broadcast_spatial_join(
+        pts,
+        zones_from_range(N_ZONES),
+        point_cols=("image_id",),
+        zone_cols=("zone_id",),
+    )
+
+
+SQL_SPATIAL_JOIN_PAIRS = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT p.image_id, z.zone_id
+FROM pts p JOIN zones z
+  ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+"""
+
+
+def q_spatial_join_count_by_zone(sf_dir: str):
+    matches = q_spatial_join_pairs(sf_dir)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["zone_id", "n"])
+
+    return matches.groupby("zone_id").count().map_batches(rename, batch_format="pyarrow")
+
+
+SQL_SPATIAL_JOIN_COUNT = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT z.zone_id, COUNT(*) AS n
+FROM pts p JOIN zones z
+  ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+GROUP BY z.zone_id
+"""
+
+
+def q_spatial_join_anti(sf_dir: str):
+    pts = _events_points(sf_dir)
+    out = broadcast_spatial_join(
+        pts, zones_from_range(N_ZONES), how="anti", point_cols=("image_id",)
+    )
+    return out.select_columns(["image_id"])
+
+
+SQL_SPATIAL_JOIN_ANTI = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT p.image_id FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM zones z
+  WHERE p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy)
+"""
+
+
+def q_within_distance_join(sf_dir: str):
+    pts = _events_points(sf_dir)
+    return broadcast_spatial_join(
+        pts,
+        zones_from_range(N_ZONES),
+        point_cols=("image_id",),
+        zone_cols=("zone_id",),
+        buffer=2.0,
+    )
+
+
+SQL_WITHIN_DISTANCE = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT p.image_id, z.zone_id
+FROM pts p JOIN zones z
+  ON POWER(GREATEST(z.minx - p.lon, p.lon - z.maxx, 0), 2)
+   + POWER(GREATEST(z.miny - p.lat, p.lat - z.maxy, 0), 2) <= 4.0
+"""
+
+
+def q_bbox_query(sf_dir: str):
+    from ..geom.wkb import box_polygon
+    from ..query.planner import SpatialQuery
+
+    pts = _events_points(sf_dir)
+    q = SpatialQuery(box_polygon(*[BBOX[0], BBOX[1], BBOX[2], BBOX[3]]))
+    return q.apply(pts)
+
+
+SQL_BBOX_QUERY = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id, lon, lat FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+"""
+
+
+def q_spatial_temporal_query(sf_dir: str):
+    from ..geom.wkb import box_polygon
+    from ..query.planner import SpatialQuery
+
+    pts = _events_points(sf_dir, with_ts=True)
+    lo = int(np.datetime64(TIME_LO).astype("datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64(TIME_HI).astype("datetime64[us]").astype(np.int64))
+    q = SpatialQuery(
+        box_polygon(BBOX[0], BBOX[1], BBOX[2], BBOX[3]), time_range=(lo, hi)
+    )
+    return q.apply(pts, time_col="ts").select_columns(["image_id"])
+
+
+SQL_SPATIAL_TEMPORAL = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+  AND ts >= TIMESTAMP '{TIME_LO}' AND ts <= TIMESTAMP '{TIME_HI}'
+"""
+
+
+def q_grid_binned_agg(sf_dir: str):
+    from ..stages.aggregate import binned_aggregate
+    from ..stages.encode import GridCellEncoder
+
+    pts = _events_points(sf_dir, with_value=True)
+    cells = pts.map_batches(GridCellEncoder(GRID_LEVEL), batch_format="pyarrow")
+    out = binned_aggregate(cells, ["cell"], "v_cents")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch.column("cell"),
+                "n": batch.column("n"),
+                "sum_v": batch.column("sum_v").cast(pa.int64()),
+                "min_v": batch.column("min_v").cast(pa.int64()),
+                "max_v": batch.column("max_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_GRID_BINNED_AGG = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {grid_cell_sql(GRID_LEVEL, "lon", "lat")} AS cell,
+       COUNT(*) AS n,
+       SUM(v_cents) AS sum_v,
+       MIN(v_cents) AS min_v,
+       MAX(v_cents) AS max_v
+FROM pts GROUP BY cell
+"""
+
+
+def q_lod_subsample(sf_dir: str):
+    from ..stages.encode import GridCellEncoder
+
+    pts = _events_points(sf_dir)
+    cells = pts.map_batches(GridCellEncoder(LOD_LEVEL), batch_format="pyarrow")
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("image_id"))
+        return group.take(order[:1]).select(["cell", "image_id"])
+
+    return cells.groupby("cell").map_groups(keep_min, batch_format="pyarrow")
+
+
+SQL_LOD_SUBSAMPLE = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {grid_cell_sql(LOD_LEVEL, "lon", "lat")} AS cell, MIN(image_id) AS image_id
+FROM pts GROUP BY cell
+"""
+
+
+def q_knn(sf_dir: str):
+    from ..stages.knn import knn
+
+    pts = _events_points(sf_dir)
+    out = knn(pts, KNN_QUERIES, k=KNN_K)
+    return out.select_columns(["query_id", "image_id", "rank"])
+
+
+def _knn_sql() -> str:
+    qs = " UNION ALL ".join(
+        f"SELECT '{q}' AS query_id, CAST({lon} AS DOUBLE) AS qlon, CAST({lat} AS DOUBLE) AS qlat"
+        for q, lon, lat in zip(KNN_QUERIES["query_id"], KNN_QUERIES["lon"], KNN_QUERIES["lat"])
+    )
+    # structurally mirrors stages/knn.haversine_km (radians first, then diffs)
+    dist = (
+        "2 * 6371.0088 * ASIN(LEAST(SQRT("
+        "POWER(SIN((RADIANS(q.qlat) - RADIANS(p.lat)) / 2), 2)"
+        " + COS(RADIANS(p.lat)) * COS(RADIANS(q.qlat))"
+        " * POWER(SIN((RADIANS(q.qlon) - RADIANS(p.lon)) / 2), 2)), 1.0))"
+    )
+    return f"""
+WITH pts AS ({_PTS_SQL}), qs AS ({qs}),
+ranked AS (
+  SELECT q.query_id, p.image_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {dist}, p.image_id) AS rank
+  FROM pts p CROSS JOIN qs q)
+SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+SQL_KNN = _knn_sql()
+
+
+def q_tile_assignment(sf_dir: str):
+    """Hilbert-tiered pyramid tile assignment (engine-native; not
+    SQL-expressible — rows-only check)."""
+    import ray
+
+    from ..stages.tiles import TileAssigner
+
+    pts = _events_points(sf_dir)
+
+    def add_dims(batch: pa.Table) -> pa.Table:
+        ev = batch.column("image_id").to_numpy(zero_copy_only=False)
+        w = (64 + (ev % 193)).astype(np.int32)
+        return batch.append_column("w", pa.array(w)).append_column(
+            "h", pa.array(w)
+        )
+
+    with_dims = pts.map_batches(add_dims, batch_format="pyarrow")
+    return with_dims.map_batches(
+        TileAssigner,
+        fn_constructor_kwargs=dict(pixel_res_deg=1e-3, keep_cols=("image_id",)),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+
+
+def q_hilbert_cells(sf_dir: str):
+    """Tiered-Hilbert cell encode of the derived points (engine-native keys;
+    rows-only — the SFC kernel itself is conformance-tested in tests/)."""
+    from ..stages.encode import CellEncoder
+
+    pts = _events_points(sf_dir)
+    return pts.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs=dict(bits=31),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    ).select_columns(["image_id", "tier", "cell"])
+
+
+# ----------------------------------------------------------------- documents
+def q_dedupe_exact(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def per_text(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "keep_id": pa.array([int(ids.min())], type=pa.int64()),
+                "n_dups": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("text").map_groups(per_text, batch_format="pyarrow")
+
+
+SQL_DEDUPE_EXACT = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(sf_dir: str):
+    import ray
+
+    from ..stages.text import TextFeatures
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        TextFeatures,
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_calc"])
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+       LENGTH(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_langid(sf_dir: str):
+    import ray
+
+    from ..stages.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=default_concurrency()
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality_scores(sf_dir: str):
+    import ray
+
+    from ..stages.text import TextFeatures
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+    return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "punct_ratio"])
+
+
+def q_fingerprints(sf_dir: str):
+    import ray
+
+    from ..stages.text import Fingerprinter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        fp = batch.column("fingerprint").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fp)})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_minhash_dedupe_pairs(sf_dir: str):
+    import ray
+
+    from ..stages.dedupe import lsh_candidate_pairs, minhash_signatures
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, text_col="text", id_col="doc_id")
+    pairs = lsh_candidate_pairs(sigs, id_col="doc_id")
+    from ..stages.dedupe import exact_dedupe
+
+    # candidate pairs may repeat across bands: exact-dedupe on the pair key
+    def key(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column("pair", pa.array(a * 1_000_000_007 + b))
+
+    keyed = pairs.map_batches(key, batch_format="pyarrow")
+    uniq = exact_dedupe(keyed, key_col="pair", id_col="pair")
+    return uniq.select_columns(["id_a", "id_b"])
+
+
+def q_simhash(sf_dir: str):
+    import ray
+
+    from ..stages.dedupe import simhash64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = simhash64(ds)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sh)})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- embeddings
+def _query_vecs(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = t.slice(0, n)
+    return {
+        "query_id": [f"v-{int(i)}" for i in first.column("vec_id").to_pylist()],
+        "vecs": np.asarray(first.column("embedding").to_pylist(), dtype=np.float64),
+    }
+
+
+def q_ann_topk(sf_dir: str):
+    import ray
+
+    from ..stages.ann import brute_force_topk
+
+    queries = _query_vecs(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_lsh(sf_dir: str):
+    import ray
+
+    from ..stages.ann import lsh_topk
+
+    queries = _query_vecs(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, queries, k=10, n_tables=8, n_bits=6)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_label_counts(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["label", "n"])
+
+    return ds.groupby("label").count().map_batches(rename, batch_format="pyarrow")
+
+
+SQL_LABEL_COUNTS = "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label"
+
+
+# -------------------------------------------------------------------- events
+def q_sessionize(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts))
+        ts = ts[order]
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_US).sum())
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+SQL_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       1 + SUM(CASE WHEN gap > {SESSION_GAP_US} THEN 1 ELSE 0 END) AS n_sessions
+FROM o GROUP BY user_id
+"""
+
+
+def q_temporal_bins(sf_dir: str):
+    import ray
+
+    from ..index.dimensions import TimeDimension
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    td = TimeDimension()
+
+    def bin_years(batch: pa.Table) -> pa.Table:
+        t_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        years = td.years_of(t_us // 1000)
+        return pa.table({"year": pa.array(years, type=pa.int64())})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["year", "n"])
+
+    return (
+        ds.map_batches(bin_years, batch_format="pyarrow")
+        .groupby("year")
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+SQL_TEMPORAL_BINS = """
+SELECT CAST(DATE_PART('year', ts) AS BIGINT) AS year, COUNT(*) AS n
+FROM events GROUP BY year
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v_cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            }
+        )
+
+    from ..stages.aggregate import binned_aggregate
+
+    out = binned_aggregate(ds.map_batches(pre, batch_format="pyarrow"), ["event_type"], "v_cents")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "sum_v": batch.column("sum_v").cast(pa.int64()),
+                "min_v": batch.column("min_v").cast(pa.int64()),
+                "max_v": batch.column("max_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_v,
+       MIN(CAST(FLOOR(value*100) AS BIGINT)) AS min_v,
+       MAX(CAST(FLOOR(value*100) AS BIGINT)) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------- relational
+def q_lineitem_pricing(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["qty"] = np.floor(df["l_quantity"] * 100).astype(np.int64)
+        df["price_cents"] = np.floor(df["l_extendedprice"] * 100).astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n=("qty", "size"), sum_qty=("qty", "sum"), sum_price=("price_cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": group.column("l_returnflag").slice(0, 1),
+                "l_linestatus": group.column("l_linestatus").slice(0, 1),
+                "n": pa.array([int(group.column("n").to_numpy(zero_copy_only=False).sum())]),
+                "sum_qty": pa.array(
+                    [int(group.column("sum_qty").to_numpy(zero_copy_only=False).sum())]
+                ),
+                "sum_price": pa.array(
+                    [int(group.column("sum_price").to_numpy(zero_copy_only=False).sum())]
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash lookup join (small customer side via ray.put)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    lookup_ref = ray.put(lookup)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class Join:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            seg = [self.lookup.get(int(k)) for k in keys]
+            price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg),
+                    "cents": pa.array(np.floor(price * 100).astype(np.int64)),
+                }
+            )
+
+    joined = ds.map_batches(
+        Join, batch_format="pyarrow", concurrency=default_concurrency()
+    )
+    from ..stages.aggregate import binned_aggregate
+
+    out = binned_aggregate(joined, ["c_mktsegment"], "cents")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n"),
+                "sum_total": batch.column("sum_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_phash_near_dup(sf_dir: str):
+    """Image near-dup pairs by perceptual hash (synthetic image table
+    derived deterministically; rows-only check)."""
+    import ray
+
+    from ..sources.images import synth_images_ds
+    from ..stages.dedupe import phash_near_dupes
+
+    ds = synth_images_ds(2000, with_bytes=False)
+    return phash_near_dupes(ds, max_hamming=8)
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate distinct users (HLL sketch) — rows-only (approx by design)."""
+    import ray
+
+    from ..stages.aggregate import global_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    stats = global_stats(ds, "value", id_col="user_id")
+    return pa.table(
+        {
+            "n_rows": pa.array([stats["n"]], type=pa.int64()),
+            "approx_distinct_users": pa.array(
+                [int(round(stats["approx_distinct"]))], type=pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES = {
+    "spatial_join_pairs": q_spatial_join_pairs,
+    "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
+    "spatial_join_anti": q_spatial_join_anti,
+    "within_distance_join": q_within_distance_join,
+    "bbox_query": q_bbox_query,
+    "spatial_temporal_query": q_spatial_temporal_query,
+    "grid_binned_agg": q_grid_binned_agg,
+    "lod_subsample": q_lod_subsample,
+    "knn": q_knn,
+    "tile_assignment": q_tile_assignment,
+    "hilbert_cells": q_hilbert_cells,
+    "dedupe_exact": q_dedupe_exact,
+    "token_stats": q_token_stats,
+    "langid": q_langid,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
+    "simhash": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "label_counts": q_label_counts,
+    "sessionize": q_sessionize,
+    "temporal_bins": q_temporal_bins,
+    "event_type_stats": q_event_type_stats,
+    "lineitem_pricing": q_lineitem_pricing,
+    "orders_by_segment": q_orders_by_segment,
+    "phash_near_dup": q_phash_near_dup,
+    "hll_distinct_users": q_hll_distinct_users,
+}
+
+ORACLE_SQL = {
+    "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
+    "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,
+    "spatial_join_anti": SQL_SPATIAL_JOIN_ANTI,
+    "within_distance_join": SQL_WITHIN_DISTANCE,
+    "bbox_query": SQL_BBOX_QUERY,
+    "spatial_temporal_query": SQL_SPATIAL_TEMPORAL,
+    "grid_binned_agg": SQL_GRID_BINNED_AGG,
+    "lod_subsample": SQL_LOD_SUBSAMPLE,
+    "knn": SQL_KNN,
+    "dedupe_exact": SQL_DEDUPE_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "label_counts": SQL_LABEL_COUNTS,
+    "sessionize": SQL_SESSIONIZE,
+    "temporal_bins": SQL_TEMPORAL_BINS,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+}

@@ -1,0 +1,239 @@
+"""Aggregations, binned statistics, sketches.
+
+Reference contract: Aggregation<P,R,T> partial/final combine
+(core/store/.../api/Aggregation.java:25; BinningAggregation.java:36-115;
+statistics: CountStatistic, BoundingBoxStatistic, NumericRangeStatistic,
+FixedBinNumericHistogramStatistic, HyperLogLogStatistic, CountMinSketch).
+
+Ray-Data shape: every aggregate pre-combines inside ``map_batches`` (one
+partial row per (batch, bin)), then a small ``groupby(bin)`` merges
+partials — the shuffle moves only partial aggregates, never raw rows.
+Sketches (HLL / CMS) are own NumPy implementations (datasketches is not
+installed here); both are mergeable so they follow the same partial/final
+pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "binned_aggregate",
+    "global_stats",
+    "HyperLogLog",
+    "CountMinSketch",
+    "FixedBinHistogram",
+]
+
+
+def _partial_batch(batch: pa.Table, bin_cols, value_col):
+    import pandas as pd
+
+    df = batch.select([*bin_cols, value_col]).to_pandas()
+    g = df.groupby(list(bin_cols), sort=False)[value_col]
+    out = g.agg(["count", "sum", "min", "max"]).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def binned_aggregate(ds, bin_cols, value_col: str, lon_col: str | None = None, lat_col: str | None = None):
+    """count/sum/min/max of ``value_col`` per bin, with optional bbox
+    (lon/lat min/max) statistics — BinningAggregation + BoundingBoxStatistic.
+
+    Partial-combines per batch before the groupby shuffle.
+    Output columns: bin cols + n, sum_v, min_v, max_v [, minx,miny,maxx,maxy].
+    """
+    bin_cols = list(bin_cols)
+    with_bbox = lon_col is not None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = [*bin_cols, value_col] + ([lon_col, lat_col] if with_bbox else [])
+        df = batch.select(cols).to_pandas()
+        agg = {value_col: ["count", "sum", "min", "max"]}
+        if with_bbox:
+            agg[lon_col] = ["min", "max"]
+            agg[lat_col] = ["min", "max"]
+        g = df.groupby(bin_cols, sort=False).agg(agg)
+        g.columns = ["n", "sum_v", "min_v", "max_v"] + (
+            ["minx", "maxx", "miny", "maxy"] if with_bbox else []
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        s = group.column("sum_v").to_numpy(zero_copy_only=False)
+        mn = group.column("min_v").to_numpy(zero_copy_only=False)
+        mx = group.column("max_v").to_numpy(zero_copy_only=False)
+        out = {c: group.column(c).slice(0, 1) for c in bin_cols}
+        out["n"] = pa.array([int(n.sum())], type=pa.int64())
+        out["sum_v"] = pa.array([float(s.sum())])
+        out["min_v"] = pa.array([float(mn.min())])
+        out["max_v"] = pa.array([float(mx.max())])
+        if with_bbox:
+            out["minx"] = pa.array([float(group.column("minx").to_numpy(zero_copy_only=False).min())])
+            out["maxx"] = pa.array([float(group.column("maxx").to_numpy(zero_copy_only=False).max())])
+            out["miny"] = pa.array([float(group.column("miny").to_numpy(zero_copy_only=False).min())])
+            out["maxy"] = pa.array([float(group.column("maxy").to_numpy(zero_copy_only=False).max())])
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(bin_cols).map_groups(final, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- sketches
+class HyperLogLog:
+    """Mergeable HLL (p=12 default, standard bias-corrected estimator)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    @staticmethod
+    def _hash(values: np.ndarray) -> np.ndarray:
+        z = values.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def add_hashed(self, h: np.ndarray) -> "HyperLogLog":
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1)  # sentinel bit
+        # rank = leading zeros of rest + 1, vectorized via log2
+        f = rest.astype(np.float64)
+        lz = 63 - np.floor(np.log2(f)).astype(np.int64)
+        rank = np.clip(lz + 1, 1, 64 - self.p).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add_ints(self, values: np.ndarray) -> "HyperLogLog":
+        return self.add_hashed(self._hash(np.asarray(values)))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+class CountMinSketch:
+    """Mergeable count-min sketch (d rows x w columns)."""
+
+    def __init__(self, d: int = 4, w: int = 2048, table: np.ndarray | None = None):
+        self.d = d
+        self.w = w
+        self.table = table if table is not None else np.zeros((d, w), dtype=np.int64)
+        self._seeds = np.arange(1, d + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def add_ints(self, values: np.ndarray, counts: np.ndarray | None = None):
+        v = np.asarray(values).astype(np.uint64)
+        if counts is None:
+            counts = np.ones(len(v), dtype=np.int64)
+        for r in range(self.d):
+            z = (v + self._seeds[r]) * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(29)
+            idx = (z % np.uint64(self.w)).astype(np.int64)
+            np.add.at(self.table[r], idx, counts)
+        return self
+
+    def query_ints(self, values: np.ndarray) -> np.ndarray:
+        v = np.asarray(values).astype(np.uint64)
+        est = np.full(len(v), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            z = (v + self._seeds[r]) * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(29)
+            idx = (z % np.uint64(self.w)).astype(np.int64)
+            est = np.minimum(est, self.table[r, idx])
+        return est
+
+    def merge(self, other: "CountMinSketch"):
+        self.table += other.table
+        return self
+
+
+class FixedBinHistogram:
+    """FixedBinNumericHistogramStatistic analog: fixed [lo, hi) bins."""
+
+    def __init__(self, lo: float, hi: float, n_bins: int = 64, counts: np.ndarray | None = None):
+        self.lo = lo
+        self.hi = hi
+        self.n_bins = n_bins
+        self.counts = counts if counts is not None else np.zeros(n_bins, dtype=np.int64)
+
+    def add(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        idx = np.clip(
+            ((v - self.lo) / (self.hi - self.lo) * self.n_bins).astype(np.int64),
+            0,
+            self.n_bins - 1,
+        )
+        np.add.at(self.counts, idx, 1)
+        return self
+
+    def merge(self, other: "FixedBinHistogram"):
+        self.counts += other.counts
+        return self
+
+
+def global_stats(ds, value_col: str, id_col: str | None = None):
+    """One-pass global statistics: count, sum, min, max, mean + HLL distinct
+    (when ``id_col`` given) via partial sketches merged on the driver.
+    Mirrors the reference's ingest-maintained statistics
+    (StatisticUpdateCallback merge-on-flush)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {
+            "n": pa.array([len(v)], type=pa.int64()),
+            "sum_v": pa.array([float(v.sum())]),
+            "min_v": pa.array([float(v.min()) if len(v) else np.inf]),
+            "max_v": pa.array([float(v.max()) if len(v) else -np.inf]),
+        }
+        if id_col is not None:
+            hll = HyperLogLog()
+            ids = batch.column(id_col)
+            if pa.types.is_integer(ids.type):
+                hll.add_ints(ids.to_numpy(zero_copy_only=False))
+            else:
+                hh = np.array(
+                    [hash(x) & 0x7FFFFFFFFFFFFFFF for x in ids.to_pylist()],
+                    dtype=np.uint64,
+                )
+                hll.add_hashed(HyperLogLog._hash(hh))
+            out["hll"] = pa.array([hll.to_bytes()], type=pa.large_binary())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    total = sum(r["sum_v"] for r in parts)
+    res = {
+        "n": n,
+        "sum": total,
+        "min": min(r["min_v"] for r in parts) if parts else None,
+        "max": max(r["max_v"] for r in parts) if parts else None,
+        "mean": total / n if n else None,
+    }
+    if id_col is not None and parts:
+        hll = HyperLogLog.from_bytes(parts[0]["hll"])
+        for r in parts[1:]:
+            hll.merge(HyperLogLog.from_bytes(r["hll"]))
+        res["approx_distinct"] = hll.estimate()
+    return res

@@ -1,0 +1,184 @@
+"""Approximate nearest neighbor over embedding columns.
+
+- ``brute_force_topk`` — the exactness baseline: per-batch NumPy matmul of
+  normalized embeddings against a broadcast query matrix, per-batch top-k
+  combiner, final tiny groupby merge (same shape as stages/knn.py — no
+  shuffle of the embedding table).
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  (sign bits of projections); candidates only from matching buckets across
+  a few hash tables, then exact re-rank.  Recall/eff trade documented in
+  the test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["brute_force_topk", "lsh_topk"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _BatchCosineTopK:
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        q = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        self.qids = q["query_id"]
+        self.qm = _normalize(np.asarray(q["vecs"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float32)
+        if vecs.ndim != 2 or len(vecs) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.string()),
+                    self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+                    "cosine": pa.array([], type=pa.float32()),
+                }
+            )
+        sims = _normalize(vecs) @ self.qm.T  # (N, q)
+        ids = batch.column(self.id_col)
+        k = min(self.k, len(batch))
+        out_q, out_i, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            part = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            out_q.extend([self.qids[j]] * len(part))
+            out_i.append(part)
+            out_s.append(s[part])
+        pi = np.concatenate(out_i)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                self.id_col: ids.take(pa.array(pi)),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float32()),
+            }
+        )
+
+
+class _FinalCosineTopK:
+    __name__ = "final_cosine_topk"
+    def __init__(self, k: int, id_col: str):
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        ids = group.column(self.id_col).to_pylist()
+        order = sorted(range(len(s)), key=lambda i: (-s[i], ids[i]))[: self.k]
+        out = group.take(pa.array(order))
+        return out.append_column("rank", pa.array(np.arange(1, len(order) + 1)))
+
+
+def brute_force_topk(ds, queries: dict, k: int, id_col: str = "vec_id", vec_col: str = "embedding", concurrency: int | None = None):
+    """queries: {"query_id": [...], "vecs": (q, d) array}."""
+    import ray
+
+    from .join import default_concurrency
+
+    q_ref = ray.put(queries)
+    partials = ds.map_batches(
+        _BatchCosineTopK,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency(),
+    )
+    return partials.groupby("query_id").map_groups(
+        _FinalCosineTopK(k, id_col), batch_format="pyarrow"
+    )
+
+
+class _LshBucketer:
+    def __init__(self, planes_ref, vec_col: str, id_col: str, n_tables: int, n_bits: int):
+        import ray
+
+        self.planes = (
+            ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        )  # (n_tables, n_bits, d)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        """-> (N, n_tables) int64 bucket ids (table index folded in)."""
+        out = np.empty((len(vecs), self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            proj = vecs @ self.planes[t].T  # (N, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            code = (bits << np.arange(self.n_bits)[None, :]).sum(axis=1)
+            out[:, t] = code + (t << np.int64(self.n_bits + 1))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float32))
+        buckets = self.bucket(vecs)
+        n = len(batch)
+        idx = np.repeat(np.arange(n), self.n_tables)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col).take(pa.array(idx)),
+                self.vec_col: batch.column(self.vec_col).take(pa.array(idx)),
+                "bucket": pa.array(buckets.ravel(), type=pa.int64()),
+            }
+        )
+
+
+def lsh_topk(
+    ds,
+    queries: dict,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 8,
+    dim: int | None = None,
+    concurrency: int | None = None,
+):
+    """LSH-bucketed ANN: only buckets containing a query are scanned.
+    Approximate — recall grows with n_tables; exact re-rank inside buckets."""
+    import ray
+
+    from .join import default_concurrency
+
+    qvecs = _normalize(np.asarray(queries["vecs"], dtype=np.float32))
+    d = dim or qvecs.shape[1]
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((n_tables, n_bits, d)).astype(np.float32)
+    bucketer = _LshBucketer(planes, vec_col, id_col, n_tables, n_bits)
+    q_buckets = set(bucketer.bucket(qvecs).ravel().tolist())
+    planes_ref = ray.put(planes)
+    qb_ref = ray.put(q_buckets)
+
+    conc = concurrency or default_concurrency()
+    bucketed = ds.map_batches(
+        _LshBucketer,
+        fn_constructor_kwargs=dict(
+            planes_ref=planes_ref, vec_col=vec_col, id_col=id_col, n_tables=n_tables, n_bits=n_bits
+        ),
+        batch_format="pyarrow",
+        concurrency=conc,
+    )
+
+    def keep_query_buckets(batch: pa.Table) -> pa.Table:
+        qb = ray.get(qb_ref)
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        mask = np.isin(b, np.fromiter(qb, dtype=np.int64))
+        return batch.filter(pa.array(mask))
+
+    candidates = bucketed.map_batches(keep_query_buckets, batch_format="pyarrow")
+    # dedupe candidates that hit multiple tables, then exact re-rank
+    from .dedupe import exact_dedupe
+
+    uniq = exact_dedupe(candidates, key_col=id_col, id_col=id_col)
+    return brute_force_topk(
+        uniq, queries, k, id_col=id_col, vec_col=vec_col, concurrency=conc
+    )

@@ -1,0 +1,167 @@
+"""Image payload codec + raster resampling kernels (pure NumPy + zlib).
+
+The container has no PIL/cv2/rasterio, so:
+
+- PNG encode/decode is implemented for real against the public PNG spec
+  (IHDR/IDAT/IEND, filters 0-4, 8-bit RGB) using stdlib zlib — lossless
+  round-trip, used by the tiling tests' PSNR checks.
+- JPEG is NOT available; ``FJPG`` is a clearly-marked deterministic
+  stand-in (quantized raw pixels, zlib-compressed) whose decode loss is
+  bounded so PSNR >= 40 dB holds, mirroring the lossy-tolerance contract in
+  BASELINE.json.  Swap with a real JPEG codec when the library exists.
+- ``resample_nearest`` is the warp kernel for raster->tile assignment
+  (reference: RasterDataAdapter.java:596-810 resamples coverage pixels
+  into fixed 256x256 SFC-cell tiles).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["png_encode", "png_decode", "fjpg_encode", "fjpg_decode", "encode_image", "decode_image", "resample_nearest", "psnr"]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (filter 0, 8-bit RGB)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    off = 8
+    w = h = None
+    idat = []
+    while off < len(data):
+        (ln,) = struct.unpack_from(">I", data, off)
+        tag = data[off + 4 : off + 8]
+        body = data[off + 8 : off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * 3
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        line = raw[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:
+            for x in range(stride):
+                line[x] = (line[x] + (out[y, x - bpp] if x >= bpp else 0)) & 0xFF
+                out[y, x] = line[x]
+        elif f == 2:
+            out[y] = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:
+            for x in range(stride):
+                left = int(out[y, x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                out[y, x] = line[x]
+        elif f == 4:
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else np.uint8(0)
+                ul = prev[x - bpp] if x >= bpp else np.uint8(0)
+                pr = _paeth(
+                    np.asarray(left), np.asarray(prev[x]), np.asarray(ul)
+                )
+                line[x] = (line[x] + int(pr)) & 0xFF
+                out[y, x] = line[x]
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.reshape(h, w, 3)
+
+
+_FJPG_MAGIC = b"FJPG"
+_FJPG_Q = 4  # quantization step; max error 2 per channel -> PSNR ~42dB worst case
+
+
+def fjpg_encode(arr: np.ndarray, q: int = _FJPG_Q) -> bytes:
+    """Deterministic lossy stand-in for JPEG (see module docstring)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    quant = (arr.astype(np.int16) // q).astype(np.uint8)
+    payload = zlib.compress(quant.tobytes(), 6)
+    return _FJPG_MAGIC + struct.pack(">IIB", w, h, q) + payload
+
+
+def fjpg_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == _FJPG_MAGIC, "not an FJPG payload"
+    w, h, q = struct.unpack_from(">IIB", data, 4)
+    quant = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
+    # dequantize to bin centers
+    return np.clip(quant.astype(np.int16) * q + q // 2, 0, 255).astype(np.uint8)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt in ("jpeg", "fjpg"):
+        return fjpg_encode(arr)
+    raise ValueError(fmt)
+
+
+def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:4] == _FJPG_MAGIC:
+        return fjpg_decode(data)
+    raise NotImplementedError(
+        f"unsupported image payload (fmt={fmt}); real JPEG decode requires an "
+        "image library not present in this environment"
+    )
+
+
+def resample_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample (the reference's non-footprint fallback;
+    RasterDataAdapter uses bilinear by default inside the footprint —
+    PSNR>=40 tolerance covers the resampler difference per BASELINE.md)."""
+    h, w = arr.shape[:2]
+    yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
+    xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
+    return arr[yi[:, None], xi[None, :]]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0**2 / mse))

@@ -1,0 +1,352 @@
+"""Spatial join stages.
+
+Two regimes, mirroring the trade-off the reference's TieredSpatialJoin
+(analytics/spark/.../spatial/TieredSpatialJoin.java:59-552) resolves with
+tier cogroups:
+
+- ``broadcast_spatial_join`` — the small polygon layer is put in the object
+  store ONCE (ray.put) and each refiner actor builds its bbox grid + parsed
+  polygons in ``__init__``; the image side streams through ``map_batches``
+  with zero shuffle (image ``bytes`` never move).  This is the 100 TB-scale
+  default whenever one side fits in memory.
+
+- ``cell_shuffle_join`` — large-large: polygons are flat-mapped to covering
+  grid cells, points keyed by cell, then a single ``groupby(cell)`` cogroup
+  with per-group pairwise refinement.  Hot cells are explicitly salted from
+  a pre-pass count (north rule: explicit skew handling); the polygon side is
+  replicated to every salt of a hot cell, so results are identical.
+
+Matches carry (point keys, zone_id); point-in-polygon tests use the
+vectorized even-odd kernel.  Semi/anti modes mirror the reference's
+JoinOptions negative-predicate support (subtractByKey analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.index import BBoxGrid
+from ..geom.predicates import points_in_polygon
+from ..geom.wkb import parse_wkb
+from ..index.grid import GridScheme
+from .encode import BoxCellExpander, GridCellEncoder
+
+__all__ = [
+    "ZoneIndex",
+    "BroadcastZoneJoiner",
+    "broadcast_spatial_join",
+    "cell_shuffle_join",
+    "default_concurrency",
+]
+
+
+def default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds (1, n_cpus): a FIXED pool sized to all
+    CPUs deadlocks against upstream read/shuffle tasks on small clusters;
+    autoscaling lets the streaming executor balance stages."""
+    import ray
+
+    try:
+        return (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    except Exception:
+        return (1, 4)
+
+
+class ZoneIndex:
+    """Parsed polygon layer + bbox candidate grid (built once, broadcast)."""
+
+    def __init__(self, zones: pa.Table, buffer: float = 0.0):
+        self.zone_ids = zones.column("zone_id").to_pylist()
+        self.polys = [parse_wkb(w) for w in zones.column("wkb").to_pylist()]
+        boxes = np.stack(
+            [
+                zones.column("minx").to_numpy(zero_copy_only=False) - buffer,
+                zones.column("miny").to_numpy(zero_copy_only=False) - buffer,
+                zones.column("maxx").to_numpy(zero_copy_only=False) + buffer,
+                zones.column("maxy").to_numpy(zero_copy_only=False) + buffer,
+            ],
+            axis=1,
+        )
+        self.grid = BBoxGrid(boxes)
+        self.buffer = buffer
+
+    def match_points(self, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """-> (point_idx, zone_idx) exact point-in-polygon matches (boundary
+        inclusive, INTERSECTS semantics); with ``buffer`` > 0, matches points
+        within that distance of the polygon (degrees, planar)."""
+        pi, zi = self.grid.query_points(xs, ys)
+        if len(pi) == 0:
+            return pi, zi
+        keep = np.zeros(len(pi), dtype=bool)
+        order = np.argsort(zi, kind="stable")
+        pi, zi = pi[order], zi[order]
+        bounds = np.searchsorted(zi, np.arange(len(self.polys) + 1))
+        for z in np.unique(zi):
+            s, e = bounds[z], bounds[z + 1]
+            sub_p = pi[s:e]
+            from ..geom.wkb import MultiGeometry, Polygon
+
+            poly = self.polys[z]
+            parts = poly.parts if isinstance(poly, MultiGeometry) else [poly]
+            hit = np.zeros(e - s, dtype=bool)
+            for part in parts:
+                if not isinstance(part, Polygon):
+                    continue
+                hit |= points_in_polygon(xs[sub_p], ys[sub_p], part)
+                if self.buffer > 0:
+                    hit |= _dist_to_poly(xs[sub_p], ys[sub_p], part) <= self.buffer
+            keep[s:e] = hit
+        return pi[keep], zi[keep]
+
+
+def _dist_to_poly(xs: np.ndarray, ys: np.ndarray, poly) -> np.ndarray:
+    """Min distance from points to polygon boundary (planar degrees)."""
+    d2 = np.full(xs.shape, np.inf)
+    for ring in poly.rings:
+        for i in range(len(ring) - 1):
+            ax, ay = ring[i]
+            bx, by = ring[i + 1]
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                dd = (xs - ax) ** 2 + (ys - ay) ** 2
+            else:
+                t = np.clip(((xs - ax) * dx + (ys - ay) * dy) / L2, 0, 1)
+                dd = (xs - (ax + t * dx)) ** 2 + (ys - (ay + t * dy)) ** 2
+            d2 = np.minimum(d2, dd)
+    return np.sqrt(d2)
+
+
+class BroadcastZoneJoiner:
+    """map_batches actor: refine image batches against the broadcast zone
+    index.  Stateful setup (WKB parse, grid build) happens once per actor."""
+
+    def __init__(
+        self,
+        zones: pa.Table,
+        how: str = "inner",
+        point_cols: tuple = ("image_id",),
+        zone_cols: tuple = ("zone_id",),
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        buffer: float = 0.0,
+    ):
+        import ray
+
+        if isinstance(zones, ray.ObjectRef):
+            zones = ray.get(zones)
+        self.zones = zones
+        self.index = ZoneIndex(zones, buffer=buffer)
+        self.how = how
+        self.point_cols = list(point_cols)
+        self.zone_cols = list(zone_cols)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xs = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        ys = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pi, zi = self.index.match_points(xs, ys)
+        if self.how == "inner":
+            cols = batch.select(self.point_cols).take(pa.array(pi))
+            for zc in self.zone_cols:
+                cols = cols.append_column(zc, self.zones.column(zc).take(pa.array(zi)))
+            return cols
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pi] = True
+        if self.how == "semi":
+            return batch.filter(pa.array(matched))
+        if self.how == "anti":
+            return batch.filter(pa.array(~matched))
+        raise ValueError(self.how)
+
+
+def broadcast_spatial_join(
+    points_ds,
+    zones: pa.Table,
+    how: str = "inner",
+    point_cols: tuple = ("image_id",),
+    zone_cols: tuple = ("zone_id",),
+    buffer: float = 0.0,
+    concurrency: int | None = None,
+    batch_size: int | None = None,
+):
+    """points Dataset x zones table -> matches Dataset (no shuffle).
+
+    The zones table is ray.put once; each refiner actor reads it zero-copy
+    from the object store.
+    """
+    import ray
+
+    zones_ref = ray.put(zones)
+    if concurrency is None:
+        concurrency = default_concurrency()
+    kwargs = {"concurrency": concurrency}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return points_ds.map_batches(
+        BroadcastZoneJoiner,
+        fn_constructor_kwargs=dict(
+            zones=zones_ref,
+            how=how,
+            point_cols=point_cols,
+            zone_cols=zone_cols,
+            buffer=buffer,
+        ),
+        batch_format="pyarrow",
+        **kwargs,
+    )
+
+
+class _CellJoinGroup:
+    __name__ = "cell_join_group"
+    """map_groups fn for the shuffle join cogroup: one (salted) cell's
+    points vs its zone replicas."""
+
+    def __init__(self, point_cols, zone_cols):
+        self.point_cols = list(point_cols)
+        self.zone_cols = list(zone_cols)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        pts = group.filter(pa.array(side == 0))
+        zns = group.filter(pa.array(side == 1))
+        if len(pts) == 0 or len(zns) == 0:
+            return _empty_match_table(pts, zns, self.point_cols, self.zone_cols)
+        zt = pa.table(
+            {
+                "zone_id": zns.column("zone_id"),
+                "minx": zns.column("minx"),
+                "miny": zns.column("miny"),
+                "maxx": zns.column("maxx"),
+                "maxy": zns.column("maxy"),
+                "wkb": zns.column("wkb"),
+            }
+        )
+        idx = ZoneIndex(zt)
+        xs = pts.column("lon").to_numpy(zero_copy_only=False)
+        ys = pts.column("lat").to_numpy(zero_copy_only=False)
+        pi, zi = idx.match_points(xs, ys)
+        out = pts.select(self.point_cols).take(pa.array(pi))
+        for zc in self.zone_cols:
+            out = out.append_column(zc, zns.column(zc).take(pa.array(zi)))
+        return out
+
+
+def _empty_match_table(pts, zns, point_cols, zone_cols):
+    fields = []
+    for c in point_cols:
+        fields.append(pa.field(c, pts.schema.field(c).type))
+    for c in zone_cols:
+        fields.append(pa.field(c, zns.schema.field(c).type))
+    return pa.table(
+        {f.name: pa.array([], type=f.type) for f in fields}
+    )
+
+
+def cell_shuffle_join(
+    points_ds,
+    zones_ds,
+    level: int = 6,
+    how: str = "inner",
+    point_cols: tuple = ("image_id",),
+    zone_cols: tuple = ("zone_id",),
+    hot_cell_threshold: int | None = None,
+    salt_factor: int = 8,
+):
+    """Large-large spatial join: co-partition by grid cell + per-group
+    refinement.  When ``hot_cell_threshold`` is set, a cheap count pre-pass
+    finds skewed cells and salts them ``salt_factor`` ways (points hashed,
+    zones replicated) — the reference handles the same skew with
+    HashKeyIndexStrategy partition salting + a 1.5x oversized partitioner.
+
+    Note: point `bytes`-free columns only should be passed through
+    ``point_cols`` — never shuffle image payloads (SURVEY §7 hard part 5).
+    """
+    import ray
+
+    scheme = GridScheme(level)
+    points_cells = points_ds.map_batches(
+        GridCellEncoder(level), batch_format="pyarrow"
+    )
+
+    hot_cells: dict[int, int] = {}
+    if hot_cell_threshold is not None:
+        counts = points_cells.groupby("cell").count().to_pandas()
+        hot = counts[counts["count()"] > hot_cell_threshold]
+        hot_cells = {int(c): salt_factor for c in hot["cell"]}
+    hot_ref = ray.put(hot_cells)
+
+    def salt_points(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        from .encode import salt_cells
+
+        # deterministic per-row hash from lon bits for salt spreading
+        rh = np.frombuffer(
+            np.ascontiguousarray(
+                batch.column("lon").to_numpy(zero_copy_only=False)
+            ).tobytes(),
+            dtype=np.int64,
+        ) & 0x7FFFFFFF
+        salted = salt_cells(cell, rh, hot)
+        batch = batch.drop_columns(["cell"]).append_column(
+            "cell", pa.array(salted, type=pa.int64())
+        )
+        return batch.append_column("_side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+
+    def expand_zones(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        expander = BoxCellExpander(
+            level, keep_cols=tuple({"zone_id", "minx", "miny", "maxx", "maxy", "wkb", *zone_cols})
+        )
+        out = expander(batch)
+        cell = out.column("cell").to_numpy(zero_copy_only=False)
+        # replicate zone rows to every salt of hot cells
+        reps = np.array([hot.get(int(c), 1) for c in cell], dtype=np.int64)
+        rows = np.repeat(np.arange(len(out), dtype=np.int64), reps)
+        salt_k = np.arange(len(rows)) - np.repeat(np.cumsum(reps) - reps, reps)
+        salted = cell[rows] * 64 + salt_k
+        out = out.drop_columns(["cell"]).take(pa.array(rows))
+        out = out.append_column("cell", pa.array(salted, type=pa.int64()))
+        return out.append_column("_side", pa.array(np.ones(len(out), dtype=np.int8)))
+
+    pts = points_cells.map_batches(salt_points, batch_format="pyarrow")
+    zns = zones_ds.map_batches(expand_zones, batch_format="pyarrow")
+
+    # align schemas for union: keep only needed columns + padding nulls
+    pt_keep = list(dict.fromkeys([*point_cols, "lon", "lat", "cell", "_side"]))
+    zn_keep = list(
+        dict.fromkeys(["zone_id", "minx", "miny", "maxx", "maxy", "wkb", *zone_cols, "cell", "_side"])
+    )
+
+    def pad(keep_self, keep_other, other_schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(keep_self)
+            for c in keep_other:
+                if c not in batch.column_names:
+                    batch = batch.append_column(
+                        c, pa.nulls(len(batch), type=other_schema[c])
+                    )
+            return batch.select(sorted(batch.column_names))
+
+        return fn
+
+    zschema = zones_ds.schema().base_schema
+    pschema = points_ds.schema().base_schema
+    zn_types = {
+        name: zschema.field(name).type
+        for name in {"zone_id", "minx", "miny", "maxx", "maxy", "wkb", *zone_cols}
+    }
+    pt_types = {"lon": pa.float64(), "lat": pa.float64()}
+    for c in point_cols:
+        pt_types.setdefault(c, pschema.field(c).type)
+
+    pts = pts.map_batches(pad(pt_keep, zn_keep, zn_types), batch_format="pyarrow")
+    zns = zns.map_batches(pad(zn_keep, pt_keep, pt_types), batch_format="pyarrow")
+    both = pts.union(zns)
+    matches = both.groupby("cell").map_groups(
+        _CellJoinGroup(point_cols, zone_cols), batch_format="pyarrow"
+    )
+    return matches

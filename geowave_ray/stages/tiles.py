@@ -1,0 +1,243 @@
+"""Raster <-> vector tiling: pyramid level selection, tile assignment,
+per-cell warp, mosaic merge.
+
+Reference semantics (extensions/adapters/raster/.../RasterDataAdapter.java):
+- level selection (:495-534): per tier, ratio = max over dims of
+  (cell extent / (envelope extent * tileSize / pixels)); pick the tier whose
+  max-ratio is the largest value <= 1+eps (the "full resolution" level);
+  with build_pyramid, every coarser tier is also produced.
+- tile cut (:596-810): for each covering SFC cell at the chosen level, warp
+  the source pixels into an exactly tileSize^2 tile over the cell extent
+  (nearest-neighbor here; PSNR>=40 tolerance covers resampler choice).
+- mosaic merge (adapter/merge/NoDataMergeStrategy.java): tiles sharing a
+  cell merge, later tiles filling background pixels.
+
+Ray-Data shape: assignment is a vectorized flat_map-style map_batches
+(no image decode needed — pure envelope arithmetic); the warp stage is an
+actor-pool map_batches that decodes/resamples; mosaic is
+groupby(tier,cell).map_groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.tiered import spatial_strategy
+from .imaging import decode_image, psnr, resample_nearest  # noqa: F401 (psnr re-export)
+
+__all__ = ["TileAssigner", "TileWarper", "MosaicMerger", "select_levels"]
+
+EPS = 1e-9
+
+
+def select_levels(
+    extent_lon: np.ndarray,
+    extent_lat: np.ndarray,
+    px_w: np.ndarray,
+    px_h: np.ndarray,
+    tile_size: int = 256,
+    max_bits: int = 31,
+) -> np.ndarray:
+    """Vectorized full-resolution pyramid level (tier bits) per image.
+
+    tile_range_d = extent_d * tile_size / pixels_d; cell range at tier t is
+    360/2^t in both dims (half-range latitude); ratio_t = max_d(cell/tile_range)
+    decreases with t, so the floorEntry(1+eps) rule selects the smallest t
+    with ratio <= 1+eps.
+    """
+    tr_lon = np.asarray(extent_lon, dtype=np.float64) * tile_size / np.maximum(px_w, 1)
+    tr_lat = np.asarray(extent_lat, dtype=np.float64) * tile_size / np.maximum(px_h, 1)
+    # smallest t with 360/2^t <= tr*(1+eps)  ->  t >= log2(360/tr)
+    with np.errstate(divide="ignore"):
+        t_lon = np.ceil(np.log2(360.0 / np.maximum(tr_lon, 1e-300)) - EPS)
+        t_lat = np.ceil(np.log2(360.0 / np.maximum(tr_lat, 1e-300)) - EPS)
+    t = np.maximum(t_lon, t_lat)
+    return np.clip(t, 0, max_bits).astype(np.uint8)
+
+
+class TileAssigner:
+    """map_batches: image rows -> one row per (image, tier, cell) covering
+    the image footprint at its full-resolution pyramid level (optionally the
+    whole coarser pyramid).  Pure arithmetic — ``bytes`` are not read and
+    should not be in the batch (select columns upstream)."""
+
+    def __init__(
+        self,
+        tile_size: int = 256,
+        max_bits: int = 31,
+        pixel_res_deg: float = 1e-4,
+        build_pyramid: bool = False,
+        min_pyramid_bits: int | None = None,
+        keep_cols: tuple = ("image_id",),
+    ):
+        self.strategy = spatial_strategy(max_bits)
+        self.tile_size = tile_size
+        self.max_bits = max_bits
+        self.pixel_res_deg = pixel_res_deg
+        self.build_pyramid = build_pyramid
+        self.min_pyramid_bits = min_pyramid_bits if min_pyramid_bits is not None else 0
+        self.keep_cols = list(keep_cols)
+
+    def _envelope(self, batch: pa.Table):
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+        ext_lon = w * self.pixel_res_deg
+        ext_lat = h * self.pixel_res_deg
+        minx = np.clip(lon, -180, 180)
+        maxx = np.clip(lon + ext_lon, -180, 180)
+        miny = np.clip(lat - ext_lat, -90, 90)
+        maxy = np.clip(lat, -90, 90)
+        return minx, miny, maxx, maxy, w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        minx, miny, maxx, maxy, w, h = self._envelope(batch)
+        levels = select_levels(
+            np.maximum(maxx - minx, 1e-12),
+            np.maximum(maxy - miny, 1e-12),
+            w,
+            h,
+            self.tile_size,
+            self.max_bits,
+        )
+        out_rows, out_tiers, out_cells = [], [], []
+        for t in np.unique(levels):
+            mask = levels == t
+            idx = np.nonzero(mask)[0]
+            tiers = [int(t)]
+            if self.build_pyramid:
+                tiers = list(range(self.min_pyramid_bits, int(t) + 1))
+            for tier in tiers:
+                rows, cells = self._cover_at_tier(
+                    tier, minx[idx], miny[idx], maxx[idx], maxy[idx]
+                )
+                out_rows.append(idx[rows])
+                out_tiers.append(np.full(len(rows), tier, dtype=np.uint8))
+                out_cells.append(cells)
+        rows = np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
+        out = batch.select(self.keep_cols).take(pa.array(rows))
+        out = out.append_column("tier", pa.array(np.concatenate(out_tiers) if out_tiers else np.zeros(0, np.uint8)))
+        return out.append_column(
+            "cell",
+            pa.array(
+                np.concatenate(out_cells) if out_cells else np.zeros(0, np.uint64),
+                type=pa.uint64(),
+            ),
+        )
+
+    def _cover_at_tier(self, tier, minx, miny, maxx, maxy):
+        """All covering cells at a fixed tier (insertion edge rules), like a
+        single-tier SFC strategy's getInsertionIds."""
+        from ..index.dimensions import norm_to_cell_max, norm_to_cell_min
+
+        strat = self.strategy
+        bins = 1 << tier
+        n = len(minx)
+        lo = [strat.dims[0].normalize(minx), strat.dims[1].normalize(miny)]
+        hi = [strat.dims[0].normalize(maxx), strat.dims[1].normalize(maxy)]
+        cmin = [norm_to_cell_min(lo[j], bins) for j in range(2)]
+        cmax = [np.maximum(norm_to_cell_max(hi[j], bins), cmin[j]) for j in range(2)]
+        ext = [(cmax[j] - cmin[j] + np.uint64(1)).astype(np.int64) for j in range(2)]
+        count = ext[0] * ext[1]
+        total = int(count.sum())
+        rep = np.repeat(np.arange(n, dtype=np.int64), count)
+        r = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(count) - count, count)
+        coords = []
+        rr = r
+        for j in range(2):
+            e = ext[j][rep]
+            coords.append(cmin[j][rep] + (rr % e).astype(np.uint64))
+            rr = rr // e
+        cells = strat.curve(tier).encode(coords) if tier > 0 else np.zeros(total, np.uint64)
+        return rep, cells
+
+
+class TileWarper:
+    """Actor-pool map_batches: joined (image row + tier + cell) -> rendered
+    tileSize^2 RGB tile bytes for that cell.  Decode state is per-actor."""
+
+    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31, background: int = 0):
+        self.strategy = spatial_strategy(max_bits)
+        self.tile_size = tile_size
+        self.pixel_res_deg = pixel_res_deg
+        self.background = background
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = self.tile_size
+        out_tiles = []
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        tiers = batch.column("tier").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        blobs = batch.column("bytes").to_pylist()
+        for i in range(len(batch)):
+            arr = decode_image(blobs[i])
+            h_px, w_px = arr.shape[:2]
+            # image envelope: [lon, lon+w*res] x [lat-h*res, lat]
+            ix0 = lon[i]
+            ix1 = lon[i] + w_px * self.pixel_res_deg
+            iy1 = lat[i]
+            iy0 = lat[i] - h_px * self.pixel_res_deg
+            (cx0, cx1), (cy0, cy1) = [
+                (lo[0], hi[0])
+                for lo, hi in zip(
+                    *self.strategy.decode_cells(
+                        int(tiers[i]), np.asarray([cells[i]], dtype=np.uint64)
+                    )
+                )
+            ]
+            tile = np.full((ts, ts, 3), self.background, dtype=np.uint8)
+            # map each tile pixel center to a source pixel (nearest)
+            px = cx0 + (np.arange(ts) + 0.5) * (cx1 - cx0) / ts
+            py = cy1 - (np.arange(ts) + 0.5) * (cy1 - cy0) / ts  # row 0 = north
+            sx = np.floor((px - ix0) / self.pixel_res_deg).astype(np.int64)
+            sy = np.floor((iy1 - py) / self.pixel_res_deg).astype(np.int64)
+            okx = (sx >= 0) & (sx < w_px)
+            oky = (sy >= 0) & (sy < h_px)
+            if okx.any() and oky.any():
+                yy = sy[oky][:, None]
+                xx = sx[okx][None, :]
+                tile[np.ix_(oky, okx)] = arr[yy, xx]
+            out_tiles.append(tile.tobytes())
+        return pa.table(
+            {
+                "tier": batch.column("tier"),
+                "cell": batch.column("cell"),
+                "image_id": batch.column("image_id"),
+                "tile": pa.array(out_tiles, type=pa.large_binary()),
+            }
+        )
+
+
+class MosaicMerger:
+    __name__ = "mosaic_merger"
+    """groupby(tier, cell).map_groups: merge tiles sharing a cell — later
+    tiles fill pixels that are still background (NoDataMergeStrategy)."""
+
+    def __init__(self, tile_size: int = 256, background: int = 0):
+        self.tile_size = tile_size
+        self.background = background
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ts = self.tile_size
+        # deterministic merge order: by image_id
+        order = pa.compute.sort_indices(group.column("image_id"))
+        group = group.take(order)
+        acc = None
+        for blob in group.column("tile").to_pylist():
+            arr = np.frombuffer(blob, dtype=np.uint8).reshape(ts, ts, 3)
+            if acc is None:
+                acc = arr.copy()
+            else:
+                nodata = (acc == self.background).all(axis=2)
+                acc[nodata] = arr[nodata]
+        return pa.table(
+            {
+                "tier": group.column("tier").slice(0, 1),
+                "cell": group.column("cell").slice(0, 1),
+                "n_merged": pa.array([len(group)], type=pa.int64()),
+                "tile": pa.array([acc.tobytes()], type=pa.large_binary()),
+            }
+        )

@@ -1,0 +1,61 @@
+"""Image codec round-trips (PSNR contract from BASELINE.json input_hint)."""
+
+import numpy as np
+
+from geowave_ray.stages.imaging import (
+    decode_image,
+    encode_image,
+    fjpg_decode,
+    fjpg_encode,
+    png_decode,
+    png_encode,
+    psnr,
+    resample_nearest,
+)
+
+
+def _pixels(seed=0, size=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def test_png_lossless_roundtrip():
+    arr = _pixels(1)
+    back = png_decode(png_encode(arr))
+    np.testing.assert_array_equal(arr, back)
+    assert psnr(arr, back) == float("inf")
+
+
+def test_fjpg_lossy_psnr_above_40():
+    arr = _pixels(2, 64)
+    back = fjpg_decode(fjpg_encode(arr))
+    assert back.shape == arr.shape
+    assert psnr(arr, back) >= 40.0
+
+
+def test_decode_dispatch():
+    arr = _pixels(3, 8)
+    assert np.array_equal(decode_image(encode_image(arr, "png")), arr)
+    assert psnr(decode_image(encode_image(arr, "jpeg")), arr) >= 40
+
+
+def test_resample_nearest():
+    arr = _pixels(4, 16)
+    up = resample_nearest(arr, 32, 32)
+    assert up.shape == (32, 32, 3)
+    # each 2x2 block equals the source pixel
+    np.testing.assert_array_equal(up[::2, ::2], arr)
+    down = resample_nearest(arr, 8, 8)
+    assert down.shape == (8, 8, 3)
+
+
+def test_synth_images_decode():
+    from geowave_ray.sources.images import synth_images_table
+
+    t = synth_images_table(20, with_bytes=True)
+    for i in range(20):
+        blob = t.column("bytes")[i].as_py()
+        fmt = t.column("fmt")[i].as_py()
+        w = t.column("w")[i].as_py()
+        arr = decode_image(blob, fmt)
+        assert arr.shape == (w, w, 3)

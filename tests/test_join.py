@@ -1,0 +1,140 @@
+"""Spatial join stages vs brute-force oracle (golden outputs, FIXTURES §F5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geowave_ray.geom import parse_wkb, points_in_polygon, MultiGeometry, Polygon
+from geowave_ray.sources.images import synth_images_table, synth_zones_table
+from geowave_ray.stages.join import broadcast_spatial_join, cell_shuffle_join
+
+
+@pytest.fixture(scope="module")
+def images_table():
+    return synth_images_table(1500, with_bytes=False)
+
+
+@pytest.fixture(scope="module")
+def zones_table():
+    return synth_zones_table(60)
+
+
+def brute_force_pairs(images: pa.Table, zones: pa.Table, buffer: float = 0.0):
+    xs = images.column("lon").to_numpy()
+    ys = images.column("lat").to_numpy()
+    ids = images.column("image_id").to_pylist()
+    out = set()
+    for z in range(len(zones)):
+        poly = parse_wkb(zones.column("wkb")[z].as_py())
+        parts = poly.parts if isinstance(poly, MultiGeometry) else [poly]
+        hit = np.zeros(len(xs), dtype=bool)
+        for part in parts:
+            if isinstance(part, Polygon):
+                hit |= points_in_polygon(xs, ys, part)
+                if buffer > 0:
+                    from geowave_ray.stages.join import _dist_to_poly
+
+                    hit |= _dist_to_poly(xs, ys, part) <= buffer
+        zid = zones.column("zone_id")[z].as_py()
+        for i in np.nonzero(hit)[0]:
+            out.add((ids[i], zid))
+    return out
+
+
+def test_broadcast_join_matches_brute_force(ray_session, images_table, zones_table):
+    import ray
+
+    want = brute_force_pairs(images_table, zones_table)
+    ds = ray.data.from_arrow(images_table).repartition(8)
+    got_ds = broadcast_spatial_join(ds, zones_table)
+    got = set(
+        zip(
+            *(
+                got_ds.to_pandas()[c].tolist()
+                for c in ("image_id", "zone_id")
+            )
+        )
+    )
+    assert len(want) > 50  # sanity: non-trivial fixture
+    assert got == want
+
+
+def test_broadcast_join_semi_anti(ray_session, images_table, zones_table):
+    import ray
+
+    want = brute_force_pairs(images_table, zones_table)
+    matched_ids = {i for i, _ in want}
+    all_ids = set(images_table.column("image_id").to_pylist())
+    ds = ray.data.from_arrow(images_table).repartition(4)
+    semi = broadcast_spatial_join(ds, zones_table, how="semi")
+    anti = broadcast_spatial_join(ds, zones_table, how="anti")
+    semi_ids = set(semi.to_pandas()["image_id"])
+    anti_ids = set(anti.to_pandas()["image_id"])
+    assert semi_ids == matched_ids
+    assert anti_ids == all_ids - matched_ids
+    assert semi_ids | anti_ids == all_ids
+
+
+def test_within_distance_join(ray_session, images_table, zones_table):
+    import ray
+
+    buffer = 1.5
+    want = brute_force_pairs(images_table, zones_table, buffer=buffer)
+    ds = ray.data.from_arrow(images_table).repartition(4)
+    got_ds = broadcast_spatial_join(ds, zones_table, buffer=buffer)
+    df = got_ds.to_pandas()
+    got = set(zip(df["image_id"], df["zone_id"]))
+    assert got == want
+    assert len(want) > len(brute_force_pairs(images_table, zones_table))
+
+
+def test_cell_shuffle_join_matches_broadcast(ray_session, images_table, zones_table):
+    import ray
+
+    want = brute_force_pairs(images_table, zones_table)
+    pts = ray.data.from_arrow(images_table).repartition(6)
+    zns = ray.data.from_arrow(zones_table).repartition(2)
+    got_ds = cell_shuffle_join(pts, zns, level=6)
+    df = got_ds.to_pandas()
+    got = set(zip(df["image_id"], df["zone_id"]))
+    assert got == want
+
+
+def test_cell_shuffle_join_with_salting(ray_session, images_table, zones_table):
+    import ray
+
+    want = brute_force_pairs(images_table, zones_table)
+    pts = ray.data.from_arrow(images_table).repartition(6)
+    zns = ray.data.from_arrow(zones_table).repartition(2)
+    got_ds = cell_shuffle_join(
+        pts, zns, level=6, hot_cell_threshold=20, salt_factor=4
+    )
+    df = got_ds.to_pandas()
+    got = set(zip(df["image_id"], df["zone_id"]))
+    assert got == want
+
+
+def test_knn_matches_brute_force(ray_session, images_table):
+    import ray
+
+    from geowave_ray.stages.knn import haversine_km, knn
+
+    rng = np.random.default_rng(123)
+    nq = 20
+    queries = {
+        "query_id": [f"q-{i:03d}" for i in range(nq)],
+        "lon": rng.uniform(-180, 180, nq),
+        "lat": rng.uniform(-90, 90, nq),
+    }
+    for k in (1, 5):
+        ds = ray.data.from_arrow(images_table).repartition(5)
+        got = knn(ds, queries, k=k).to_pandas()
+        ids = images_table.column("image_id").to_pylist()
+        xs = images_table.column("lon").to_numpy()
+        ys = images_table.column("lat").to_numpy()
+        for j in range(nq):
+            d = haversine_km(xs, ys, queries["lon"][j], queries["lat"][j])
+            order = sorted(range(len(d)), key=lambda i: (d[i], ids[i]))[:k]
+            want_ids = [ids[i] for i in order]
+            sub = got[got["query_id"] == queries["query_id"][j]].sort_values("rank")
+            assert sub["image_id"].tolist() == want_ids

@@ -1,0 +1,101 @@
+"""Tile assignment golden tests (FIXTURES §F5): level rule, covering cells,
+warp round-trip at PSNR>=40, mosaic merge."""
+
+import numpy as np
+import pyarrow as pa
+
+from geowave_ray.index.tiered import spatial_strategy
+from geowave_ray.stages.imaging import png_encode, psnr, resample_nearest
+from geowave_ray.stages.tiles import MosaicMerger, TileAssigner, TileWarper, select_levels
+
+
+def test_select_levels_rule():
+    # image covering 360 deg with 256 px -> tile_range = 360 -> level 0
+    assert select_levels([360.0], [180.0], [256], [128])[0] == 0
+    # 256px image covering 360/2^5 deg -> exact fit at level 5
+    ext = 360.0 / 2**5
+    assert select_levels([ext], [ext], [256], [256])[0] == 5
+    # slightly larger pixels (coarser image) -> stays at 5 (over-inclusive eps)
+    assert select_levels([ext * 1.000000001], [ext], [256], [256])[0] == 5
+    # finer image (smaller extent per 256px) -> finer level
+    assert select_levels([ext / 2], [ext / 2], [256], [256])[0] == 6
+
+
+def test_assigner_covers_footprint():
+    strategy = spatial_strategy(31)
+    batch = pa.table(
+        {
+            "image_id": ["a", "b"],
+            "lon": [10.0, -100.0],
+            "lat": [45.0, -30.0],
+            "w": pa.array([256, 512], type=pa.int32()),
+            "h": pa.array([256, 512], type=pa.int32()),
+        }
+    )
+    assigner = TileAssigner(pixel_res_deg=1e-3, keep_cols=("image_id",))
+    out = assigner(batch)
+    assert len(out) >= 2
+    # every assigned cell's extent must overlap the image envelope
+    for i in range(len(out)):
+        tier = out.column("tier")[i].as_py()
+        cell = out.column("cell")[i].as_py()
+        (lo_lon, hi_lon), (lo_lat, hi_lat) = strategy.get_range_for_id(tier, cell)
+        row = 0 if out.column("image_id")[i].as_py() == "a" else 1
+        lon0 = batch.column("lon")[row].as_py()
+        lat0 = batch.column("lat")[row].as_py()
+        wpx = batch.column("w")[row].as_py()
+        assert hi_lon >= lon0 - 1e-9 and lo_lon <= lon0 + wpx * 1e-3 + 1e-9
+        assert hi_lat >= lat0 - wpx * 1e-3 - 1e-9 and lo_lat <= lat0 + 1e-9
+
+
+def test_warp_psnr_roundtrip():
+    """A tile cut from an image over exactly one cell reproduces the image
+    at PSNR>=40 (lossless source, nearest resample)."""
+    strategy = spatial_strategy(31)
+    rng = np.random.default_rng(5)
+    # smooth image (noise-free) so resampling PSNR is meaningful
+    gy, gx = np.mgrid[0:128, 0:128]
+    arr = np.stack([gx * 2, gy * 2, (gx + gy)], axis=-1).astype(np.uint8)
+
+    # place the image exactly over one tier-11 cell
+    tier = 11
+    cell = int(strategy.encode_points(np.asarray([12.3]), np.asarray([41.2]))[0] >> np.uint64(2 * (31 - tier)))
+    (lo_lon, hi_lon), (lo_lat, hi_lat) = strategy.get_range_for_id(tier, cell)
+    res = (hi_lon - lo_lon) / 128
+    batch = pa.table(
+        {
+            "image_id": ["x"],
+            "lon": [lo_lon],
+            "lat": [hi_lat],
+            "tier": pa.array([tier], type=pa.uint8()),
+            "cell": pa.array([cell], type=pa.uint64()),
+            "bytes": pa.array([png_encode(arr)], type=pa.large_binary()),
+        }
+    )
+    warper = TileWarper(tile_size=256, pixel_res_deg=res)
+    out = warper(batch)
+    tile = np.frombuffer(out.column("tile")[0].as_py(), dtype=np.uint8).reshape(256, 256, 3)
+    # compare against direct nearest upsample of the source
+    want = resample_nearest(arr, 256, 256)
+    assert psnr(tile, want) >= 40
+
+
+def test_mosaic_merge_fills_background():
+    ts = 8
+    a = np.zeros((ts, ts, 3), dtype=np.uint8)
+    a[:4] = 100
+    b = np.zeros((ts, ts, 3), dtype=np.uint8)
+    b[4:] = 200
+    group = pa.table(
+        {
+            "tier": pa.array([5, 5], type=pa.uint8()),
+            "cell": pa.array([7, 7], type=pa.uint64()),
+            "image_id": ["a", "b"],
+            "tile": pa.array([a.tobytes(), b.tobytes()], type=pa.large_binary()),
+        }
+    )
+    merged = MosaicMerger(tile_size=ts)(group)
+    out = np.frombuffer(merged.column("tile")[0].as_py(), dtype=np.uint8).reshape(ts, ts, 3)
+    assert (out[:4] == 100).all()
+    assert (out[4:] == 200).all()
+    assert merged.column("n_merged")[0].as_py() == 2

@@ -36,8 +36,8 @@ KNN_QUERIES = {
 KNN_K = 10
 
 BBOX = (-30.0, 10.0, 40.0, 60.0)  # minx, miny, maxx, maxy
-TIME_LO = "2024-03-01 00:00:00"
-TIME_HI = "2024-09-01 00:00:00"
+TIME_LO = "2024-01-10 00:00:00"
+TIME_HI = "2024-01-20 00:00:00"
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
@@ -215,7 +215,7 @@ SQL_GRID_BINNED_AGG = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT {grid_cell_sql(GRID_LEVEL, "lon", "lat")} AS cell,
        COUNT(*) AS n,
-       SUM(v_cents) AS sum_v,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_v,
        MIN(v_cents) AS min_v,
        MAX(v_cents) AS max_v
 FROM pts GROUP BY cell
@@ -517,7 +517,7 @@ WITH o AS (
          EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events)
 SELECT user_id, COUNT(*) AS n_events,
-       1 + SUM(CASE WHEN gap > {SESSION_GAP_US} THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap > {SESSION_GAP_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id
 """
 
@@ -586,7 +586,7 @@ def q_event_type_stats(sf_dir: str):
 
 SQL_EVENT_TYPE_STATS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_v,
+       CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_v,
        MIN(CAST(FLOOR(value*100) AS BIGINT)) AS min_v,
        MAX(CAST(FLOOR(value*100) AS BIGINT)) AS max_v
 FROM events GROUP BY event_type
@@ -639,8 +639,8 @@ def q_lineitem_pricing(sf_dir: str):
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price
+       CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -697,22 +697,34 @@ def q_orders_by_segment(sf_dir: str):
 
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS sum_total
+       CAST(SUM(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
 
 
 def q_phash_near_dup(sf_dir: str):
-    """Image near-dup pairs by perceptual hash (synthetic image table
-    derived deterministically; rows-only check)."""
+    """Image near-dup pairs by perceptual hash (synthetic image table;
+    rows-only check).  The phash is re-derived from a 512-image pool id so
+    the table actually contains duplicates to find."""
     import ray
 
     from ..sources.images import synth_images_ds
-    from ..stages.dedupe import phash_near_dupes
+    from ..stages.dedupe import _splitmix, phash_near_dupes
 
     ds = synth_images_ds(2000, with_bytes=False)
-    return phash_near_dupes(ds, max_hamming=8)
+
+    def pooled_phash(batch: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(s.split("-")[1]) for s in batch.column("image_id").to_pylist()],
+            dtype=np.uint64,
+        )
+        ph = _splitmix(ids % np.uint64(512)).astype(np.int64)
+        return pa.table({"image_id": batch.column("image_id"), "phash": pa.array(ph)})
+
+    return phash_near_dupes(
+        ds.map_batches(pooled_phash, batch_format="pyarrow"), max_hamming=2
+    )
 
 
 def q_hll_distinct_users(sf_dir: str):

@@ -284,4 +284,15 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
         return pa.table({"id_a": pa.array(a_out, type=t), "id_b": pa.array(b_out, type=t)})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
-    return buckets.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    raw_pairs = buckets.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+    # identical hashes match in every band — dedupe (id_a, id_b) pairs
+    def keyed(batch: pa.Table) -> pa.Table:
+        a = [str(x) for x in batch.column("id_a").to_pylist()]
+        b = [str(x) for x in batch.column("id_b").to_pylist()]
+        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
+
+    uniq = exact_dedupe(
+        raw_pairs.map_batches(keyed, batch_format="pyarrow"), key_col="pair", id_col="pair"
+    )
+    return uniq.select_columns(["id_a", "id_b"])

@@ -1,0 +1,262 @@
+"""Dedup / text / ANN / aggregate / manifest stage tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the field",
+        "the quick brown fox jumps over the lazy dog in the meadow",  # near-dup of 0
+        "der schnelle braune fuchs springt über den faulen hund im feld",
+        "le rapide renard brun saute sur le chien paresseux dans le champ",
+        "el rapido zorro marron salta sobre el perro perezoso en el campo",
+        "completely unrelated text about machine learning and ray data pipelines",
+        "the quick brown fox jumps over the lazy dog in the field",  # exact dup of 0
+        "",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+
+
+def test_exact_dedupe(ray_session, docs_table):
+    import ray
+
+    from geowave_ray.stages.dedupe import exact_dedupe
+
+    out = exact_dedupe(ray.data.from_arrow(docs_table), "text", "doc_id").to_pandas()
+    assert len(out) == 7  # 8 rows, one exact dup
+    kept = set(out["doc_id"])
+    assert 0 in kept and 6 not in kept
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, docs_table):
+    import ray
+
+    from geowave_ray.stages.dedupe import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        union_find_keep_min,
+    )
+
+    sigs = minhash_signatures(ray.data.from_arrow(docs_table))
+    pairs_df = lsh_candidate_pairs(sigs).to_pandas()
+    cand = set(map(tuple, pairs_df[["id_a", "id_b"]].values.tolist()))
+    assert (0, 6) in cand  # exact dup must collide
+    assert (0, 1) in cand or (1, 6) in cand  # near-dup should collide
+    texts = dict(zip(docs_table.column("doc_id").to_pylist(), docs_table.column("text").to_pylist()))
+    verified = jaccard_pairs(sorted(cand), texts, threshold=0.6)
+    edges = [(a, b) for a, b, _ in verified]
+    assert (0, 6) in edges
+    comp = union_find_keep_min(list(texts), edges)
+    assert comp[6] == 0
+
+
+def test_simhash_near_dup_close(ray_session, docs_table):
+    from geowave_ray.stages.dedupe import SimHasher
+
+    texts = docs_table.column("text").to_pylist()
+    h0 = SimHasher.of(texts[0])
+    h1 = SimHasher.of(texts[1])
+    h5 = SimHasher.of(texts[5])
+    d01 = bin(h0 ^ h1).count("1")
+    d05 = bin(h0 ^ h5).count("1")
+    assert h0 == SimHasher.of(texts[6])  # exact dup identical
+    assert d01 < d05  # near-dup closer than unrelated
+
+
+def test_phash_near_dupes(ray_session):
+    import ray
+
+    from geowave_ray.stages.dedupe import phash_near_dupes
+
+    t = pa.table(
+        {
+            "image_id": ["a", "b", "c"],
+            "phash": pa.array([0x1234567890ABCDEF, 0x1234567890ABCDEE, -1], type=pa.int64()),
+        }
+    )
+    out = phash_near_dupes(ray.data.from_arrow(t), max_hamming=2).to_pandas()
+    pairs = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert ("a", "b") in pairs
+    assert all("c" not in p for p in pairs)
+
+
+def test_text_features(ray_session, docs_table):
+    import ray
+
+    from geowave_ray.stages.text import LangId, TextFeatures
+
+    out = (
+        ray.data.from_arrow(docs_table)
+        .map_batches(TextFeatures, batch_format="pyarrow", concurrency=2)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.iloc[0]["n_tokens"] == 12
+    assert out.iloc[7]["n_tokens"] == 0
+    assert out.iloc[0]["lang_pred"] == "en"
+    assert out.iloc[2]["lang_pred"] == "de"
+    assert out.iloc[3]["lang_pred"] == "fr"
+    assert out.iloc[4]["lang_pred"] == "es"
+    assert out.iloc[0]["quality_score"] > out.iloc[7]["quality_score"]
+
+
+def test_fingerprint_deterministic(docs_table):
+    from geowave_ray.stages.text import Fingerprinter
+
+    fp = Fingerprinter()
+    texts = docs_table.column("text").to_pylist()
+    assert fp.of(texts[0]) == fp.of(texts[6])
+    assert fp.of(texts[0]) != fp.of(texts[5])
+
+
+def test_ann_brute_force(ray_session):
+    import ray
+
+    from geowave_ray.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32(), d)),
+        }
+    )
+    queries = {"query_id": ["q0", "q1"], "vecs": vecs[[10, 20]]}
+    out = brute_force_topk(ray.data.from_arrow(t).repartition(4), queries, k=5).to_pandas()
+    # self-match ranks first
+    top_q0 = out[(out["query_id"] == "q0") & (out["rank"] == 1)]["vec_id"].iloc[0]
+    assert top_q0 == 10
+    # brute-force numpy oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv[10]
+    want = sorted(range(n), key=lambda i: (-sims[i], i))[:5]
+    got = out[out["query_id"] == "q0"].sort_values("rank")["vec_id"].tolist()
+    assert got == want
+
+
+def test_ann_lsh_recall(ray_session):
+    import ray
+
+    from geowave_ray.stages.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(8)
+    n, d = 800, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32(), d)),
+        }
+    )
+    queries = {"query_id": ["q0"], "vecs": vecs[[5]]}
+    ds = ray.data.from_arrow(t)
+    exact = set(
+        brute_force_topk(ds, queries, k=10).to_pandas()["vec_id"].tolist()
+    )
+    approx = set(
+        lsh_topk(ray.data.from_arrow(t), queries, k=10, n_tables=12, n_bits=4)
+        .to_pandas()["vec_id"]
+        .tolist()
+    )
+    # self-match always recovered; recall reasonably high
+    assert 5 in approx
+    assert len(exact & approx) >= 5
+
+
+def test_binned_aggregate(ray_session):
+    import ray
+
+    from geowave_ray.stages.aggregate import binned_aggregate
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    out = (
+        binned_aggregate(ray.data.from_arrow(t).repartition(6), ["k"], "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    want = (
+        df.groupby("k")["v"].agg(["count", "sum", "min", "max"]).reset_index()
+    )
+    assert out["n"].tolist() == want["count"].tolist()
+    assert out["sum_v"].tolist() == [float(x) for x in want["sum"]]
+    assert out["min_v"].tolist() == [float(x) for x in want["min"]]
+    assert out["max_v"].tolist() == [float(x) for x in want["max"]]
+
+
+def test_hll_accuracy():
+    from geowave_ray.stages.aggregate import HyperLogLog
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 10**12, 50_000, dtype=np.int64)
+    true = len(np.unique(vals))
+    h1 = HyperLogLog().add_ints(vals[:25_000])
+    h2 = HyperLogLog().add_ints(vals[25_000:])
+    est = h1.merge(h2).estimate()
+    assert abs(est - true) / true < 0.05
+
+
+def test_cms_counts():
+    from geowave_ray.stages.aggregate import CountMinSketch
+
+    cms = CountMinSketch()
+    vals = np.array([1] * 1000 + [2] * 10 + list(range(100, 400)), dtype=np.int64)
+    cms.add_ints(vals)
+    est = cms.query_ints(np.array([1, 2], dtype=np.int64))
+    assert est[0] >= 1000 and est[0] <= 1050
+    assert est[1] >= 10
+
+
+def test_manifest_resume(tmp_path, ray_session):
+    import ray
+
+    from geowave_ray.state.manifest import PartitionManifest, resumable_write
+
+    calls = []
+
+    def make(pid):
+        calls.append(pid)
+        return ray.data.range(10)
+
+    root = str(tmp_path / "out")
+    m1 = resumable_write(make, ["p0", "p1"], root)
+    assert calls == ["p0", "p1"]
+    assert m1.is_complete("p0") and m1.is_complete("p1")
+    # resume run: nothing re-executed
+    m2 = resumable_write(make, ["p0", "p1", "p2"], root)
+    assert calls == ["p0", "p1", "p2"]
+    assert m2.entries["p0"]["rows"] == 10
+
+
+def test_subsample_by_cell(ray_session):
+    import ray
+
+    from geowave_ray.query.planner import subsample_by_cell
+    from geowave_ray.sources.images import synth_images_table
+    from geowave_ray.stages.encode import CellEncoder
+
+    t = synth_images_table(500, with_bytes=False)
+    enc = CellEncoder(bits=31)
+    tt = enc(t)
+    ds = ray.data.from_arrow(tt)
+    out = subsample_by_cell(ds, bits_keep=4, bits=31, tie_col="image_id").to_pandas()
+    # one row per occupied 4-bit prefix
+    cells = tt.column("cell").to_numpy().astype(np.uint64) >> np.uint64(2 * 27)
+    assert len(out) == len(np.unique(cells))

@@ -54,9 +54,18 @@ def default_concurrency() -> tuple[int, int]:
 
 
 class ZoneIndex:
-    """Parsed polygon layer + bbox candidate grid (built once, broadcast)."""
+    """Parsed polygon layer + bbox candidate grid (built once, broadcast).
+
+    All zone ring edges are flattened into contiguous arrays at build time
+    (CSR by zone), so the refine step is a single vectorized pass over
+    (candidate pair x edge) expansions — no per-zone Python loop in the
+    batch hot path.  Even-odd parity over all rings of a zone handles
+    multipolygons and holes uniformly.
+    """
 
     def __init__(self, zones: pa.Table, buffer: float = 0.0):
+        from ..geom.wkb import MultiGeometry, Polygon
+
         self.zone_ids = zones.column("zone_id").to_pylist()
         self.polys = [parse_wkb(w) for w in zones.column("wkb").to_pylist()]
         boxes = np.stack(
@@ -71,6 +80,28 @@ class ZoneIndex:
         self.grid = BBoxGrid(boxes)
         self.buffer = buffer
 
+        # flatten edges: per zone, all rings of all polygon parts
+        ax, ay, bx, by, counts = [], [], [], [], []
+        for poly in self.polys:
+            parts = poly.parts if isinstance(poly, MultiGeometry) else [poly]
+            n_edges = 0
+            for part in parts:
+                if not isinstance(part, Polygon):
+                    continue
+                for ring in part.rings:
+                    ax.append(ring[:-1, 0])
+                    ay.append(ring[:-1, 1])
+                    bx.append(ring[1:, 0])
+                    by.append(ring[1:, 1])
+                    n_edges += len(ring) - 1
+            counts.append(n_edges)
+        self.e_ax = np.concatenate(ax) if ax else np.zeros(0)
+        self.e_ay = np.concatenate(ay) if ay else np.zeros(0)
+        self.e_bx = np.concatenate(bx) if bx else np.zeros(0)
+        self.e_by = np.concatenate(by) if by else np.zeros(0)
+        self.e_counts = np.asarray(counts, dtype=np.int64)
+        self.e_start = np.concatenate([[0], np.cumsum(self.e_counts)])
+
     def match_points(self, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """-> (point_idx, zone_idx) exact point-in-polygon matches (boundary
         inclusive, INTERSECTS semantics); with ``buffer`` > 0, matches points
@@ -78,25 +109,36 @@ class ZoneIndex:
         pi, zi = self.grid.query_points(xs, ys)
         if len(pi) == 0:
             return pi, zi
-        keep = np.zeros(len(pi), dtype=bool)
-        order = np.argsort(zi, kind="stable")
-        pi, zi = pi[order], zi[order]
-        bounds = np.searchsorted(zi, np.arange(len(self.polys) + 1))
-        for z in np.unique(zi):
-            s, e = bounds[z], bounds[z + 1]
-            sub_p = pi[s:e]
-            from ..geom.wkb import MultiGeometry, Polygon
+        n_pairs = len(pi)
+        counts = self.e_counts[zi]
+        total = int(counts.sum())
+        pair_of = np.repeat(np.arange(n_pairs, dtype=np.int64), counts)
+        rank = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        eidx = self.e_start[zi][pair_of] + rank
+        px = xs[pi][pair_of]
+        py = ys[pi][pair_of]
+        ax, ay = self.e_ax[eidx], self.e_ay[eidx]
+        bx, by = self.e_bx[eidx], self.e_by[eidx]
 
-            poly = self.polys[z]
-            parts = poly.parts if isinstance(poly, MultiGeometry) else [poly]
-            hit = np.zeros(e - s, dtype=bool)
-            for part in parts:
-                if not isinstance(part, Polygon):
-                    continue
-                hit |= points_in_polygon(xs[sub_p], ys[sub_p], part)
-                if self.buffer > 0:
-                    hit |= _dist_to_poly(xs[sub_p], ys[sub_p], part) <= self.buffer
-            keep[s:e] = hit
+        # even-odd crossing parity per pair
+        cond = (ay > py) != (by > py)
+        denom = by - ay
+        t = np.where(cond, (py - ay) / np.where(denom == 0, 1e-300, denom), 0.0)
+        crossed = cond & (px < ax + t * (bx - ax))
+        inside = (np.bincount(pair_of, weights=crossed, minlength=n_pairs) % 2) >= 1
+
+        # boundary tolerance (and within-distance buffer) via min edge distance
+        tol = max(self.buffer, 1e-9)
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        tt = np.clip((px - ax) * dx + (py - ay) * dy, 0, L2) / np.where(L2 == 0, 1, L2)
+        d2 = (px - (ax + tt * dx)) ** 2 + (py - (ay + tt * dy)) ** 2
+        near = d2 <= tol * tol
+        on_bnd = np.bincount(pair_of, weights=near, minlength=n_pairs) >= 1
+
+        keep = inside | on_bnd
         return pi[keep], zi[keep]
 
 

@@ -154,6 +154,10 @@ def _row_arrays(ids: np.ndarray) -> dict[str, np.ndarray]:
     }
 
 
+# per-process cache of encoded payloads when generating from a finite pool
+_BLOB_CACHE: dict = {}
+
+
 def _make_pixels(seed: int, size: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     gy, gx = np.mgrid[0:size, 0:size]
@@ -169,19 +173,36 @@ def _make_pixels(seed: int, size: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+_CAPTION_POOL: np.ndarray | None = None
+
+
+def _caption_pool() -> np.ndarray:
+    """All 8*8*100 caption combinations, precomputed once per process."""
+    global _CAPTION_POOL
+    if _CAPTION_POOL is None:
+        _CAPTION_POOL = np.array(
+            [
+                f"a photo of {a} {b} near place-{p}"
+                for a in _ADJ
+                for b in _NOUN
+                for p in range(100)
+            ]
+        )
+    return _CAPTION_POOL
+
+
 def _images_batch(ids: np.ndarray, with_bytes: bool, byte_pool: int | None) -> pa.Table:
     f = _row_arrays(ids)
     n = len(ids)
-    captions = [
-        f"a photo of {_ADJ[int(a)]} {_NOUN[int(b)]} near place-{int(p)}"
-        for a, b, p in zip(
-            f["hash"] % np.uint64(8),
-            (f["hash"] >> np.uint64(3)) % np.uint64(8),
-            f["hash"] % np.uint64(100),
-        )
-    ]
+    a = (f["hash"] % np.uint64(8)).astype(np.int64)
+    b = ((f["hash"] >> np.uint64(3)) % np.uint64(8)).astype(np.int64)
+    p = (f["hash"] % np.uint64(100)).astype(np.int64)
+    captions = _caption_pool()[(a * 8 + b) * 100 + p]
+    image_ids = np.char.add(
+        "img-", np.char.zfill(ids.astype(np.int64).astype("U12"), 12)
+    )
     cols: dict = {
-        "image_id": pa.array([f"img-{int(i):012d}" for i in ids]),
+        "image_id": pa.array(image_ids),
         "w": pa.array(f["w"], type=pa.int32()),
         "h": pa.array(f["h_px"], type=pa.int32()),
         "fmt": pa.array(np.where(f["fmt_png"], "png", "jpeg")),
@@ -195,8 +216,16 @@ def _images_batch(ids: np.ndarray, with_bytes: bool, byte_pool: int | None) -> p
         for i in range(n):
             pool_seed = int(ids[i]) if byte_pool is None else int(ids[i]) % byte_pool
             size = int(f["w"][i])
-            arr = _make_pixels(pool_seed, size)
-            blobs.append(encode_image(arr, "png" if f["fmt_png"][i] else "fjpg"))
+            fmt = "png" if f["fmt_png"][i] else "fjpg"
+            if byte_pool is not None:
+                key = (pool_seed, size, fmt)
+                blob = _BLOB_CACHE.get(key)
+                if blob is None:
+                    blob = encode_image(_make_pixels(pool_seed, size), fmt)
+                    _BLOB_CACHE[key] = blob
+                blobs.append(blob)
+            else:
+                blobs.append(encode_image(_make_pixels(pool_seed, size), fmt))
         cols["bytes"] = pa.array(blobs, type=pa.large_binary())
     out_order = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
     return pa.table({k: cols[k] for k in out_order if k in cols})
@@ -225,7 +254,7 @@ def synth_images_ds(
     return ds.map_batches(gen, batch_format="pyarrow")
 
 
-def synth_zones_table(n: int = 200, seed: int = 42) -> pa.Table:
+def synth_zones_table(n: int = 200, seed: int = 42, size_scale: float = 1.0) -> pa.Table:
     """Seeded polygon layer per FIXTURES F2: boxes, convex hulls, a polygon
     with a hole, an antimeridian-crossing box, a hot-cluster cover."""
     from ..geom.wkb import Polygon
@@ -247,13 +276,13 @@ def synth_zones_table(n: int = 200, seed: int = 42) -> pa.Table:
     while len(zone_ids) < n - 4:
         if i % 2 == 0:  # box
             cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
-            w, h = rng.uniform(0.5, 15), rng.uniform(0.5, 10)
+            w, h = rng.uniform(0.5, 15) * size_scale, rng.uniform(0.5, 10) * size_scale
             p = box_polygon(cx - w, cy - h, cx + w, cy + h)
             add(f"zone-{i:06d}", p, (cx - w, cy - h, cx + w, cy + h))
         else:  # convex hull of a point cloud
             cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
             pts = np.stack(
-                [cx + rng.normal(0, 3, 12), cy + rng.normal(0, 2, 12)], axis=1
+                [cx + rng.normal(0, 3 * size_scale, 12), cy + rng.normal(0, 2 * size_scale, 12)], axis=1
             )
             hull = _convex_hull(pts)
             add(

@@ -241,3 +241,80 @@ class MosaicMerger:
                 "tile": pa.array([acc.tobytes()], type=pa.large_binary()),
             }
         )
+
+
+class TileRenderStage:
+    """Fused decode + level-select + cover + warp stage for the headline
+    pipeline: image rows (with ``bytes``) -> one row per (image, cell) with
+    the rendered tile reduced to a checksum (tiles themselves are written by
+    TileWarper when a sink needs pixels; the fused stage keeps the full
+    decode+resample compute without materializing tile payloads downstream).
+    """
+
+    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31):
+        self.assigner = TileAssigner(
+            tile_size=tile_size,
+            max_bits=max_bits,
+            pixel_res_deg=pixel_res_deg,
+            keep_cols=("image_id",),
+        )
+        self.tile_size = tile_size
+        self.pixel_res_deg = pixel_res_deg
+        self.strategy = self.assigner.strategy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = self.tile_size
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        blobs = batch.column("bytes").to_pylist()
+        minx, miny, maxx, maxy, w, h = self.assigner._envelope(batch)
+        levels = select_levels(
+            np.maximum(maxx - minx, 1e-12),
+            np.maximum(maxy - miny, 1e-12),
+            w,
+            h,
+            ts,
+            self.assigner.max_bits,
+        )
+        out_img, out_tier, out_cell, out_sum = [], [], [], []
+        xs = (np.arange(ts) + 0.5) / ts
+        for i in range(len(batch)):
+            arr = decode_image(blobs[i])
+            h_px, w_px = arr.shape[:2]
+            tier = int(levels[i])
+            rows, cells = self.assigner._cover_at_tier(
+                tier,
+                minx[i : i + 1],
+                miny[i : i + 1],
+                maxx[i : i + 1],
+                maxy[i : i + 1],
+            )
+            los, his = self.strategy.decode_cells(
+                tier, np.asarray(cells, dtype=np.uint64)
+            )
+            for c in range(len(cells)):
+                cx0, cx1 = los[0][c], his[0][c]
+                cy0, cy1 = los[1][c], his[1][c]
+                px = cx0 + xs * (cx1 - cx0)
+                py = cy1 - xs * (cy1 - cy0)
+                sx = np.floor((px - lon[i]) / self.pixel_res_deg).astype(np.int64)
+                sy = np.floor((lat[i] - py) / self.pixel_res_deg).astype(np.int64)
+                okx = (sx >= 0) & (sx < w_px)
+                oky = (sy >= 0) & (sy < h_px)
+                tile = np.zeros((ts, ts, 3), dtype=np.uint8)
+                if okx.any() and oky.any():
+                    tile[np.ix_(oky, okx)] = arr[sy[oky][:, None], sx[okx][None, :]]
+                out_img.append(i)
+                out_tier.append(tier)
+                out_cell.append(int(cells[c]))
+                # cheap deterministic checksum of the rendered tile
+                out_sum.append(int(tile.sum(dtype=np.int64)))
+        idx = pa.array(np.asarray(out_img, dtype=np.int64))
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").take(idx),
+                "tier": pa.array(np.asarray(out_tier, dtype=np.uint8)),
+                "cell": pa.array(np.asarray(out_cell, dtype=np.uint64)),
+                "tile_checksum": pa.array(np.asarray(out_sum, dtype=np.int64)),
+            }
+        )

@@ -31,12 +31,9 @@ def entry() -> Any:
 
     sf_dir = "/root/testdata/sf0.001"
     pts = _events_points(sf_dir)
-    encoded = pts.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs=dict(bits=31),
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
-    )
+    from geowave_ray.stages.util import stage_fn
+
+    encoded = pts.map_batches(stage_fn(CellEncoder, bits=31), batch_format="pyarrow")
     return broadcast_spatial_join(
         encoded,
         zones_from_range(200),

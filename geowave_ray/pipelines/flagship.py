@@ -22,23 +22,19 @@ __all__ = ["flagship_pipeline", "run_flagship"]
 
 def flagship_pipeline(images_ds, zones: pa.Table, bits: int = 31, concurrency: int | None = None):
     """-> (joined matches Dataset, tile assignment Dataset).  Both lazy."""
-    conc = concurrency or default_concurrency()
+    from ..stages.util import stage_fn
+
     encoded = images_ds.map_batches(
-        CellEncoder, fn_constructor_kwargs=dict(bits=bits), batch_format="pyarrow",
-        concurrency=conc,
+        stage_fn(CellEncoder, bits=bits), batch_format="pyarrow"
     )
     matches = broadcast_spatial_join(
         encoded,
         zones,
         point_cols=("image_id", "cell"),
         zone_cols=("zone_id", "category"),
-        concurrency=conc,
     )
     tiles = encoded.map_batches(
-        TileAssigner,
-        fn_constructor_kwargs=dict(keep_cols=("image_id",)),
-        batch_format="pyarrow",
-        concurrency=conc,
+        stage_fn(TileAssigner, keep_cols=("image_id",)), batch_format="pyarrow"
     )
     return matches, tiles
 

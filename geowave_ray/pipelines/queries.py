@@ -292,11 +292,11 @@ def q_tile_assignment(sf_dir: str):
         )
 
     with_dims = pts.map_batches(add_dims, batch_format="pyarrow")
+    from ..stages.util import stage_fn
+
     return with_dims.map_batches(
-        TileAssigner,
-        fn_constructor_kwargs=dict(pixel_res_deg=1e-3, keep_cols=("image_id",)),
+        stage_fn(TileAssigner, pixel_res_deg=1e-3, keep_cols=("image_id",)),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
 
@@ -306,11 +306,10 @@ def q_hilbert_cells(sf_dir: str):
     from ..stages.encode import CellEncoder
 
     pts = _events_points(sf_dir)
+    from ..stages.util import stage_fn
+
     return pts.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs=dict(bits=31),
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
+        stage_fn(CellEncoder, bits=31), batch_format="pyarrow"
     ).select_columns(["image_id", "tier", "cell"])
 
 
@@ -343,11 +342,9 @@ def q_token_stats(sf_dir: str):
     from ..stages.text import TextFeatures
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        TextFeatures,
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
-    )
+    from ..stages.util import stage_fn
+
+    out = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_tokens", "n_chars_calc"])
 
 
@@ -366,9 +363,11 @@ def q_langid(sf_dir: str):
     from ..stages.text import LangId
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_concurrency()
-    ).select_columns(["doc_id", "lang_pred"])
+    from ..stages.util import stage_fn
+
+    return ds.map_batches(stage_fn(LangId), batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
 
 
 def q_quality_scores(sf_dir: str):
@@ -377,9 +376,9 @@ def q_quality_scores(sf_dir: str):
     from ..stages.text import TextFeatures
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        TextFeatures, batch_format="pyarrow", concurrency=default_concurrency()
-    )
+    from ..stages.util import stage_fn
+
+    out = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "punct_ratio"])
 
 
@@ -389,9 +388,9 @@ def q_fingerprints(sf_dir: str):
     from ..stages.text import Fingerprinter
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(
-        Fingerprinter, batch_format="pyarrow", concurrency=default_concurrency()
-    )
+    from ..stages.util import stage_fn
+
+    out = ds.map_batches(stage_fn(Fingerprinter), batch_format="pyarrow")
 
     def cast(batch: pa.Table) -> pa.Table:
         fp = batch.column("fingerprint").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -662,6 +661,8 @@ def q_orders_by_segment(sf_dir: str):
     )
 
     class Join:
+        __name__ = "segment_lookup_join"
+
         def __init__(self):
             self.lookup = ray.get(lookup_ref)
 
@@ -676,9 +677,7 @@ def q_orders_by_segment(sf_dir: str):
                 }
             )
 
-    joined = ds.map_batches(
-        Join, batch_format="pyarrow", concurrency=default_concurrency()
-    )
+    joined = ds.map_batches(Join(), batch_format="pyarrow")
     from ..stages.aggregate import binned_aggregate
 
     out = binned_aggregate(joined, ["c_mktsegment"], "cents")

@@ -84,12 +84,12 @@ def brute_force_topk(ds, queries: dict, k: int, id_col: str = "vec_id", vec_col:
 
     from .join import default_concurrency
 
+    from .util import stage_fn
+
     q_ref = ray.put(queries)
     partials = ds.map_batches(
-        _BatchCosineTopK,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
+        stage_fn(_BatchCosineTopK, q_ref=q_ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=concurrency or default_concurrency(),
     )
     return partials.groupby("query_id").map_groups(
         _FinalCosineTopK(k, id_col), batch_format="pyarrow"
@@ -158,14 +158,18 @@ def lsh_topk(
     planes_ref = ray.put(planes)
     qb_ref = ray.put(q_buckets)
 
-    conc = concurrency or default_concurrency()
+    from .util import stage_fn
+
     bucketed = ds.map_batches(
-        _LshBucketer,
-        fn_constructor_kwargs=dict(
-            planes_ref=planes_ref, vec_col=vec_col, id_col=id_col, n_tables=n_tables, n_bits=n_bits
+        stage_fn(
+            _LshBucketer,
+            planes_ref=planes_ref,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_tables=n_tables,
+            n_bits=n_bits,
         ),
         batch_format="pyarrow",
-        concurrency=conc,
     )
 
     def keep_query_buckets(batch: pa.Table) -> pa.Table:
@@ -179,6 +183,4 @@ def lsh_topk(
     from .dedupe import exact_dedupe
 
     uniq = exact_dedupe(candidates, key_col=id_col, id_col=id_col)
-    return brute_force_topk(
-        uniq, queries, k, id_col=id_col, vec_col=vec_col, concurrency=conc
-    )
+    return brute_force_topk(uniq, queries, k, id_col=id_col, vec_col=vec_col)

@@ -211,33 +211,42 @@ def broadcast_spatial_join(
     point_cols: tuple = ("image_id",),
     zone_cols: tuple = ("zone_id",),
     buffer: float = 0.0,
-    concurrency: int | None = None,
+    concurrency: int | tuple | None = None,
     batch_size: int | None = None,
+    use_actors: bool = False,
 ):
     """points Dataset x zones table -> matches Dataset (no shuffle).
 
-    The zones table is ray.put once; each refiner actor reads it zero-copy
-    from the object store.
+    The zones table is ray.put once; each worker builds its zone index
+    zero-copy from the object store on first batch.  Runs on the task pool
+    by default (index build is ~0.1s — see stages/util.py); pass
+    ``use_actors=True`` for an explicit actor pool.
     """
     import ray
 
+    from .util import stage_fn
+
     zones_ref = ray.put(zones)
-    if concurrency is None:
-        concurrency = default_concurrency()
-    kwargs = {"concurrency": concurrency}
+    ctor = dict(
+        zones=zones_ref,
+        how=how,
+        point_cols=point_cols,
+        zone_cols=zone_cols,
+        buffer=buffer,
+    )
+    kwargs = {}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
+    if use_actors:
+        kwargs["concurrency"] = concurrency or default_concurrency()
+        return points_ds.map_batches(
+            BroadcastZoneJoiner,
+            fn_constructor_kwargs=ctor,
+            batch_format="pyarrow",
+            **kwargs,
+        )
     return points_ds.map_batches(
-        BroadcastZoneJoiner,
-        fn_constructor_kwargs=dict(
-            zones=zones_ref,
-            how=how,
-            point_cols=point_cols,
-            zone_cols=zone_cols,
-            buffer=buffer,
-        ),
-        batch_format="pyarrow",
-        **kwargs,
+        stage_fn(BroadcastZoneJoiner, **ctor), batch_format="pyarrow", **kwargs
     )
 
 

@@ -107,17 +107,18 @@ def knn(
     """
     import ray
 
-    from .join import default_concurrency
+    from .util import stage_fn
 
     qref = ray.put(queries)
-    kwargs = {"concurrency": concurrency or default_concurrency()}
     partials = images_ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs=dict(
-            queries_ref=qref, k=k, id_col=id_col, max_distance_km=max_distance_km
+        stage_fn(
+            _BatchTopK,
+            queries_ref=qref,
+            k=k,
+            id_col=id_col,
+            max_distance_km=max_distance_km,
         ),
         batch_format="pyarrow",
-        **kwargs,
     )
     return partials.groupby("query_id").map_groups(
         _FinalTopK(k, id_col), batch_format="pyarrow"

@@ -46,15 +46,8 @@ def test_broadcast_join_matches_brute_force(ray_session, images_table, zones_tab
 
     want = brute_force_pairs(images_table, zones_table)
     ds = ray.data.from_arrow(images_table).repartition(8)
-    got_ds = broadcast_spatial_join(ds, zones_table)
-    got = set(
-        zip(
-            *(
-                got_ds.to_pandas()[c].tolist()
-                for c in ("image_id", "zone_id")
-            )
-        )
-    )
+    df = broadcast_spatial_join(ds, zones_table).to_pandas()
+    got = set(zip(df["image_id"], df["zone_id"]))
     assert len(want) > 50  # sanity: non-trivial fixture
     assert got == want
 

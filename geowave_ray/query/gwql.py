@@ -1,0 +1,243 @@
+"""GWQL-lite: a thin string query façade.
+
+Subset of the reference's GWQL grammar
+(``core/store/src/main/antlr4/.../GWQL.g4:49-105``):
+
+    SELECT <agg(col) | col, ... | *> FROM <table>
+        [WHERE <predicates>] [LIMIT n]
+
+- aggregations: COUNT(*), COUNT(col), SUM(col), MIN(col), MAX(col)
+- predicates: col <op> literal (op in =, <>, <, <=, >, >=),
+  col BETWEEN a AND b, AND-combinations,
+  BBOX(lon_col, lat_col, minx, miny, maxx, maxy),
+  INTERSECTS(lon_col, lat_col, 'POLYGON WKT-lite ((x y, x y, ...))')
+- the primary API remains the Python builders; this façade exists for
+  parity with the reference's string query surface.
+
+Hand-rolled recursive-descent tokenizer — no parser deps in this container.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.wkb import Polygon, box_polygon
+from .expressions import Expr, col, lit
+from .planner import SpatialQuery
+
+__all__ = ["parse_gwql", "run_gwql"]
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'[^']*')|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
+)
+
+
+def _tokens(s: str):
+    out = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                raise ValueError(f"bad token at {s[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", float(m.group("num"))))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1]))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("word", m.group("word")))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect_word(self, w):
+        k, v = self.next()
+        if k != "word" or v.upper() != w:
+            raise ValueError(f"expected {w}, got {v}")
+        return v
+
+    def expect_op(self, o):
+        k, v = self.next()
+        if k != "op" or v != o:
+            raise ValueError(f"expected {o}, got {v}")
+
+
+def parse_gwql(query: str) -> dict:
+    p = _Parser(_tokens(query))
+    p.expect_word("SELECT")
+    select: list = []
+    while True:
+        k, v = p.next()
+        if k == "op" and v == "*":
+            select.append(("*", None, "*"))
+        elif k == "word":
+            name = v
+            if p.peek() == ("op", "("):
+                p.next()
+                k2, v2 = p.next()
+                arg = "*" if (k2 == "op" and v2 == "*") else v2
+                p.expect_op(")")
+                alias = f"{name.lower()}_{arg if arg != '*' else 'all'}"
+                if p.peek() == ("word", "AS") or (
+                    p.peek()[0] == "word" and p.peek()[1].upper() == "AS"
+                ):
+                    p.next()
+                    alias = p.next()[1]
+                select.append((name.upper(), arg, alias))
+            else:
+                alias = name
+                if p.peek()[0] == "word" and p.peek()[1].upper() == "AS":
+                    p.next()
+                    alias = p.next()[1]
+                select.append(("COL", name, alias))
+        else:
+            raise ValueError(f"bad select item {v}")
+        if p.peek() == ("op", ","):
+            p.next()
+            continue
+        break
+    p.expect_word("FROM")
+    table = p.next()[1]
+    where: Expr | None = None
+    spatial: SpatialQuery | None = None
+    limit = None
+    while p.peek()[0] is not None:
+        k, v = p.next()
+        if k == "word" and v.upper() == "WHERE":
+            where, spatial = _parse_predicates(p)
+        elif k == "word" and v.upper() == "LIMIT":
+            limit = int(p.next()[1])
+        else:
+            raise ValueError(f"unexpected {v}")
+    return {
+        "select": select,
+        "table": table,
+        "where": where,
+        "spatial": spatial,
+        "limit": limit,
+    }
+
+
+def _parse_predicates(p: _Parser):
+    expr: Expr | None = None
+    spatial: SpatialQuery | None = None
+    while True:
+        k, v = p.peek()
+        if k == "word" and v.upper() == "BBOX":
+            p.next()
+            p.expect_op("(")
+            args = []
+            while p.peek() != ("op", ")"):
+                kk, vv = p.next()
+                if (kk, vv) == ("op", ","):
+                    continue
+                args.append(vv)
+            p.expect_op(")")
+            lon_c, lat_c = args[0], args[1]
+            minx, miny, maxx, maxy = (float(a) for a in args[2:6])
+            spatial = SpatialQuery(box_polygon(minx, miny, maxx, maxy))
+            term = (
+                (col(lon_c) >= minx)
+                & (col(lon_c) <= maxx)
+                & (col(lat_c) >= miny)
+                & (col(lat_c) <= maxy)
+            )
+        elif k == "word" and v.upper() == "INTERSECTS":
+            p.next()
+            p.expect_op("(")
+            lon_c = p.next()[1]
+            p.expect_op(",")
+            lat_c = p.next()[1]
+            p.expect_op(",")
+            wkt = p.next()[1]
+            p.expect_op(")")
+            poly = _parse_wkt_polygon(wkt)
+            spatial = SpatialQuery(poly)
+            term = None  # fine refinement handled by spatial query
+        else:
+            name = p.next()[1]
+            k2, op = p.next()
+            if k2 == "word" and op.upper() == "BETWEEN":
+                lo = p.next()[1]
+                p.expect_word("AND")
+                hi = p.next()[1]
+                term = col(name).between(lo, hi)
+            else:
+                val = p.next()[1]
+                c = col(name)
+                term = {
+                    "=": c == val,
+                    "<>": c != val,
+                    "<": c < val,
+                    "<=": c <= val,
+                    ">": c > val,
+                    ">=": c >= val,
+                }[op]
+        if term is not None:
+            expr = term if expr is None else (expr & term)
+        if p.peek()[0] == "word" and p.peek()[1].upper() == "AND":
+            p.next()
+            continue
+        break
+    return expr, spatial
+
+
+def _parse_wkt_polygon(wkt: str) -> Polygon:
+    m = re.match(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", wkt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported WKT {wkt!r}")
+    coords = np.array(
+        [[float(x) for x in pair.split()] for pair in m.group(1).split(",")],
+        dtype=np.float64,
+    )
+    return Polygon(coords)
+
+
+def run_gwql(query: str, tables: dict, lon_col="lon", lat_col="lat"):
+    """Execute a GWQL-lite string over {table_name: ray Dataset}."""
+    from .expressions import apply_filter
+
+    plan = parse_gwql(query)
+    ds = tables[plan["table"]]
+    if plan["spatial"] is not None:
+        ds = plan["spatial"].apply(ds, lon_col=lon_col, lat_col=lat_col)
+    if plan["where"] is not None:
+        ds = apply_filter(ds, plan["where"])
+    sel = plan["select"]
+    aggs = [s for s in sel if s[0] in ("COUNT", "SUM", "MIN", "MAX")]
+    if aggs:
+        out = {}
+        for kind, arg, alias in aggs:
+            if kind == "COUNT":
+                out[alias] = ds.count()
+            elif kind == "SUM":
+                out[alias] = ds.sum(arg)
+            elif kind == "MIN":
+                out[alias] = ds.min(arg)
+            elif kind == "MAX":
+                out[alias] = ds.max(arg)
+        return pa.table({k: [v] for k, v in out.items()})
+    if sel and sel[0][0] != "*":
+        ds = ds.select_columns([s[1] for s in sel if s[0] == "COL"])
+    if plan["limit"] is not None:
+        ds = ds.limit(plan["limit"])
+    return ds

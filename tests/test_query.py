@@ -1,0 +1,142 @@
+"""Query planner, expression filters, GWQL-lite façade, XZ curve."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geowave_ray.geom.wkb import box_polygon
+from geowave_ray.index.xz import XZOrderSFC
+from geowave_ray.query.expressions import apply_filter, col, extract_bbox
+from geowave_ray.query.gwql import parse_gwql, run_gwql
+from geowave_ray.query.planner import SpatialQuery
+from geowave_ray.sources.images import synth_images_table
+
+
+def test_spatial_query_serialization_roundtrip():
+    q = SpatialQuery(box_polygon(1, 2, 3, 4), op="CONTAINS", time_range=(10, 20))
+    q2 = SpatialQuery.from_binary(q.to_binary())
+    assert q2.op == "CONTAINS"
+    assert q2.time_range == (10, 20)
+    np.testing.assert_array_equal(q2.geometry.shell, q.geometry.shell)
+
+
+def test_query_ranges_prune(ray_session):
+    """(tier, cell) ranges from the planner cover exactly the cells of
+    in-box points (over-inclusively)."""
+    from geowave_ray.index.tiered import spatial_strategy
+
+    strategy = spatial_strategy(31)
+    q = SpatialQuery(box_polygon(10, 40, 20, 50))
+    ranges = [r for r in q.query_ranges(strategy, max_ranges=200) if r.tier == 31]
+    t = synth_images_table(800, with_bytes=False)
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    inside = (lon >= 10) & (lon <= 20) & (lat >= 40) & (lat <= 50)
+    cells = strategy.encode_points(lon[inside], lat[inside])
+    los = np.array([r.lo for r in ranges], dtype=np.uint64)
+    his = np.array([r.hi for r in ranges], dtype=np.uint64)
+    for c in cells:
+        assert ((los <= c) & (c <= his)).any()
+
+
+def test_spatial_query_apply(ray_session):
+    import ray
+
+    t = synth_images_table(1000, with_bytes=False)
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    want = int(((lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60)).sum())
+    q = SpatialQuery(box_polygon(-30, 10, 40, 60))
+    got = q.apply(ray.data.from_arrow(t)).count()
+    assert got == want
+    # disjoint = complement
+    qd = SpatialQuery(box_polygon(-30, 10, 40, 60), op="DISJOINT")
+    assert qd.apply(ray.data.from_arrow(t)).count() == 1000 - want
+
+
+def test_expression_filter(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "s": ["Foo", "bar", "foobar", "BAZ", "qux"],
+        }
+    )
+    expr = (col("a") > 1) & (col("a") <= 4) & col("s").contains("ba", ignore_case=True)
+    out = apply_filter(ray.data.from_arrow(t), expr).to_pandas()
+    assert out["a"].tolist() == [2, 3, 4]
+
+
+def test_extract_bbox():
+    e = (col("lon") >= -10) & (col("lon") <= 10) & (col("lat") > 0) & (col("lat") < 45) & (col("x") == 3)
+    assert extract_bbox(e) == (-10.0, 0.0, 10.0, 45.0)
+    assert extract_bbox(col("x") == 3) is None
+
+
+def test_gwql_parse_and_run(ray_session):
+    import ray
+
+    t = synth_images_table(500, with_bytes=False)
+    tables = {"images": ray.data.from_arrow(t)}
+    out = run_gwql(
+        "SELECT COUNT(*) FROM images WHERE BBOX(lon, lat, -30, 10, 40, 60)", tables
+    )
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    want = int(((lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60)).sum())
+    assert out.column("count_all")[0].as_py() == want
+
+    out2 = run_gwql(
+        "SELECT image_id, lon FROM images WHERE lon BETWEEN 0 AND 10 LIMIT 5",
+        {"images": ray.data.from_arrow(t)},
+    )
+    df = out2.to_pandas()
+    assert len(df) <= 5
+    assert list(df.columns) == ["image_id", "lon"]
+    assert (df["lon"] >= 0).all() and (df["lon"] <= 10).all()
+
+    plan = parse_gwql(
+        "SELECT MAX(phash) AS mp FROM images WHERE INTERSECTS(lon, lat, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    )
+    assert plan["spatial"] is not None
+    assert plan["select"][0] == ("MAX", "phash", "mp")
+
+
+def test_xz_encode_properties():
+    xz = XZOrderSFC()
+    # identical boxes -> identical codes; disjoint distant boxes differ
+    minx = np.array([10.0, 10.0, -170.0])
+    miny = np.array([10.0, 10.0, -80.0])
+    maxx = np.array([11.0, 11.0, -169.0])
+    maxy = np.array([11.0, 11.0, -79.0])
+    codes = xz.encode_boxes(minx, miny, maxx, maxy)
+    assert codes[0] == codes[1]
+    assert codes[0] != codes[2]
+    # the enlarged element must cover each box
+    ex0, ey0, ex1, ey1 = xz.element_extent(minx, miny, maxx, maxy)
+    assert (ex0 <= minx + 1e-9).all() and (ex1 >= maxx - 1e-9).all()
+    assert (ey0 <= miny + 1e-9).all() and (ey1 >= maxy - 1e-9).all()
+    # bigger objects land on coarser levels
+    lv_small = xz.level_of(np.array([0.0]), np.array([0.0]), np.array([0.1]), np.array([0.1]))
+    lv_big = xz.level_of(np.array([0.0]), np.array([0.0]), np.array([90.0]), np.array([45.0]))
+    assert lv_small[0] > lv_big[0]
+
+
+def test_xz_codes_unique_per_element():
+    xz = XZOrderSFC(g=6)
+    rng = np.random.default_rng(2)
+    minx = rng.uniform(-170, 160, 300)
+    miny = rng.uniform(-80, 70, 300)
+    maxx = minx + rng.uniform(0.1, 8, 300)
+    maxy = miny + rng.uniform(0.1, 8, 300)
+    codes = xz.encode_boxes(minx, miny, maxx, maxy)
+    ex = np.stack(xz.element_extent(minx, miny, maxx, maxy), axis=1)
+    # same code <=> same enlarged element
+    by_code = {}
+    for i in range(300):
+        key = int(codes[i])
+        if key in by_code:
+            np.testing.assert_allclose(ex[i], by_code[key], atol=1e-9)
+        else:
+            by_code[key] = ex[i]

@@ -1,0 +1,122 @@
+"""Statistics manifest, GeoJSON IO, partitioned writes, KDE."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_compute_statistics(ray_session):
+    import ray
+
+    from geowave_ray.sources.images import synth_images_table
+    from geowave_ray.stages.encode import CellEncoder
+    from geowave_ray.state.stats import compute_statistics, load_statistics
+
+    t = synth_images_table(2000, with_bytes=False)
+    enc = CellEncoder(bits=31)
+    tt = enc(t)
+    ds = ray.data.from_arrow(tt).repartition(4)
+    stats = compute_statistics(
+        ds,
+        tier_col="tier",
+        cell_col="cell",
+        distinct_cols=("image_id",),
+        histogram_cols=("lat",),
+        histogram_bounds={"lat": (-90, 90)},
+    )
+    assert stats.count == 2000
+    minx, miny, maxx, maxy = stats.bbox
+    lon = t.column("lon").to_numpy()
+    lat = t.column("lat").to_numpy()
+    assert minx == lon.min() and maxx == lon.max()
+    assert miny == lat.min() and maxy == lat.max()
+    assert stats.tier_counts() == {31: 2000}
+    ad = stats.approx_distinct("image_id")
+    assert abs(ad - 2000) / 2000 < 0.1
+    assert sum(stats.data["hist"]["lat"]) == 2000
+    # persistence round trip
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        stats.save(d)
+        back = load_statistics(d)
+        assert back.count == 2000
+        assert back.bbox == stats.bbox
+
+
+def test_geojson_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from geowave_ray.sources.images import synth_zones_table
+    from geowave_ray.sources.io import read_geojson, write_geojson
+
+    zones = synth_zones_table(20)
+    ds = ray.data.from_arrow(zones.select(["zone_id", "wkb", "category"]))
+    out_dir = str(tmp_path / "gj")
+    report = write_geojson(ds, out_dir)
+    assert report["rows"].sum() == 20
+    back = read_geojson(out_dir).to_pandas()
+    assert len(back) == 20
+    assert set(back["zone_id"]) == set(zones.column("zone_id").to_pylist())
+    # geometry round trip: same bbox per zone
+    from geowave_ray.geom.wkb import bbox_of, parse_wkb
+
+    orig = {
+        zones.column("zone_id")[i].as_py(): bbox_of(parse_wkb(zones.column("wkb")[i].as_py()))
+        for i in range(20)
+    }
+    for _, row in back.iterrows():
+        got = bbox_of(parse_wkb(row["wkb"]))
+        np.testing.assert_allclose(got, orig[row["zone_id"]], atol=1e-9)
+
+
+def test_write_partitioned_by_cell(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from geowave_ray.sources.images import synth_images_table
+    from geowave_ray.sources.io import write_partitioned_by_cell
+    from geowave_ray.stages.encode import CellEncoder
+
+    t = CellEncoder(bits=31)(synth_images_table(500, with_bytes=False))
+    root = str(tmp_path / "keyed")
+    write_partitioned_by_cell(ray.data.from_arrow(t), root, prefix_bits=4)
+    # hive layout with tier + cell_prefix dirs
+    subdirs = [d for d in os.listdir(root) if d.startswith("tier=")]
+    assert subdirs
+    back = ray.data.read_parquet(root).to_pandas()
+    assert len(back) == 500
+    # pruned read: filter on one prefix reads a subset
+    import pyarrow.dataset as pads
+
+    one_prefix = sorted(os.listdir(os.path.join(root, subdirs[0])))[0]
+    val = int(one_prefix.split("=")[1])
+    pruned = ray.data.read_parquet(root, filter=pads.field("cell_prefix") == val)
+    assert 0 < pruned.count() < 500
+
+
+def test_kde(ray_session):
+    import ray
+
+    from geowave_ray.stages.kde import kde_cells, render_kde_tiles
+
+    # a tight cluster of points -> mass concentrates in few cells
+    rng = np.random.default_rng(0)
+    t = pa.table(
+        {
+            "lon": rng.normal(10, 0.5, 2000),
+            "lat": rng.normal(45, 0.5, 2000),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    cells = kde_cells(ds, levels=(4, 5), radius=1)
+    df = cells.to_pandas()
+    # total weight per level == n points (kernel normalized, modulo clipped
+    # edges — cluster is interior so conservation holds)
+    for level in (4, 5):
+        s = df[df["level"] == level]["weight"].sum()
+        assert abs(s - 2000) < 1.0
+    tiles = render_kde_tiles(cells, level=5).to_pandas()
+    assert len(tiles) >= 1
+    assert tiles["max_weight"].max() > 0

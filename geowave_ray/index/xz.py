@@ -75,8 +75,9 @@ class XZOrderSFC:
             right = nx0 >= x_lo + cs_i
             top = ny0 >= y_lo + cs_i
             quad = right.astype(np.int64) + 2 * top.astype(np.int64)
-            # entering level i: 1 (the element itself) + quad * subtree(i+1)
-            step = 1 + quad * self._subtree[i]
+            # DFS preorder rank: +1 for the element itself, skip the quad
+            # earlier siblings' whole subtrees at level i
+            step = 1 + quad * self._subtree[i - 1]
             code = np.where(active, code + step, code)
             x_lo = np.where(active & right, x_lo + cs_i, x_lo)
             y_lo = np.where(active & top, y_lo + cs_i, y_lo)

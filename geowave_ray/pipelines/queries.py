@@ -744,6 +744,50 @@ def q_hll_distinct_users(sf_dir: str):
     )
 
 
+
+def q_gwql_bbox_count(sf_dir: str):
+    """GWQL-lite string facade end-to-end (SELECT COUNT(*) WHERE BBOX)."""
+    from ..query.gwql import run_gwql
+
+    pts = _events_points(sf_dir)
+    return run_gwql(
+        f"SELECT COUNT(*) AS n FROM images WHERE BBOX(lon, lat, {BBOX[0]}, {BBOX[1]}, {BBOX[2]}, {BBOX[3]})",
+        {"images": pts},
+    )
+
+
+SQL_GWQL_BBOX_COUNT = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT COUNT(*) AS n FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+"""
+
+
+def q_kde_cells(sf_dir: str):
+    """Gaussian-splat KDE heatmap cells (float sums — rows-only check)."""
+    from ..stages.kde import kde_cells
+
+    pts = _events_points(sf_dir)
+    return kde_cells(pts, levels=(5, 6), radius=1)
+
+
+def q_xz_zone_keys(sf_dir: str):
+    """XZ-order keys for the zone layer (extended-object keying; rows-only)."""
+    import ray
+
+    from ..index.xz import XZOrderSFC
+
+    zones = zones_from_range(N_ZONES)
+    xz = XZOrderSFC()
+    codes = xz.encode_boxes(
+        zones.column("minx").to_numpy(),
+        zones.column("miny").to_numpy(),
+        zones.column("maxx").to_numpy(),
+        zones.column("maxy").to_numpy(),
+    )
+    return pa.table({"zone_id": zones.column("zone_id"), "xz_code": pa.array(codes)})
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -773,6 +817,9 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "phash_near_dup": q_phash_near_dup,
     "hll_distinct_users": q_hll_distinct_users,
+    "gwql_bbox_count": q_gwql_bbox_count,
+    "kde_cells": q_kde_cells,
+    "xz_zone_keys": q_xz_zone_keys,
 }
 
 ORACLE_SQL = {
@@ -793,4 +840,5 @@ ORACLE_SQL = {
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "gwql_bbox_count": SQL_GWQL_BBOX_COUNT,
 }

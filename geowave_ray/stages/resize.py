@@ -1,0 +1,117 @@
+"""Raster tile-resize job: re-tile a stored pyramid to a new tile size /
+tier.
+
+Reference: RasterTileResizeJobRunner (extensions/adapters/raster/.../resize/
+RasterTileResizeJobRunner.java; Spark RasterTileResizeSparkRunner) — map:
+split/regroup source tiles by target cell, reduce: merge fragments into the
+target tile.
+
+Ray-Data shape: a flat_map-style map_batches slices each source tile into
+the target cells it overlaps (pure NumPy slicing), then one
+groupby(target tier, cell) merge assembles target tiles (later fragments
+fill background pixels, as the mosaic merge does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.tiered import spatial_strategy
+
+__all__ = ["retile"]
+
+
+class _Slicer:
+    def __init__(self, src_tile_size: int, dst_tier: int, dst_tile_size: int, max_bits: int = 31):
+        self.strategy = spatial_strategy(max_bits)
+        self.src_ts = src_tile_size
+        self.dst_tier = dst_tier
+        self.dst_ts = dst_tile_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_cell, out_frag, out_ids = [], [], []
+        tiers = batch.column("tier").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        tiles = batch.column("tile").to_pylist()
+        ids = batch.column("image_id").to_pylist() if "image_id" in batch.column_names else ["?"] * len(batch)
+        for i in range(len(batch)):
+            src = np.frombuffer(tiles[i], dtype=np.uint8).reshape(self.src_ts, self.src_ts, 3)
+            (sx0, sx1), (sy0, sy1) = [
+                (lo[0], hi[0])
+                for lo, hi in zip(
+                    *self.strategy.decode_cells(int(tiers[i]), np.asarray([cells[i]], dtype=np.uint64))
+                )
+            ]
+            # covering target cells
+            rows, tcells = _cover(self.strategy, self.dst_tier, sx0, sy0, sx1, sy1)
+            for tc in tcells:
+                (tx0, tx1), (ty0, ty1) = [
+                    (lo[0], hi[0])
+                    for lo, hi in zip(
+                        *self.strategy.decode_cells(self.dst_tier, np.asarray([tc], dtype=np.uint64))
+                    )
+                ]
+                # sample target pixel centers from the source tile
+                px = tx0 + (np.arange(self.dst_ts) + 0.5) * (tx1 - tx0) / self.dst_ts
+                py = ty1 - (np.arange(self.dst_ts) + 0.5) * (ty1 - ty0) / self.dst_ts
+                sx = np.floor((px - sx0) / (sx1 - sx0) * self.src_ts).astype(np.int64)
+                sy = np.floor((sy1 - py) / (sy1 - sy0) * self.src_ts).astype(np.int64)
+                okx = (sx >= 0) & (sx < self.src_ts)
+                oky = (sy >= 0) & (sy < self.src_ts)
+                frag = np.zeros((self.dst_ts, self.dst_ts, 3), dtype=np.uint8)
+                if okx.any() and oky.any():
+                    frag[np.ix_(oky, okx)] = src[sy[oky][:, None], sx[okx][None, :]]
+                out_cell.append(int(tc))
+                out_frag.append(frag.tobytes())
+                out_ids.append(ids[i])
+        return pa.table(
+            {
+                "tier": pa.array(np.full(len(out_cell), self.dst_tier, dtype=np.uint8)),
+                "cell": pa.array(np.asarray(out_cell, dtype=np.uint64), type=pa.uint64()),
+                "image_id": pa.array(out_ids),
+                "tile": pa.array(out_frag, type=pa.large_binary()),
+            }
+        )
+
+
+def _cover(strategy, tier, minx, miny, maxx, maxy):
+    from ..index.dimensions import norm_to_cell_max, norm_to_cell_min
+
+    bins = 1 << tier
+    eps = 1e-12
+    lo = [strategy.dims[0].normalize(np.asarray([minx + eps])), strategy.dims[1].normalize(np.asarray([miny + eps]))]
+    hi = [strategy.dims[0].normalize(np.asarray([maxx - eps])), strategy.dims[1].normalize(np.asarray([maxy - eps]))]
+    cmin = [norm_to_cell_min(lo[j], bins) for j in range(2)]
+    cmax = [np.maximum(norm_to_cell_max(hi[j], bins), cmin[j]) for j in range(2)]
+    xs = np.arange(int(cmin[0][0]), int(cmax[0][0]) + 1, dtype=np.uint64)
+    ys = np.arange(int(cmin[1][0]), int(cmax[1][0]) + 1, dtype=np.uint64)
+    gx, gy = np.meshgrid(xs, ys)
+    cells = strategy.curve(tier).encode([gx.ravel(), gy.ravel()]) if tier > 0 else np.zeros(1, np.uint64)
+    return None, cells
+
+
+def retile(
+    tiles_ds,
+    src_tile_size: int,
+    dst_tier: int,
+    dst_tile_size: int = 256,
+    max_bits: int = 31,
+):
+    """(tier, cell, tile) Dataset -> re-tiled at dst_tier/dst_tile_size."""
+    from .tiles import MosaicMerger
+    from .util import stage_fn
+
+    frags = tiles_ds.map_batches(
+        stage_fn(
+            _Slicer,
+            src_tile_size=src_tile_size,
+            dst_tier=dst_tier,
+            dst_tile_size=dst_tile_size,
+            max_bits=max_bits,
+        ),
+        batch_format="pyarrow",
+    )
+    return frags.groupby(["tier", "cell"]).map_groups(
+        MosaicMerger(tile_size=dst_tile_size), batch_format="pyarrow"
+    )

@@ -121,3 +121,39 @@ def test_kde(ray_session):
     tiles = render_kde_tiles(cells, level=5).to_pandas()
     assert len(tiles) >= 1
     assert tiles["max_weight"].max() > 0
+
+
+def test_retile(ray_session):
+    """Re-tiling a rendered tile to a coarser tier preserves content where
+    covered (RasterTileResizeJobRunner analog)."""
+    import ray
+
+    from geowave_ray.index.tiered import spatial_strategy
+    from geowave_ray.stages.resize import retile
+
+    strategy = spatial_strategy(31)
+    tier = 10
+    cell = int(
+        strategy.encode_points(np.asarray([20.0]), np.asarray([30.0]))[0]
+        >> np.uint64(2 * (31 - tier))
+    )
+    src = np.full((64, 64, 3), 137, dtype=np.uint8)
+    t = pa.table(
+        {
+            "tier": pa.array([tier], type=pa.uint8()),
+            "cell": pa.array([cell], type=pa.uint64()),
+            "image_id": ["x"],
+            "tile": pa.array([src.tobytes()], type=pa.large_binary()),
+        }
+    )
+    out = retile(
+        ray.data.from_arrow(t), src_tile_size=64, dst_tier=9, dst_tile_size=32
+    ).to_pandas()
+    assert len(out) >= 1
+    assert (out["tier"] == 9).all()
+    tiles = [np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3) for b in out["tile"]]
+    # the source covers a quarter of the coarser cell: non-background pixels
+    # must carry the source value
+    covered = np.concatenate([tl[tl > 0] for tl in tiles])
+    assert len(covered) > 0
+    assert (covered == 137).all()

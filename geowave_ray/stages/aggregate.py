@@ -23,6 +23,7 @@ __all__ = [
     "global_stats",
     "HyperLogLog",
     "CountMinSketch",
+    "BloomFilter",
     "FixedBinHistogram",
 ]
 
@@ -237,3 +238,47 @@ def global_stats(ds, value_col: str, id_col: str | None = None):
             hll.merge(HyperLogLog.from_bytes(r["hll"]))
         res["approx_distinct"] = hll.estimate()
     return res
+
+
+class BloomFilter:
+    """Mergeable Bloom filter (BloomFilterStatistic analog,
+    core/store/.../statistics/field/HyperLogLogStatistic.java:33 sibling).
+    k hash probes over an m-bit array; merge = OR."""
+
+    def __init__(self, m_bits: int = 1 << 16, k: int = 4, bits: np.ndarray | None = None):
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+        self._seeds = np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        v = np.asarray(values).astype(np.uint64)
+        out = np.empty((self.k, len(v)), dtype=np.int64)
+        for r in range(self.k):
+            z = (v + self._seeds[r]) * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(29)
+            out[r] = (z % np.uint64(self.m)).astype(np.int64)
+        return out
+
+    def add_ints(self, values: np.ndarray) -> "BloomFilter":
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return self
+
+    def might_contain(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(values)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for r in range(self.k):
+            hit &= (self.bits[pos[r] >> 3] >> (pos[r] & 7)) & 1 == 1
+        return hit
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, m_bits: int = 1 << 16, k: int = 4) -> "BloomFilter":
+        return cls(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy())

@@ -260,3 +260,20 @@ def test_subsample_by_cell(ray_session):
     # one row per occupied 4-bit prefix
     cells = tt.column("cell").to_numpy().astype(np.uint64) >> np.uint64(2 * 27)
     assert len(out) == len(np.unique(cells))
+
+
+def test_bloom_filter():
+    from geowave_ray.stages.aggregate import BloomFilter
+
+    rng = np.random.default_rng(1)
+    present = rng.integers(0, 10**12, 5000, dtype=np.int64)
+    absent = rng.integers(10**12, 2 * 10**12, 5000, dtype=np.int64)
+    b1 = BloomFilter().add_ints(present[:2500])
+    b2 = BloomFilter().add_ints(present[2500:])
+    b = b1.merge(b2)
+    assert b.might_contain(present).all()
+    fp = b.might_contain(absent).mean()
+    assert fp < 0.05
+    # serialization round trip
+    back = BloomFilter.from_bytes(b.to_bytes())
+    assert back.might_contain(present).all()

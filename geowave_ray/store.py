@@ -1,0 +1,150 @@
+"""GeoStore — the engine's DataStore-equivalent facade.
+
+Reference surface: DataStore.ingest / DataStore.query plus the adapter /
+index / statistics metadata stores (core/store/.../api/DataStore.java,
+BaseDataStore.java, metadata/*.java — SURVEY §3.1-3.2).  Ray-native shape:
+
+- ``ingest``: Dataset -> cell encode (tiered Hilbert) -> parquet partitioned
+  by (tier, cell_prefix) + statistics manifest (count/bbox/tier counts/
+  hot cells) + lineage manifest.  Streaming; restartable at partition
+  granularity.
+- ``query``: SpatialQuery -> tier-occupancy-pruned (tier, cell-prefix)
+  directory selection -> pruned parquet read -> coarse bbox filter ->
+  fine refine (the reference's range planning + NativeEntryIteratorWrapper
+  filter chain).
+- ``stats``: the persisted statistics manifest.
+
+The store root is plain files — the multi-node story is the same layout on
+shared storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .index.tiered import spatial_strategy
+from .query.planner import SpatialQuery
+from .sources.io import write_partitioned_by_cell
+from .stages.encode import CellEncoder
+from .stages.util import stage_fn
+from .state.stats import StatisticsManifest, compute_statistics, load_statistics
+
+__all__ = ["GeoStore"]
+
+
+class GeoStore:
+    def __init__(self, root: str, bits: int = 31, prefix_bits: int = 8):
+        self.root = root
+        self.bits = bits
+        self.prefix_bits = prefix_bits
+
+    # ------------------------------------------------------------- ingest
+    def ingest(self, ds, lon_col: str = "lon", lat_col: str = "lat") -> StatisticsManifest:
+        """Encode cells, write the keyed layout, persist statistics."""
+        encoded = ds.map_batches(
+            stage_fn(CellEncoder, bits=self.bits, lon_col=lon_col, lat_col=lat_col),
+            batch_format="pyarrow",
+        )
+        write_partitioned_by_cell(
+            encoded, self.root, prefix_bits=self.prefix_bits, bits=self.bits
+        )
+        # statistics pass over the written table (reads back pruned columns
+        # only — lon/lat/tier/cell)
+        import ray
+
+        written = ray.data.read_parquet(self.root, columns=[lon_col, lat_col, "cell"])
+        stats = compute_statistics(
+            written, lon_col=lon_col, lat_col=lat_col, cell_col="cell"
+        )
+        # tier is a partition column; occupancy from directory names
+        stats.data["tier_counts"] = {
+            str(int(d.split("=")[1])): -1
+            for d in os.listdir(self.root)
+            if d.startswith("tier=")
+        }
+        stats.save(self.root)
+        return stats
+
+    def stats(self) -> StatisticsManifest | None:
+        return load_statistics(self.root)
+
+    # -------------------------------------------------------------- query
+    def _pruned_paths(self, query: SpatialQuery) -> list[str]:
+        """Select (tier, cell_prefix) directories intersecting the query's
+        ranges — the scan-pruning step (QueryRanges -> splits)."""
+        strategy = spatial_strategy(self.bits)
+        stats = self.stats()
+        occupied = (
+            [int(t) for t in stats.data.get("tier_counts", {})] if stats else None
+        )
+        ranges = query.query_ranges(strategy, max_ranges=256)
+        shift_of = {}
+        wanted: dict[int, set[int]] = {}
+        for r in ranges:
+            if occupied is not None and r.tier not in occupied:
+                continue
+            shift = 2 * max(r.tier, 0) - self.prefix_bits * 2
+            # prefix of a cell at this tier: cells are tier-local; the
+            # written prefix is on 31-bit cells, so only finest-tier data
+            # uses prefix pruning; coarser tiers read whole tier dirs
+            wanted.setdefault(r.tier, set())
+            if r.tier == self.bits:
+                shift = 2 * self.bits - 2 * self.prefix_bits
+                lo_p = int(r.lo) >> shift
+                hi_p = int(r.hi) >> shift
+                if hi_p - lo_p <= 4096:
+                    wanted[r.tier].update(range(lo_p, hi_p + 1))
+                else:
+                    wanted[r.tier] = None  # whole tier
+            else:
+                wanted[r.tier] = None
+        paths = []
+        for tier, prefixes in wanted.items():
+            tier_dir = os.path.join(self.root, f"tier={tier}")
+            if not os.path.isdir(tier_dir):
+                continue
+            if prefixes is None:
+                paths.append(tier_dir)
+                continue
+            for d in os.listdir(tier_dir):
+                if not d.startswith("cell_prefix="):
+                    continue
+                if int(d.split("=")[1]) in prefixes:
+                    paths.append(os.path.join(tier_dir, d))
+        return paths
+
+    def query(
+        self,
+        query: SpatialQuery,
+        columns: list[str] | None = None,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+    ):
+        """Pruned scan -> coarse filter -> fine refine; returns a Dataset."""
+        import ray
+
+        paths = self._pruned_paths(query)
+        # ray.data.read_parquet treats list entries as files — expand dirs
+        files: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for base, _, names in os.walk(p):
+                    files.extend(
+                        os.path.join(base, n) for n in names if n.endswith(".parquet")
+                    )
+            else:
+                files.append(p)
+        paths = sorted(files)
+        if not paths:
+            return ray.data.from_items([])
+        read_cols = columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, lon_col, lat_col]))
+        ds = ray.data.read_parquet(paths, columns=read_cols)
+        out = query.apply(ds, lon_col=lon_col, lat_col=lat_col)
+        if columns is not None:
+            out = out.select_columns(columns)
+        return out

@@ -788,6 +788,79 @@ def q_xz_zone_keys(sf_dir: str):
     return pa.table({"zone_id": zones.column("zone_id"), "xz_code": pa.array(codes)})
 
 
+
+def q_kmeans_clusters(sf_dir: str):
+    """KMeans over the derived points (iterative; rows-only check)."""
+    from ..stages.analytics import kmeans
+
+    pts = _events_points(sf_dir)
+    cents, assign = kmeans(pts, cols=("lon", "lat"), k=5, n_iter=8)
+    assigned = _events_points(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cluster", "n"])
+
+    return assigned.groupby("cluster").count().map_batches(rename, batch_format="pyarrow")
+
+
+def q_convex_hulls(sf_dir: str):
+    """Per-group convex hulls of the derived points (rows-only)."""
+    from ..stages.analytics import group_convex_hulls
+
+    pts = _events_points(sf_dir)
+
+    def add_grp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("grp", pa.array((ids % 5).astype(np.int64)))
+
+    grouped = pts.map_batches(add_grp, batch_format="pyarrow")
+    out = group_convex_hulls(grouped, "grp")
+    return out.select_columns(["grp", "n_points"])
+
+
+def q_deterministic_sample(sf_dir: str):
+    """Hash-threshold sampling — reproducible row subset (rows-only)."""
+    from ..stages.analytics import weighted_sample
+
+    pts = _events_points(sf_dir)
+    return weighted_sample(pts, 0.05, "image_id").select_columns(["image_id"])
+
+
+def q_image_roundtrip(sf_dir: str):
+    """Per-row payload invariant (BASELINE.json input_hint): decoded pixels
+    vs the deterministic source at PSNR>=40 (infinite for PNG), caption
+    equality vs regeneration.  rows-only: output is the verdict table."""
+    from ..sources.images import _images_batch, synth_images_ds
+    from ..stages.imaging import decode_image, psnr
+
+    ds = synth_images_ds(2000, with_bytes=True, byte_pool=None)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = np.array(
+            [int(s.split("-")[1]) for s in batch.column("image_id").to_pylist()],
+            dtype=np.int64,
+        )
+        ref = _images_batch(ids, with_bytes=True, byte_pool=None)
+        ok_pix, ok_cap = [], []
+        for i in range(len(batch)):
+            arr = decode_image(batch.column("bytes")[i].as_py())
+            ref_arr = decode_image(ref.column("bytes")[i].as_py())
+            ok_pix.append(bool(psnr(arr, ref_arr) >= 40.0))
+            ok_cap.append(
+                batch.column("caption")[i].as_py() == ref.column("caption")[i].as_py()
+            )
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "pixels_ok": pa.array(ok_pix),
+                "caption_ok": pa.array(ok_cap),
+            }
+        )
+
+    verify.__name__ = "roundtrip_verify"
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -820,6 +893,10 @@ QUERIES = {
     "gwql_bbox_count": q_gwql_bbox_count,
     "kde_cells": q_kde_cells,
     "xz_zone_keys": q_xz_zone_keys,
+    "kmeans_clusters": q_kmeans_clusters,
+    "convex_hulls": q_convex_hulls,
+    "deterministic_sample": q_deterministic_sample,
+    "image_roundtrip": q_image_roundtrip,
 }
 
 ORACLE_SQL = {

@@ -277,3 +277,66 @@ def test_bloom_filter():
     # serialization round trip
     back = BloomFilter.from_bytes(b.to_bytes())
     assert back.might_contain(present).all()
+
+
+def test_kmeans(ray_session):
+    import ray
+
+    from geowave_ray.stages.analytics import kmeans
+
+    rng = np.random.default_rng(4)
+    centers = np.array([[0, 0], [50, 30], [-60, -40]], dtype=float)
+    pts = np.concatenate(
+        [c + rng.normal(0, 1.5, (300, 2)) for c in centers]
+    )
+    t = pa.table({"lon": pts[:, 0], "lat": pts[:, 1]})
+    cents, assign = kmeans(ray.data.from_arrow(t).repartition(4), k=3, n_iter=15)
+    # each true center has a learned centroid within 1 degree
+    for c in centers:
+        d = np.sqrt(((cents - c) ** 2).sum(axis=1)).min()
+        assert d < 1.0, (c, cents)
+    out = assign(t)
+    cl = out.column("cluster").to_numpy()
+    # points from the same true cluster get the same label
+    assert len(set(cl[:300])) == 1
+    assert len(set(cl[300:600])) == 1
+    assert len({cl[0], cl[300], cl[600]}) == 3
+
+
+def test_weighted_sample_deterministic(ray_session):
+    import ray
+
+    from geowave_ray.stages.analytics import weighted_sample
+
+    t = pa.table({"id": pa.array(np.arange(20000, dtype=np.int64))})
+    s1 = weighted_sample(ray.data.from_arrow(t), 0.1, "id").to_pandas()
+    s2 = weighted_sample(ray.data.from_arrow(t), 0.1, "id").to_pandas()
+    assert set(s1["id"]) == set(s2["id"])  # deterministic
+    assert 0.08 < len(s1) / 20000 < 0.12
+
+
+def test_group_convex_hulls(ray_session):
+    import ray
+
+    from geowave_ray.geom.predicates import points_in_polygon
+    from geowave_ray.geom.wkb import Polygon, parse_wkb
+    from geowave_ray.stages.analytics import group_convex_hulls
+
+    rng = np.random.default_rng(5)
+    t = pa.table(
+        {
+            "grp": ["a"] * 100 + ["b"] * 100,
+            "lon": np.concatenate([rng.uniform(0, 10, 100), rng.uniform(50, 60, 100)]),
+            "lat": np.concatenate([rng.uniform(0, 10, 100), rng.uniform(20, 30, 100)]),
+        }
+    )
+    out = group_convex_hulls(ray.data.from_arrow(t), "grp").to_pandas()
+    assert len(out) == 2
+    for _, row in out.iterrows():
+        hull = parse_wkb(row["hull_wkb"])
+        assert isinstance(hull, Polygon)
+        mask = np.array(t.column("grp").to_pylist()) == row["grp"]
+        inside = points_in_polygon(
+            t.column("lon").to_numpy()[mask], t.column("lat").to_numpy()[mask], hull
+        )
+        assert inside.all()

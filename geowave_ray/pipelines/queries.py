@@ -861,6 +861,52 @@ def q_image_roundtrip(sf_dir: str):
     return ds.map_batches(verify, batch_format="pyarrow")
 
 
+
+def q_dbscan(sf_dir: str):
+    """Grid-cogroup DBSCAN over the hot-cluster synthetic points (rows-only)."""
+    import ray
+
+    from ..sources.images import synth_images_ds
+    from ..stages.dbscan import dbscan
+
+    ds = synth_images_ds(3000, with_bytes=False).map_batches(
+        lambda b: b.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    out = dbscan(ds, eps=0.4, min_pts=8)
+    return pa.table(
+        {
+            "pid": pa.array(out["pid"].tolist()),
+            "cluster": pa.array(out["cluster"].tolist()),
+        }
+    )
+
+
+def q_value_quantiles(sf_dir: str):
+    """Distributed t-digest quantiles of events.value (approx; rows-only)."""
+    import ray
+
+    from ..stages.aggregate import TDigest
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = TDigest().add(batch.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({"digest": pa.array([d.to_bytes()], type=pa.large_binary())})
+
+    partial.__name__ = "tdigest_partial"
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    d = TDigest.from_bytes(parts[0]["digest"])
+    for r in parts[1:]:
+        d = d.merge(TDigest.from_bytes(r["digest"]))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs),
+            "value": pa.array([d.quantile(q) for q in qs]),
+        }
+    )
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -897,6 +943,8 @@ QUERIES = {
     "convex_hulls": q_convex_hulls,
     "deterministic_sample": q_deterministic_sample,
     "image_roundtrip": q_image_roundtrip,
+    "dbscan": q_dbscan,
+    "value_quantiles": q_value_quantiles,
 }
 
 ORACLE_SQL = {

@@ -24,6 +24,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "BloomFilter",
+    "TDigest",
     "FixedBinHistogram",
 ]
 
@@ -282,3 +283,81 @@ class BloomFilter:
     @classmethod
     def from_bytes(cls, b: bytes, m_bits: int = 1 << 16, k: int = 4) -> "BloomFilter":
         return cls(m_bits, k, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+class TDigest:
+    """Mergeable t-digest quantile sketch (TDigestNumericHistogram analog,
+    adapter/statistics/histogram/TDigestNumericHistogram.java:15) — the
+    merging-digest variant of Dunning & Ertl's public algorithm with the
+    arcsine scale function."""
+
+    def __init__(self, compression: int = 100, means=None, weights=None):
+        self.compression = compression
+        self.means = np.asarray(means if means is not None else [], dtype=np.float64)
+        self.weights = np.asarray(weights if weights is not None else [], dtype=np.float64)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        if len(means) == 0:
+            self.means = means
+            self.weights = weights
+            return
+        order = np.argsort(means)
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+
+        def k(q):
+            return self.compression * (np.arcsin(2 * q - 1) / np.pi + 0.5)
+
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_so_far / total
+            q1 = (w_so_far + cur_w + w) / total
+            if k(q1) - k(q0) <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        if len(v) == 0:
+            return self
+        self._compress(
+            np.concatenate([self.means, v]),
+            np.concatenate([self.weights, np.ones(len(v))]),
+        )
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return self
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).astype("<f8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, compression: int = 100) -> "TDigest":
+        arr = np.frombuffer(b, dtype="<f8")
+        half = len(arr) // 2
+        return cls(compression, arr[:half].copy(), arr[half:].copy())

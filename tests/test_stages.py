@@ -340,3 +340,53 @@ def test_group_convex_hulls(ray_session):
             t.column("lon").to_numpy()[mask], t.column("lat").to_numpy()[mask], hull
         )
         assert inside.all()
+
+
+def test_dbscan(ray_session):
+    import ray
+
+    from geowave_ray.stages.dbscan import dbscan
+
+    rng = np.random.default_rng(6)
+    # two dense blobs + sparse noise
+    blob1 = rng.normal([10, 10], 0.2, (150, 2))
+    blob2 = rng.normal([20, 20], 0.2, (150, 2))
+    noise = np.stack(
+        [rng.uniform(-170, 170, 30), rng.uniform(-80, 80, 30)], axis=1
+    )
+    # keep noise away from the blobs
+    noise = noise[
+        (np.abs(noise[:, 0] - 10) > 5)
+        & (np.abs(noise[:, 0] - 20) > 5)
+    ]
+    pts = np.concatenate([blob1, blob2, noise])
+    ids = [f"p{i:04d}" for i in range(len(pts))]
+    t = pa.table({"image_id": ids, "lon": pts[:, 0], "lat": pts[:, 1]})
+    out = dbscan(ray.data.from_arrow(t), eps=0.5, min_pts=5)
+    lab = dict(zip(out["pid"], out["cluster"]))
+    c1 = {lab[f"p{i:04d}"] for i in range(150)}
+    c2 = {lab[f"p{i:04d}"] for i in range(150, 300)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert "-1" not in c1 and "-1" not in c2
+    noise_labels = [lab[f"p{i:04d}"] for i in range(300, len(pts))]
+    assert all(l == "-1" for l in noise_labels)
+
+
+def test_tdigest_quantiles():
+    from geowave_ray.stages.aggregate import TDigest
+
+    rng = np.random.default_rng(2)
+    vals = rng.lognormal(0, 1, 40_000)
+    # distributed: 4 partial digests merged
+    parts = [TDigest().add(chunk) for chunk in np.array_split(vals, 4)]
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.merge(p)
+    assert len(d.means) < 300  # compressed
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        true = np.quantile(vals, q)
+        got = d.quantile(q)
+        assert abs(got - true) / true < 0.05, (q, got, true)
+    # serialization round trip
+    back = TDigest.from_bytes(d.to_bytes())
+    assert abs(back.quantile(0.5) - d.quantile(0.5)) < 1e-9

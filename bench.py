@@ -136,7 +136,7 @@ def main() -> None:
         # scaling runs need the join phase compute-bound, not overhead-bound:
         # bump rows unless explicitly pinned via env
         scale_images = os.environ.get("GRAFT_BENCH_IMAGES", "20000000")
-        scale_render = os.environ.get("GRAFT_RENDER_IMAGES", "250000")
+        scale_render = os.environ.get("GRAFT_RENDER_IMAGES", "600000")
         repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
         for cpus in (SCALE_N, SCALE_4N):
             best = None

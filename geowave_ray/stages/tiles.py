@@ -278,23 +278,26 @@ class TileRenderStage:
         )
         out_img, out_tier, out_cell, out_sum = [], [], [], []
         xs = (np.arange(ts) + 0.5) / ts
-        for i in range(len(batch)):
-            arr = decode_image(blobs[i])
-            h_px, w_px = arr.shape[:2]
-            tier = int(levels[i])
+        # batch the SFC work per level: one vectorized cover + decode per
+        # tier for the whole batch (length-1 curve calls dominate otherwise)
+        decoded_cache: dict[int, np.ndarray] = {}
+        for tier_v in np.unique(levels):
+            tier = int(tier_v)
+            sel = np.nonzero(levels == tier_v)[0]
             rows, cells = self.assigner._cover_at_tier(
-                tier,
-                minx[i : i + 1],
-                miny[i : i + 1],
-                maxx[i : i + 1],
-                maxy[i : i + 1],
+                tier, minx[sel], miny[sel], maxx[sel], maxy[sel]
             )
             los, his = self.strategy.decode_cells(
                 tier, np.asarray(cells, dtype=np.uint64)
             )
-            for c in range(len(cells)):
-                cx0, cx1 = los[0][c], his[0][c]
-                cy0, cy1 = los[1][c], his[1][c]
+            for k in range(len(cells)):
+                i = int(sel[rows[k]])
+                arr = decoded_cache.get(i)
+                if arr is None:
+                    arr = decoded_cache[i] = decode_image(blobs[i])
+                h_px, w_px = arr.shape[:2]
+                cx0, cx1 = los[0][k], his[0][k]
+                cy0, cy1 = los[1][k], his[1][k]
                 px = cx0 + xs * (cx1 - cx0)
                 py = cy1 - xs * (cy1 - cy0)
                 sx = np.floor((px - lon[i]) / self.pixel_res_deg).astype(np.int64)
@@ -306,7 +309,7 @@ class TileRenderStage:
                     tile[np.ix_(oky, okx)] = arr[sy[oky][:, None], sx[okx][None, :]]
                 out_img.append(i)
                 out_tier.append(tier)
-                out_cell.append(int(cells[c]))
+                out_cell.append(int(cells[k]))
                 # cheap deterministic checksum of the rendered tile
                 out_sum.append(int(tile.sum(dtype=np.int64)))
         idx = pa.array(np.asarray(out_img, dtype=np.int64))

@@ -28,6 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
 BENCH_ZONES = int(os.environ.get("GRAFT_BENCH_ZONES", "10000"))
 RENDER_IMAGES = int(os.environ.get("GRAFT_RENDER_IMAGES", "300000"))
+BLOCKS_PER_CPU = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "4"))
 # N -> 4N pair for the scaling criterion; the sandbox host delivers ~23
 # effective cores at 32 workers (vCPU oversubscription), so N=4 keeps both
 # points inside real capacity
@@ -66,7 +67,7 @@ def headline_throughput(num_cpus: int) -> dict:
     ).count()
 
     t0 = time.time()
-    images = synth_images_ds(n, with_bytes=False, override_num_blocks=num_cpus * 8)
+    images = synth_images_ds(n, with_bytes=False, override_num_blocks=num_cpus * BLOCKS_PER_CPU)
     encoded = images.map_batches(
         stage_fn(CellEncoder, bits=31), batch_format="pyarrow"
     )
@@ -87,7 +88,7 @@ def headline_throughput(num_cpus: int) -> dict:
     n_render = min(n, RENDER_IMAGES)
     t0 = time.time()
     images2 = synth_images_ds(
-        n_render, with_bytes=True, byte_pool=4096, override_num_blocks=num_cpus * 8
+        n_render, with_bytes=True, byte_pool=4096, override_num_blocks=num_cpus * BLOCKS_PER_CPU
     )
     tiles = images2.map_batches(
         stage_fn(TileRenderStage, pixel_res_deg=1e-4), batch_format="pyarrow"

@@ -140,3 +140,35 @@ def test_xz_codes_unique_per_element():
             np.testing.assert_allclose(ex[i], by_code[key], atol=1e-9)
         else:
             by_code[key] = ex[i]
+
+
+def test_text_index_search(ray_session):
+    import ray
+
+    from geowave_ray.stages.textindex import build_text_index, search_text_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "Hello World",
+                "hello there",
+                "world peace now",
+                "say hello world again",
+            ],
+        }
+    )
+    src = ray.data.from_arrow(docs)
+    idx = build_text_index(src, "text", "doc_id").materialize()
+
+    begins = search_text_index(idx, "hello", "begins_with", "doc_id").to_pandas()
+    assert set(begins["doc_id"]) == {1, 2}
+
+    ends = search_text_index(idx, "now", "ends_with", "doc_id").to_pandas()
+    assert set(ends["doc_id"]) == {3}
+
+    contains = search_text_index(
+        idx, "world", "contains", "doc_id",
+        source_ds=ray.data.from_arrow(docs), text_col="text",
+    ).to_pandas()
+    assert set(contains["doc_id"]) == {1, 3, 4}

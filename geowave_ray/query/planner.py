@@ -182,3 +182,58 @@ def subsample_by_cell(ds, bits_keep: int, bits: int = 31, tie_col: str | None = 
         .groupby("_prefix")
         .map_groups(first, batch_format="pyarrow")
     )
+
+
+class WkbRefiner:
+    """Fine refinement for stored extended geometries (lines/polygons as
+    data rows, WKB column) — the vector-IT path of the reference (hail
+    points + tornado_tracks linestrings, GeoWaveBasicSpatialTemporalVectorIT):
+    coarse vectorized bbox precheck on (minx,miny,maxx,maxy) columns, then
+    the DE-9IM predicate per surviving candidate."""
+
+    def __init__(self, query: "SpatialQuery", wkb_col: str = "wkb"):
+        from ..geom.predicates import COMPARE_OPS, relate
+        from ..geom.wkb import parse_wkb
+
+        self.query = query
+        self.wkb_col = wkb_col
+        self._relate = relate
+        self._op = COMPARE_OPS[query.op]
+        self._parse = parse_wkb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self.query
+        minx, miny, maxx, maxy = q.bbox()
+        cols = batch.column_names
+        if {"minx", "miny", "maxx", "maxy"} <= set(cols):
+            bx0 = batch.column("minx").to_numpy(zero_copy_only=False)
+            by0 = batch.column("miny").to_numpy(zero_copy_only=False)
+            bx1 = batch.column("maxx").to_numpy(zero_copy_only=False)
+            by1 = batch.column("maxy").to_numpy(zero_copy_only=False)
+            coarse = (bx0 <= maxx) & (bx1 >= minx) & (by0 <= maxy) & (by1 >= miny)
+            if q.op == "DISJOINT":
+                # disjoint can still be true for bbox-overlapping rows; only
+                # bbox-disjoint rows are definitely DISJOINT=True
+                candidates = np.arange(len(batch))
+            else:
+                candidates = np.nonzero(coarse)[0]
+        else:
+            candidates = np.arange(len(batch))
+        keep = np.zeros(len(batch), dtype=bool)
+        if q.op == "DISJOINT" and {"minx", "miny", "maxx", "maxy"} <= set(cols):
+            keep[~coarse] = True
+            candidates = np.nonzero(coarse)[0]
+        wkbs = batch.column(self.wkb_col).to_pylist()
+        for i in candidates:
+            geom = self._parse(wkbs[i])
+            keep[i] = self._op(self._relate(q.geometry, geom))
+        return batch.filter(pa.array(keep))
+
+
+def apply_wkb_query(ds, query: SpatialQuery, wkb_col: str = "wkb"):
+    """Query a Dataset of WKB geometry rows with any of the 8 compare ops."""
+    from ..stages.util import stage_fn
+
+    return ds.map_batches(
+        stage_fn(WkbRefiner, query=query, wkb_col=wkb_col), batch_format="pyarrow"
+    )

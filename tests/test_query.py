@@ -172,3 +172,54 @@ def test_text_index_search(ray_session):
         source_ds=ray.data.from_arrow(docs), text_col="text",
     ).to_pandas()
     assert set(contains["doc_id"]) == {1, 3, 4}
+
+
+def test_wkb_query_lines_and_polygons(ray_session):
+    """Golden-style vector query: stored linestrings + polygons queried with
+    a box under several ops, vs brute-force predicate evaluation (mirrors
+    the reference's hail/tornado_tracks ITs)."""
+    import ray
+
+    from geowave_ray.geom.predicates import evaluate
+    from geowave_ray.geom.wkb import LineString, bbox_of, parse_wkb, to_wkb
+    from geowave_ray.query.planner import SpatialQuery, apply_wkb_query
+    from geowave_ray.sources.images import synth_zones_table
+
+    rng = np.random.default_rng(77)
+    rows = []
+    # 150 random line tracks
+    for i in range(150):
+        n = rng.integers(2, 8)
+        start = rng.uniform([-170, -80], [160, 70])
+        pts = np.cumsum(
+            np.vstack([start, rng.normal(0, 2, (n - 1, 2))]), axis=0
+        )
+        rows.append((f"track-{i:04d}", to_wkb(LineString(pts))))
+    # plus polygon zones
+    zt = synth_zones_table(40)
+    for i in range(40):
+        rows.append((zt.column("zone_id")[i].as_py(), zt.column("wkb")[i].as_py()))
+
+    boxes = [bbox_of(parse_wkb(w)) for _, w in rows]
+    t = pa.table(
+        {
+            "gid": [r[0] for r in rows],
+            "wkb": pa.array([r[1] for r in rows], type=pa.binary()),
+            "minx": [b[0] for b in boxes],
+            "miny": [b[1] for b in boxes],
+            "maxx": [b[2] for b in boxes],
+            "maxy": [b[3] for b in boxes],
+        }
+    )
+    from geowave_ray.geom.wkb import box_polygon
+
+    qpoly = box_polygon(-40, -20, 30, 40)
+    for op in ("INTERSECTS", "CONTAINS", "DISJOINT", "CROSSES"):
+        q = SpatialQuery(qpoly, op=op)
+        got = set(
+            apply_wkb_query(ray.data.from_arrow(t), q).to_pandas()["gid"]
+        )
+        want = {
+            gid for gid, w in rows if evaluate(op, qpoly, parse_wkb(w))
+        }
+        assert got == want, f"{op}: {len(got)} vs {len(want)}"

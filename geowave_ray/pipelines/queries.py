@@ -907,6 +907,110 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+
+def q_spatial_join_category_agg(sf_dir: str):
+    """Join matches aggregated by zone category (category = zone_id % 5)."""
+    matches = broadcast_spatial_join(
+        _events_points(sf_dir),
+        zones_from_range(N_ZONES),
+        point_cols=("image_id",),
+        zone_cols=("zone_id",),
+    )
+
+    def to_cat(batch: pa.Table) -> pa.Table:
+        z = batch.column("zone_id").to_numpy(zero_copy_only=False)
+        return pa.table({"category": pa.array(z % 5)})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["category", "n"])
+
+    return (
+        matches.map_batches(to_cat, batch_format="pyarrow")
+        .groupby("category")
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+SQL_SPATIAL_JOIN_CATEGORY = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT z.zone_id % 5 AS category, COUNT(*) AS n
+FROM pts p JOIN zones z
+  ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+GROUP BY z.zone_id % 5
+"""
+
+
+def q_top_zones(sf_dir: str):
+    """Top-10 zones by match count (wide sort + limit), deterministic ties."""
+    counts = q_spatial_join_count_by_zone(sf_dir)
+    import ray
+
+    out = counts.sort(["n", "zone_id"], descending=[True, False]).limit(10)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        # limit(10) yields a single small block; rank is its row position
+        return batch.append_column(
+            "rank", pa.array(np.arange(1, len(batch) + 1, dtype=np.int64))
+        )
+
+    return out.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+SQL_TOP_ZONES = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE}),
+counts AS (
+  SELECT z.zone_id, COUNT(*) AS n
+  FROM pts p JOIN zones z
+    ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+  GROUP BY z.zone_id)
+SELECT zone_id, n,
+       ROW_NUMBER() OVER (ORDER BY n DESC, zone_id) AS rank
+FROM counts ORDER BY rank LIMIT 10
+"""
+
+
+def q_docs_by_lang(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n"])
+
+    return ds.groupby("lang").count().map_batches(rename, batch_format="pyarrow")
+
+
+SQL_DOCS_BY_LANG = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+
+
+def q_events_ts_range_by_type(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def agg(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "n": pa.array([len(ts)], type=pa.int64()),
+                "min_ts_us": pa.array([int(ts.min())], type=pa.int64()),
+                "max_ts_us": pa.array([int(ts.max())], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(agg, batch_format="pyarrow")
+
+
+SQL_EVENTS_TS_RANGE = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(EPOCH_US(ts)) AS min_ts_us,
+       MAX(EPOCH_US(ts)) AS max_ts_us
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -945,6 +1049,10 @@ QUERIES = {
     "image_roundtrip": q_image_roundtrip,
     "dbscan": q_dbscan,
     "value_quantiles": q_value_quantiles,
+    "spatial_join_category_agg": q_spatial_join_category_agg,
+    "top_zones": q_top_zones,
+    "docs_by_lang": q_docs_by_lang,
+    "events_ts_range_by_type": q_events_ts_range_by_type,
 }
 
 ORACLE_SQL = {
@@ -966,4 +1074,8 @@ ORACLE_SQL = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "gwql_bbox_count": SQL_GWQL_BBOX_COUNT,
+    "spatial_join_category_agg": SQL_SPATIAL_JOIN_CATEGORY,
+    "top_zones": SQL_TOP_ZONES,
+    "docs_by_lang": SQL_DOCS_BY_LANG,
+    "events_ts_range_by_type": SQL_EVENTS_TS_RANGE,
 }

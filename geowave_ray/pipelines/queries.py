@@ -1011,6 +1011,36 @@ FROM events GROUP BY event_type
 """
 
 
+
+def q_spatial_temporal_cells(sf_dir: str):
+    """3-D (lon, lat, YEAR-binned time) tiered-Hilbert keys — the
+    SpatialTemporalStrategy encode path at scale (rows-only)."""
+    from ..index.tiered import SpatialTemporalStrategy
+
+    pts = _events_points(sf_dir, with_ts=True)
+
+    class STEncoder:
+        def __init__(self):
+            self.st = SpatialTemporalStrategy((20, 20, 20))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            t_ms = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // 1000
+            years, cells = self.st.encode_points(lon, lat, t_ms)
+            return pa.table(
+                {
+                    "image_id": batch.column("image_id"),
+                    "year_bin": pa.array(years, type=pa.int64()),
+                    "st_cell": pa.array(cells, type=pa.uint64()),
+                }
+            )
+
+    from ..stages.util import stage_fn
+
+    return pts.map_batches(stage_fn(STEncoder), batch_format="pyarrow")
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1053,6 +1083,7 @@ QUERIES = {
     "top_zones": q_top_zones,
     "docs_by_lang": q_docs_by_lang,
     "events_ts_range_by_type": q_events_ts_range_by_type,
+    "spatial_temporal_cells": q_spatial_temporal_cells,
 }
 
 ORACLE_SQL = {

@@ -1041,6 +1041,18 @@ def q_spatial_temporal_cells(sf_dir: str):
     return pts.map_batches(stage_fn(STEncoder), batch_format="pyarrow")
 
 
+
+def q_ann_ivf(sf_dir: str):
+    import ray
+
+    from ..stages.ann import ivf_topk
+
+    queries = _query_vecs(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=10, n_lists=16, n_probe=6)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1062,6 +1074,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "label_counts": q_label_counts,
     "sessionize": q_sessionize,
     "temporal_bins": q_temporal_bins,

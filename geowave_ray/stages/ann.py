@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -184,3 +184,58 @@ def lsh_topk(
 
     uniq = exact_dedupe(candidates, key_col=id_col, id_col=id_col)
     return brute_force_topk(uniq, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk(
+    ds,
+    queries: dict,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 6,
+    concurrency=None,
+):
+    """IVF (inverted-file) ANN: coarse k-means centroids partition the
+    vectors into lists; a query scans only its ``n_probe`` nearest lists,
+    then exact re-rank.  The centroid table is tiny and broadcast; the list
+    assignment is one vectorized pass (this is the groupby-by-cell shape of
+    the engine applied to embedding space)."""
+    import ray
+
+    from .util import stage_fn
+
+    # --- train coarse centroids on a sample (driver-side, tiny)
+    sample = ds.limit(max(n_lists * 64, 2048)).to_pandas()
+    vecs = _normalize(np.asarray(sample[vec_col].tolist(), dtype=np.float32))
+    rng = np.random.default_rng(13)
+    centroids = vecs[rng.choice(len(vecs), size=min(n_lists, len(vecs)), replace=False)]
+    for _ in range(kmeans_iters):
+        sims = vecs @ centroids.T
+        a = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            m = a == c
+            if m.any():
+                centroids[c] = _normalize(vecs[m].mean(axis=0, keepdims=True))[0]
+
+    qvecs = _normalize(np.asarray(queries["vecs"], dtype=np.float32))
+    probe_lists = np.argsort(-(qvecs @ centroids.T), axis=1)[:, :n_probe]
+    wanted = np.unique(probe_lists.ravel())
+
+    cent_ref = ray.put(centroids)
+    want_ref = ray.put(set(int(x) for x in wanted))
+
+    class _Assign:
+        def __init__(self):
+            self.centroids = ray.get(cent_ref)
+            self.wanted = ray.get(want_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+            lists = (v @ self.centroids.T).argmax(axis=1)
+            mask = np.isin(lists, np.fromiter(self.wanted, dtype=np.int64))
+            return batch.filter(pa.array(mask))
+
+    candidates = ds.map_batches(stage_fn(_Assign), batch_format="pyarrow")
+    return brute_force_topk(candidates, queries, k, id_col=id_col, vec_col=vec_col)

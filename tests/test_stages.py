@@ -390,3 +390,31 @@ def test_tdigest_quantiles():
     # serialization round trip
     back = TDigest.from_bytes(d.to_bytes())
     assert abs(back.quantile(0.5) - d.quantile(0.5)) < 1e-9
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray
+
+    from geowave_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)
+    # clustered embedding space (IVF's favorable regime)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((100, 16)).astype(np.float32) * 0.5 for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32(), 16)),
+        }
+    )
+    queries = {"query_id": ["q0", "q1"], "vecs": vecs[[10, 420]]}
+    exact = brute_force_topk(ray.data.from_arrow(t), queries, k=10).to_pandas()
+    approx = ivf_topk(
+        ray.data.from_arrow(t), queries, k=10, n_lists=8, n_probe=3
+    ).to_pandas()
+    for q in ("q0", "q1"):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        assert len(e & a) >= 8, (q, e, a)  # >=80% recall with 3/8 probes

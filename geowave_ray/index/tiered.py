@@ -389,3 +389,51 @@ class SpatialTemporalStrategy:
             + self.time.bin_id_bytes(int(years[0]))
             + int(cells[0]).to_bytes(nbytes, "big")
         )
+
+
+@dataclass(frozen=True)
+class STQueryRange:
+    year: int
+    tier: int
+    lo: int
+    hi: int
+
+
+def st_query_ranges(
+    st: "SpatialTemporalStrategy",
+    bbox: tuple[float, float, float, float],
+    t_range_ms: tuple[int, int],
+    max_ranges: int = 64,
+    tiers: list[int] | None = None,
+) -> list["STQueryRange"]:
+    """3-D query planning for the spatial-temporal strategy: per YEAR bin
+    and per tier, over-inclusive (lon, lat, time) box -> Hilbert ranges
+    (antimeridian lon split included) — the binned analog of
+    TieredSFCIndexStrategy.getQueryRanges."""
+    minx, miny, maxx, maxy = bbox
+    lon_bins = st.lon.get_normalized_ranges(minx, maxx)
+    lat_bin = st.lat.get_normalized_ranges(miny, maxy)[0]
+    time_bins = st.time.get_normalized_ranges(t_range_ms[0], t_range_ms[1])
+    use_tiers = tiers if tiers is not None else [st.finest_tier]
+    n_bins = max(len(lon_bins) * len(time_bins), 1)
+    per_bin_max = max_ranges
+    if max_ranges > 1 and n_bins > 1:
+        per_bin_max = -(-max_ranges // n_bins)
+    out: list[STQueryRange] = []
+    for t in sorted(use_tiers, reverse=True):
+        curve = st.curve3[t]
+        bins = 1 << t
+        for tb in time_bins:
+            year = int(tb.bin_id.decode())
+            for lb in lon_bins:
+                cmin, cmax = [], []
+                for lo, hi in ((lb.norm_lo, lb.norm_hi), (lat_bin.norm_lo, lat_bin.norm_hi), (tb.norm_lo, tb.norm_hi)):
+                    a = int(norm_to_cell_query_min(np.float64(lo), bins))
+                    b = int(norm_to_cell_query_max(np.float64(hi), bins))
+                    if a > b:
+                        b = a
+                    cmin.append(a)
+                    cmax.append(b)
+                for lo, hi in curve.decompose_range(cmin, cmax, per_bin_max):
+                    out.append(STQueryRange(year, t, lo, hi))
+    return out

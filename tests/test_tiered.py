@@ -168,3 +168,36 @@ def test_range_for_id_roundtrip():
     assert lo_lon <= 12.345 <= hi_lon
     assert lo_lat <= -33.21 <= hi_lat
     assert (hi_lon - lo_lon) < 1e-6
+
+
+def test_spatial_temporal_query_ranges():
+    """3-D ST planning: cells of points inside (bbox x time range) are
+    covered by some range of the matching year bin."""
+    from geowave_ray.index.tiered import SpatialTemporalStrategy, st_query_ranges
+
+    st = SpatialTemporalStrategy((20, 20, 20))
+    rng = np.random.default_rng(3)
+    n = 200
+    lon = rng.uniform(5, 15, n)
+    lat = rng.uniform(40, 50, n)
+    t_ms = rng.integers(
+        int(np.datetime64("2023-02-01").astype("datetime64[ms]").astype(np.int64)),
+        int(np.datetime64("2024-11-01").astype("datetime64[ms]").astype(np.int64)),
+        n,
+    )
+    years, cells = st.encode_points(lon, lat, t_ms)
+    ranges = st_query_ranges(
+        st,
+        (5, 40, 15, 50),
+        (
+            int(np.datetime64("2023-02-01").astype("datetime64[ms]").astype(np.int64)),
+            int(np.datetime64("2024-11-01").astype("datetime64[ms]").astype(np.int64)),
+        ),
+        max_ranges=400,
+    )
+    assert {r.year for r in ranges} == {2023, 2024}
+    by_year = {}
+    for r in ranges:
+        by_year.setdefault(r.year, []).append((r.lo, r.hi))
+    for y, c in zip(years, cells):
+        assert any(lo <= int(c) <= hi for lo, hi in by_year[int(y)]), (y, c)

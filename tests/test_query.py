@@ -223,3 +223,37 @@ def test_wkb_query_lines_and_polygons(ray_session):
             gid for gid, w in rows if evaluate(op, qpoly, parse_wkb(w))
         }
         assert got == want, f"{op}: {len(got)} vs {len(want)}"
+
+
+def test_custom_cell_scheme_extension(ray_session):
+    """SURVEY §2.I extension surface: a user-defined cell scheme is just a
+    duck-typed object with cell_of(); the engine's encode/groupby stages
+    accept it unchanged (CustomIndexStrategy analog)."""
+    import ray
+
+    from geowave_ray.sources.images import synth_images_table
+
+    class EquatorBandScheme:
+        """Custom scheme: 18 latitude bands, ignoring longitude."""
+
+        def cell_of(self, lon, lat):
+            return np.clip(((np.asarray(lat) + 90.0) // 10).astype(np.int64), 0, 17)
+
+    scheme = EquatorBandScheme()
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cells = scheme.cell_of(
+            batch.column("lon").to_numpy(), batch.column("lat").to_numpy()
+        )
+        return batch.append_column("cell", pa.array(cells))
+
+    t = synth_images_table(1000, with_bytes=False)
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(encode, batch_format="pyarrow")
+        .groupby("cell")
+        .count()
+        .to_pandas()
+    )
+    assert out["count()"].sum() == 1000
+    assert set(out["cell"]).issubset(set(range(18)))

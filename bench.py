@@ -29,6 +29,7 @@ BENCH_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
 BENCH_ZONES = int(os.environ.get("GRAFT_BENCH_ZONES", "10000"))
 RENDER_IMAGES = int(os.environ.get("GRAFT_RENDER_IMAGES", "300000"))
 BLOCKS_PER_CPU = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "4"))
+TILE_SIZE = int(os.environ.get("GRAFT_TILE_SIZE", "256"))
 # N -> 4N pair for the scaling criterion; the sandbox host delivers ~23
 # effective cores at 32 workers (vCPU oversubscription), so N=4 keeps both
 # points inside real capacity
@@ -91,7 +92,8 @@ def headline_throughput(num_cpus: int) -> dict:
         n_render, with_bytes=True, byte_pool=4096, override_num_blocks=num_cpus * BLOCKS_PER_CPU
     )
     tiles = images2.map_batches(
-        stage_fn(TileRenderStage, pixel_res_deg=1e-4), batch_format="pyarrow"
+        stage_fn(TileRenderStage, pixel_res_deg=1e-4, tile_size=TILE_SIZE),
+        batch_format="pyarrow"
     )
     n_tiles = tiles.count()
     t_tiles = time.time() - t0

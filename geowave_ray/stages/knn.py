@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["haversine_km", "knn"]
+__all__ = ["haversine_km", "knn", "knn_join"]
 
 EARTH_R_KM = 6371.0088
 
@@ -121,5 +121,146 @@ def knn(
         batch_format="pyarrow",
     )
     return partials.groupby("query_id").map_groups(
+        _FinalTopK(k, id_col), batch_format="pyarrow"
+    )
+
+
+class _CellKnnGroup:
+    __name__ = "cell_knn_group"
+
+    def __init__(self, k: int, qid_col: str, id_col: str):
+        self.k = k
+        self.qid_col = qid_col
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        qs = group.filter(pa.array(side == 0))
+        data = group.filter(pa.array(side == 1))
+        if len(qs) == 0 or len(data) == 0:
+            return pa.table(
+                {
+                    self.qid_col: pa.array([], type=group.schema.field(self.qid_col).type),
+                    self.id_col: pa.array([], type=group.schema.field(self.id_col).type),
+                    "dist_km": pa.array([], type=pa.float64()),
+                }
+            )
+        d = haversine_km(
+            qs.column("lon").to_numpy(zero_copy_only=False)[:, None],
+            qs.column("lat").to_numpy(zero_copy_only=False)[:, None],
+            data.column("lon").to_numpy(zero_copy_only=False)[None, :],
+            data.column("lat").to_numpy(zero_copy_only=False)[None, :],
+        )
+        k = min(self.k, d.shape[1])
+        out_q, out_i, out_d = [], [], []
+        part = np.argpartition(d, k - 1, axis=1)[:, :k] if k < d.shape[1] else np.tile(
+            np.arange(d.shape[1]), (d.shape[0], 1)
+        )
+        for r in range(d.shape[0]):
+            out_q.extend([r] * part.shape[1])
+            out_i.append(part[r])
+            out_d.append(d[r, part[r]])
+        qi = pa.array(np.asarray(out_q, dtype=np.int64))
+        pi = pa.array(np.concatenate(out_i))
+        return pa.table(
+            {
+                self.qid_col: qs.column(self.qid_col).take(qi),
+                self.id_col: data.column(self.id_col).take(pi),
+                "dist_km": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+
+def knn_join(
+    queries_ds,
+    data_ds,
+    k: int,
+    cell_deg: float,
+    qid_col: str = "query_id",
+    id_col: str = "image_id",
+    ring: int = 1,
+):
+    """Large-large kNN: every query point against a big data table, both as
+    Datasets — the NNMapReduce shape (OrthodromicDistancePartitioner: data
+    duplicated to its cell + ring neighborhood so each query's neighborhood
+    is co-grouped; reducer = per-cell top-k; final groupby(query) merge).
+
+    PARTITIONING ASSUMPTION (documented per the round brief): the true k
+    nearest neighbors lie within ``ring * cell_deg`` degrees of the query.
+    Size cell_deg to the expected kth-neighbor distance (reference sizes
+    cells to the search distance, NNMapReduce.java:62-66); under-filled
+    queries (fewer than k results) indicate cell_deg is too small — re-run
+    those with a bigger radius (radius-escalation loop, SURVEY §7 Phase 5).
+    """
+    import ray
+
+    nx = max(int(np.ceil(360.0 / cell_deg)), 1)
+
+    def q_cells(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
+        cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+        out = pa.table(
+            {
+                qid_col: batch.column(qid_col),
+                "lon": batch.column("lon"),
+                "lat": batch.column("lat"),
+                "cell": pa.array(cy * nx + cx),
+            }
+        )
+        return out.append_column("_side", pa.array(np.zeros(len(out), dtype=np.int8)))
+
+    def d_cells(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
+        cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+        idxs, cells = [], []
+        for dy in range(-ring, ring + 1):
+            for dx in range(-ring, ring + 1):
+                gy = cy + dy
+                ok = (gy >= 0) & (gy < int(np.ceil(180.0 / cell_deg)))
+                gx = (cx + dx) % nx
+                idxs.append(np.nonzero(ok)[0])
+                cells.append((gy[ok] * nx + gx[ok]))
+        idx = np.concatenate(idxs)
+        out = pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(idx)),
+                "lon": batch.column("lon").take(pa.array(idx)),
+                "lat": batch.column("lat").take(pa.array(idx)),
+                "cell": pa.array(np.concatenate(cells)),
+            }
+        )
+        return out.append_column("_side", pa.array(np.ones(len(out), dtype=np.int8)))
+
+    q_cells.__name__ = "knn_query_cells"
+    d_cells.__name__ = "knn_data_cells"
+
+    qk = queries_ds.map_batches(q_cells, batch_format="pyarrow")
+    dk = data_ds.map_batches(d_cells, batch_format="pyarrow")
+
+    # align schemas for union
+    def pad_q(batch: pa.Table) -> pa.Table:
+        return batch.append_column(id_col, pa.nulls(len(batch), type=dk.schema().base_schema.field(id_col).type)).select(
+            sorted(batch.column_names + [id_col])
+        )
+
+    def pad_d(batch: pa.Table) -> pa.Table:
+        return batch.append_column(qid_col, pa.nulls(len(batch), type=qk.schema().base_schema.field(qid_col).type)).select(
+            sorted(batch.column_names + [qid_col])
+        )
+
+    pad_q.__name__ = "pad_queries"
+    pad_d.__name__ = "pad_data"
+    both = qk.map_batches(pad_q, batch_format="pyarrow").union(
+        dk.map_batches(pad_d, batch_format="pyarrow")
+    )
+    partials = both.groupby("cell").map_groups(
+        _CellKnnGroup(k, qid_col, id_col), batch_format="pyarrow"
+    )
+    return partials.groupby(qid_col).map_groups(
         _FinalTopK(k, id_col), batch_format="pyarrow"
     )

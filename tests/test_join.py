@@ -131,3 +131,42 @@ def test_knn_matches_brute_force(ray_session, images_table):
             want_ids = [ids[i] for i in order]
             sub = got[got["query_id"] == queries["query_id"][j]].sort_values("rank")
             assert sub["image_id"].tolist() == want_ids
+
+
+def test_knn_join_matches_brute_force(ray_session):
+    """Large-large kNN join (both sides Datasets) vs exact brute force —
+    dense enough that all true neighbors fall inside the ring assumption."""
+    import ray
+
+    from geowave_ray.stages.knn import haversine_km, knn_join
+
+    rng = np.random.default_rng(17)
+    n_data, n_q = 3000, 60
+    # data concentrated in a region so cell ring captures true neighbors
+    d_lon = rng.uniform(0, 20, n_data)
+    d_lat = rng.uniform(40, 55, n_data)
+    q_lon = rng.uniform(2, 18, n_q)
+    q_lat = rng.uniform(42, 53, n_q)
+    data = pa.table(
+        {
+            "image_id": [f"d{i:05d}" for i in range(n_data)],
+            "lon": d_lon,
+            "lat": d_lat,
+        }
+    )
+    queries = pa.table(
+        {"query_id": [f"q{i:03d}" for i in range(n_q)], "lon": q_lon, "lat": q_lat}
+    )
+    k = 5
+    out = knn_join(
+        ray.data.from_arrow(queries).repartition(3),
+        ray.data.from_arrow(data).repartition(5),
+        k=k,
+        cell_deg=2.0,
+    ).to_pandas()
+    ids = data.column("image_id").to_pylist()
+    for j in range(n_q):
+        d = haversine_km(d_lon, d_lat, q_lon[j], q_lat[j])
+        want = [ids[i] for i in sorted(range(n_data), key=lambda i: (d[i], ids[i]))[:k]]
+        sub = out[out["query_id"] == f"q{j:03d}"].sort_values("rank")
+        assert sub["image_id"].tolist() == want, f"q{j}"

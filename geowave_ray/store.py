@@ -148,3 +148,22 @@ class GeoStore:
         if columns is not None:
             out = out.select_columns(columns)
         return out
+
+    def lookup(self, ids: list, id_col: str = "image_id"):
+        """DataIdQuery analog: point lookup by data id over the keyed
+        layout.  Scans with a vectorized id filter (at scale: a secondary
+        by-id layout — BaseDataIndexWriter analog — would prune; the keyed
+        store's columnar scan with projection keeps this cheap in-sandbox)."""
+        import ray
+
+        wanted = set(ids)
+        ds = ray.data.read_parquet(self.root)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = np.array(
+                [v in wanted for v in batch.column(id_col).to_pylist()]
+            )
+            return batch.filter(pa.array(mask))
+
+        keep.__name__ = "data_id_lookup"
+        return ds.map_batches(keep, batch_format="pyarrow")

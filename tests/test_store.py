@@ -71,3 +71,39 @@ def test_polygon_query_refinement(store):
     # bbox-only would include more
     bbox_n = int(((lon >= 0) & (lon <= 40) & (lat >= 0) & (lat <= 40)).sum())
     assert len(want) < bbox_n
+
+
+def test_data_id_lookup(store):
+    s, t, _ = store
+    ids = t.column("image_id").to_pylist()[10:13]
+    out = s.lookup(ids).to_pandas()
+    assert sorted(out["image_id"]) == sorted(ids)
+
+
+def test_dataclass_adapter_roundtrip():
+    import dataclasses
+    import datetime
+
+    import numpy as np
+
+    from geowave_ray.adapter import DataTypeAdapter
+    from geowave_ray.geom.wkb import Geometry, Point
+
+    @dataclasses.dataclass
+    class Feature:
+        fid: int
+        name: str
+        score: float
+        geom: Geometry
+
+    ad = DataTypeAdapter(Feature)
+    assert ad.schema.names == ["fid", "name", "score", "geom"]
+    rows = [
+        Feature(1, "a", 0.5, Point(1.0, 2.0)),
+        Feature(2, "b", 1.5, Point(-3.0, 4.0)),
+    ]
+    table = ad.to_table(rows)
+    assert table.schema.field("geom").type == "binary"
+    back = ad.from_table(table)
+    assert back[0].fid == 1 and back[1].name == "b"
+    assert isinstance(back[0].geom, Point) and back[0].geom.x == 1.0

@@ -1053,6 +1053,32 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+
+def q_store_bbox_query(sf_dir: str):
+    """End-to-end GeoStore: ingest the derived points into a (tier,
+    cell_prefix)-keyed parquet store, then answer the bbox query via the
+    tier/prefix-PRUNED scan.  Oracle = plain SQL bbox filter, so the
+    pruning must lose no rows."""
+    import tempfile
+
+    from ..store import GeoStore
+
+    store = GeoStore(tempfile.mkdtemp(prefix="geowave_store_"), prefix_bits=3)
+    store.ingest(_events_points(sf_dir), compute_stats=False)
+    from ..geom.wkb import box_polygon
+    from ..query.planner import SpatialQuery
+
+    q = SpatialQuery(box_polygon(BBOX[0], BBOX[1], BBOX[2], BBOX[3]))
+    return store.query(q, columns=["image_id"])
+
+
+SQL_STORE_BBOX = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1097,6 +1123,7 @@ QUERIES = {
     "docs_by_lang": q_docs_by_lang,
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_temporal_cells": q_spatial_temporal_cells,
+    "store_bbox_query": q_store_bbox_query,
 }
 
 ORACLE_SQL = {
@@ -1122,4 +1149,5 @@ ORACLE_SQL = {
     "top_zones": SQL_TOP_ZONES,
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "events_ts_range_by_type": SQL_EVENTS_TS_RANGE,
+    "store_bbox_query": SQL_STORE_BBOX,
 }

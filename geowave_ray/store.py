@@ -42,8 +42,16 @@ class GeoStore:
         self.prefix_bits = prefix_bits
 
     # ------------------------------------------------------------- ingest
-    def ingest(self, ds, lon_col: str = "lon", lat_col: str = "lat") -> StatisticsManifest:
-        """Encode cells, write the keyed layout, persist statistics."""
+    def ingest(
+        self,
+        ds,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        compute_stats: bool = True,
+    ) -> StatisticsManifest:
+        """Encode cells, write the keyed layout, persist statistics.
+        ``compute_stats=False`` skips the read-back statistics pass (tier
+        occupancy still recorded from the directory layout)."""
         encoded = ds.map_batches(
             stage_fn(CellEncoder, bits=self.bits, lon_col=lon_col, lat_col=lat_col),
             batch_format="pyarrow",
@@ -51,14 +59,17 @@ class GeoStore:
         write_partitioned_by_cell(
             encoded, self.root, prefix_bits=self.prefix_bits, bits=self.bits
         )
-        # statistics pass over the written table (reads back pruned columns
-        # only — lon/lat/tier/cell)
         import ray
 
-        written = ray.data.read_parquet(self.root, columns=[lon_col, lat_col, "cell"])
-        stats = compute_statistics(
-            written, lon_col=lon_col, lat_col=lat_col, cell_col="cell"
-        )
+        if compute_stats:
+            written = ray.data.read_parquet(
+                self.root, columns=[lon_col, lat_col, "cell"]
+            )
+            stats = compute_statistics(
+                written, lon_col=lon_col, lat_col=lat_col, cell_col="cell"
+            )
+        else:
+            stats = StatisticsManifest({"count": -1})
         # tier is a partition column; occupancy from directory names
         stats.data["tier_counts"] = {
             str(int(d.split("=")[1])): -1

@@ -94,9 +94,11 @@ class TileAssigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         minx, miny, maxx, maxy, w, h = self._envelope(batch)
+        # level from the UNCLIPPED pixel extent: clamping at world bounds
+        # (poles/antimeridian) must not change the sample resolution
         levels = select_levels(
-            np.maximum(maxx - minx, 1e-12),
-            np.maximum(maxy - miny, 1e-12),
+            w * self.pixel_res_deg,
+            h * self.pixel_res_deg,
             w,
             h,
             self.tile_size,
@@ -269,8 +271,8 @@ class TileRenderStage:
         blobs = batch.column("bytes").to_pylist()
         minx, miny, maxx, maxy, w, h = self.assigner._envelope(batch)
         levels = select_levels(
-            np.maximum(maxx - minx, 1e-12),
-            np.maximum(maxy - miny, 1e-12),
+            w * self.assigner.pixel_res_deg,
+            h * self.assigner.pixel_res_deg,
             w,
             h,
             ts,

@@ -129,3 +129,21 @@ def test_empty_query_result(ray_session):
     q = SpatialQuery(box_polygon(0.001, 0.001, 0.002, 0.002))
     out = q.apply(ray.data.from_arrow(t))
     assert out.count() in (0, 1)  # almost surely 0
+
+
+def test_tile_assigner_pole_rows_bounded():
+    """Regression: images at lat=±90 must not explode to millions of cells
+    (level comes from pixel extent, not the pole-clipped envelope)."""
+    from geowave_ray.stages.tiles import TileAssigner
+
+    batch = pa.table(
+        {
+            "image_id": ["p1", "p2", "p3"],
+            "lon": [137.52, 0.0, -180.0],
+            "lat": [-90.0, 90.0, -90.0],
+            "w": pa.array([213, 256, 64], type=pa.int32()),
+            "h": pa.array([213, 256, 64], type=pa.int32()),
+        }
+    )
+    out = TileAssigner(pixel_res_deg=1e-3, keep_cols=("image_id",))(batch)
+    assert len(out) <= 30  # a handful of cells each, never millions

@@ -154,8 +154,14 @@ def main() -> None:
                         "GRAFT_RENDER_IMAGES": scale_render,
                     },
                 )
-                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-                res = json.loads(line)
+                json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+                if proc.returncode != 0 or not json_lines:
+                    sys.stderr.write(
+                        f"scaling child (num_cpus={cpus}) failed "
+                        f"rc={proc.returncode}\n--- child stderr ---\n{proc.stderr}\n"
+                    )
+                    sys.exit(1)
+                res = json.loads(json_lines[-1])
                 # best-of-N (the sandbox host is noisy; min wall time is the
                 # standard estimator of true capacity)
                 if best is None or res["rows_per_sec"] > best["rows_per_sec"]:

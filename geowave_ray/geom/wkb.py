@@ -76,8 +76,13 @@ def _parse(buf: memoryview, off: int) -> tuple[Geometry, int]:
     byte_order = buf[off]
     fmt = "<" if byte_order == 1 else ">"
     (gtype,) = struct.unpack_from(fmt + "I", buf, off + 1)
-    gtype &= 0xFF  # strip SRID/dimension flags (2-D only)
+    has_srid = bool(gtype & 0x20000000)  # EWKB SRID flag (PostGIS)
+    if gtype & 0xC0000000:  # Z/M flags — only 2-D payloads are supported
+        raise ValueError("3-D/measured WKB not supported (Z/M flag set)")
+    gtype &= 0xFF  # strip remaining flags (2-D only)
     off += 5
+    if has_srid:
+        off += 4  # skip the 4-byte SRID value that follows the type word
     if gtype == _PT:
         x, y = struct.unpack_from(fmt + "dd", buf, off)
         return Point(x, y), off + 16

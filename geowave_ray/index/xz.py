@@ -48,13 +48,21 @@ class XZOrderSFC:
         nx0, ny0, nx1, ny1 = self._normalize(minx, miny, maxx, maxy)
         w = np.maximum(np.maximum(nx1 - nx0, ny1 - ny0), 1e-12)
         l1 = np.clip(np.floor(np.log(w) / np.log(0.5)), 0, self.g).astype(np.int64)
-        # verify the enlarged element covers the box; else step up one level
-        for _ in range(2):
-            cs = 0.5**l1.astype(np.float64)  # cell size at level l1
+
+        def fits_at(lv):
+            cs = 0.5 ** lv.astype(np.float64)  # cell size at level lv
             cx = np.floor(nx0 / cs) * cs
             cy = np.floor(ny0 / cs) * cs
-            fits = (nx1 <= cx + 2 * cs) & (ny1 <= cy + 2 * cs)
-            l1 = np.where(fits, l1, np.maximum(l1 - 1, 0))
+            return (nx1 <= cx + 2 * cs) & (ny1 <= cy + 2 * cs)
+
+        # probe one level DEEPER first: the reference sequence-length choice
+        # (XZOrderSFC.java:44-120) prefers l1+1 when the doubled element at
+        # the deeper level still covers the object
+        deeper = np.minimum(l1 + 1, self.g)
+        l1 = np.where((deeper > l1) & fits_at(deeper), deeper, l1)
+        # then verify the chosen level; step coarser until it covers
+        for _ in range(2):
+            l1 = np.where(fits_at(l1), l1, np.maximum(l1 - 1, 0))
         return l1
 
     def encode_boxes(self, minx, miny, maxx, maxy) -> np.ndarray:

@@ -161,10 +161,12 @@ def write_partitioned_by_cell(ds, root: str, prefix_bits: int = 8, bits: int = 3
     cell prefix — the resumable keyed layout for range-pruned scans."""
     import pyarrow.dataset  # noqa: F401
 
-    shift = np.uint64(2 * (bits - prefix_bits))
-
     def add_prefix(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tier = batch.column("tier").to_numpy(zero_copy_only=False).astype(np.int64)
+        # prefix on the tier's OWN bits: a tier-t cell id has 2t bits, so
+        # coarse tiers keep prefix == full cell (prunable per coarse cell)
+        shift = np.clip(2 * tier - 2 * prefix_bits, 0, None).astype(np.uint64)
         return batch.append_column(
             "cell_prefix", pa.array((cell >> shift).astype(np.int64))
         )

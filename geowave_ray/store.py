@@ -92,26 +92,21 @@ class GeoStore:
             [int(t) for t in stats.data.get("tier_counts", {})] if stats else None
         )
         ranges = query.query_ranges(strategy, max_ranges=256)
-        shift_of = {}
-        wanted: dict[int, set[int]] = {}
+        wanted: dict[int, set[int] | None] = {}
         for r in ranges:
             if occupied is not None and r.tier not in occupied:
                 continue
-            shift = 2 * max(r.tier, 0) - self.prefix_bits * 2
-            # prefix of a cell at this tier: cells are tier-local; the
-            # written prefix is on 31-bit cells, so only finest-tier data
-            # uses prefix pruning; coarser tiers read whole tier dirs
-            wanted.setdefault(r.tier, set())
-            if r.tier == self.bits:
-                shift = 2 * self.bits - 2 * self.prefix_bits
-                lo_p = int(r.lo) >> shift
-                hi_p = int(r.hi) >> shift
-                if hi_p - lo_p <= 4096:
-                    wanted[r.tier].update(range(lo_p, hi_p + 1))
-                else:
-                    wanted[r.tier] = None  # whole tier
+            if r.tier in wanted and wanted[r.tier] is None:
+                continue  # already whole-tier; don't .update() a None
+            # prefix of a cell at this tier, on that tier's OWN bits
+            # (matches write_partitioned_by_cell's per-tier shift)
+            shift = max(0, 2 * r.tier - 2 * self.prefix_bits)
+            lo_p = int(r.lo) >> shift
+            hi_p = int(r.hi) >> shift
+            if hi_p - lo_p <= 4096:
+                wanted.setdefault(r.tier, set()).update(range(lo_p, hi_p + 1))
             else:
-                wanted[r.tier] = None
+                wanted[r.tier] = None  # whole tier
         paths = []
         for tier, prefixes in wanted.items():
             tier_dir = os.path.join(self.root, f"tier={tier}")
@@ -167,14 +162,14 @@ class GeoStore:
         store's columnar scan with projection keeps this cheap in-sandbox)."""
         import ray
 
-        wanted = set(ids)
+        wanted = pa.array(list(ids))
         ds = ray.data.read_parquet(self.root)
 
         def keep(batch: pa.Table) -> pa.Table:
-            mask = np.array(
-                [v in wanted for v in batch.column(id_col).to_pylist()]
-            )
-            return batch.filter(pa.array(mask))
+            col = batch.column(id_col)
+            if col.type != wanted.type:
+                col = col.cast(wanted.type)
+            return batch.filter(pa.compute.is_in(col, value_set=wanted))
 
         keep.__name__ = "data_id_lookup"
         return ds.map_batches(keep, batch_format="pyarrow")

@@ -257,3 +257,35 @@ def test_custom_cell_scheme_extension(ray_session):
     )
     assert out["count()"].sum() == 1000
     assert set(out["cell"]).issubset(set(range(18)))
+
+
+def test_xz_prefers_deeper_level_when_doubled_element_covers():
+    """ADVICE parity: XZOrderSFC probes l1+1 and keeps it when the doubled
+    element at the deeper level still covers the box (XZOrderSFC.java:44-120).
+    A box anchored at the origin of width 0.3 (normalized) fits a doubled
+    level-2 element (2*0.25=0.5 >= 0.3), so level 2 is chosen over l1=1."""
+    xz = XZOrderSFC()
+    lv = xz.level_of(
+        np.array([-180.0]), np.array([-90.0]),
+        np.array([-180.0 + 0.3 * 360]), np.array([-90.0 + 0.3 * 180]),
+    )
+    assert lv[0] == 2
+    # still covered: element_extent at the chosen level contains the box
+    ex0, ey0, ex1, ey1 = xz.element_extent(
+        np.array([-180.0]), np.array([-90.0]),
+        np.array([-180.0 + 0.3 * 360]), np.array([-90.0 + 0.3 * 180]),
+    )
+    assert ex0[0] <= -180 and ex1[0] >= -180 + 0.3 * 360 - 1e-9
+
+
+def test_ewkb_srid_payload():
+    """EWKB with the 0x20000000 SRID flag parses with the 4-byte SRID
+    skipped (round-2 ADVICE: PostGIS exports)."""
+    import struct
+
+    from geowave_ray.geom.wkb import parse_wkb
+
+    # little-endian EWKB point with SRID=4326
+    buf = struct.pack("<BIIdd", 1, 0x20000001, 4326, 12.5, -3.25)
+    g = parse_wkb(buf)
+    assert (g.x, g.y) == (12.5, -3.25)

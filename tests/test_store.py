@@ -107,3 +107,20 @@ def test_dataclass_adapter_roundtrip():
     back = ad.from_table(table)
     assert back[0].fid == 1 and back[1].name == "b"
     assert isinstance(back[0].geom, Point) and back[0].geom.x == 1.0
+
+
+def test_whole_world_query_wide_prefix_span(store):
+    """Regression (round-2 ADVICE): a finest-tier range spanning >4096
+    prefixes marks the tier whole-tier; later narrow ranges at the same
+    tier must not .update() the None marker."""
+    s, t, _ = store
+    q = SpatialQuery(box_polygon(-180, -90, 180, 90))
+    out = s.query(q, columns=["image_id"]).to_pandas()
+    assert len(out) == 3000
+
+
+def test_store_lookup_by_id(store):
+    s, t, _ = store
+    ids = t.column("image_id").to_pylist()[:5]
+    out = s.lookup(ids).to_pandas()
+    assert sorted(out["image_id"]) == sorted(ids)

@@ -215,10 +215,11 @@ def global_stats(ds, value_col: str, id_col: str | None = None):
             if pa.types.is_integer(ids.type):
                 hll.add_ints(ids.to_numpy(zero_copy_only=False))
             else:
-                hh = np.array(
-                    [hash(x) & 0x7FFFFFFFFFFFFFFF for x in ids.to_pylist()],
-                    dtype=np.uint64,
-                )
+                from .texthash import hash_strings
+
+                # deterministic across workers (builtin hash() of str is
+                # PYTHONHASHSEED-randomized per process — round-2 ADVICE)
+                hh = hash_strings(ids.to_pylist())
                 hll.add_hashed(HyperLogLog._hash(hh))
             out["hll"] = pa.array([hll.to_bytes()], type=pa.large_binary())
         return pa.table(out)

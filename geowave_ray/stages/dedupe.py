@@ -4,21 +4,30 @@ Beyond the reference's exact DedupeFilter
 (core/store/.../query/filter/DedupeFilter.java:23-52 — drop repeat
 (adapter, dataId) pairs), this adds the standard near-dup family a 100 TB
 text/image corpus needs: MinHash+LSH, SimHash, n-gram Jaccard verification,
-and phash-based near-dup for images.  All hashing is deterministic NumPy
-(no Python ``hash``), so results are stable across workers and runs.
+and phash-based near-dup for images.  All hashing is deterministic and
+batch-vectorized via stages/texthash (codepoint arithmetic, exactly
+mirrored by DuckDB oracle SQL — no Python ``hash``, no per-character
+loops), so results are stable across workers and runs AND hard-verifiable.
 
 Scale shape: shingle/minhash/simhash run vectorized in ``map_batches``;
-candidate generation is a ``groupby(bucket)``; only candidate PAIRS (tiny
-vs corpus) reach the driver for union-find.  At full scale the union-find
-step is itself a fixed-point of groupby(min-neighbor) iterations — the
-driver-side variant here is bounded by the candidate-pair count, not the
-corpus size.
+candidate generation is a ``groupby(bucket)``; duplicate-group merging is
+distributed iterated min-label propagation (stages/components), never a
+driver-side union-find over the corpus.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from .texthash import (
+    minhash_matrix,
+    shingle_hashes,
+    shingle_hashes_single,
+    simhash_batch,
+    splitmix64,
+    tokenize_hash,
+)
 
 __all__ = [
     "exact_dedupe",
@@ -32,52 +41,7 @@ __all__ = [
     "phash_near_dupes",
 ]
 
-
-def _hash_bytes_vec(strings: list[bytes | str]) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a over byte strings (vector loop in C via
-    numpy frombuffer per string is overkill; this is O(total bytes))."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        if isinstance(s, str):
-            s = s.encode("utf-8", "ignore")
-        h = np.uint64(0xCBF29CE484222325)
-        # chunked FNV via numpy for long strings
-        a = np.frombuffer(s, dtype=np.uint8)
-        for b in a:
-            h = np.uint64((int(h) ^ int(b)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
-def _splitmix(z: np.ndarray) -> np.ndarray:
-    z = z + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
-
-
-def _token_hashes(text: str) -> np.ndarray:
-    """Whitespace tokens -> 64-bit rolling polynomial hashes (deterministic)."""
-    toks = text.lower().split()
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = np.uint64(1469598103934665603)
-        for ch in t.encode("utf-8", "ignore"):
-            h = np.uint64((int(h) * 31 + ch) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-token shingles -> combined hashes."""
-    th = _token_hashes(text)
-    if len(th) < k:
-        return _splitmix(th) if len(th) else np.zeros(1, dtype=np.uint64)
-    # rolling combine of k consecutive token hashes
-    acc = th[: len(th) - k + 1].copy()
-    for j in range(1, k):
-        acc = acc * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j]
-    return np.unique(_splitmix(acc))
+_splitmix = splitmix64  # back-compat alias (phash derivations, tests)
 
 
 def exact_dedupe(ds, key_col: str, id_col: str):
@@ -92,32 +56,41 @@ def exact_dedupe(ds, key_col: str, id_col: str):
 
 
 class MinHasher:
-    """n_perm minhash signatures over k-token shingles (map_batches fn)."""
+    """n_perm minhash signatures over k-token shingles (map_batches fn).
+    Permutation constants come from rng(2024) so the DuckDB oracle can embed
+    the identical literals."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 64, k: int = 3):
-        rng = np.random.default_rng(2024)
-        self.a = rng.integers(1, 2**61 - 1, n_perm, dtype=np.uint64) | np.uint64(1)
-        self.b = rng.integers(0, 2**61 - 1, n_perm, dtype=np.uint64)
+        self.a, self.b = minhash_perms(n_perm)
         self.n_perm = n_perm
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (n_perm, n_shingles) universal hash, take min per perm
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None])
-        return vals.min(axis=1)
+        sh = shingle_hashes_single(text, self.k)
+        return (sh[None, :] * self.a[:, None] + self.b[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        tb = tokenize_hash(texts)
+        sh, sho = shingle_hashes(tb, self.k)
+        sigs = minhash_matrix(sh, sho, self.a, self.b)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "sig": pa.array(list(sigs), type=pa.list_(pa.uint64(), self.n_perm)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), type=pa.uint64()), self.n_perm
+                ),
             }
         )
+
+
+def minhash_perms(n_perm: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(2024)
+    a = rng.integers(1, 2**61 - 1, n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**61 - 1, n_perm, dtype=np.uint64)
+    return a, b
 
 
 def minhash_signatures(ds, text_col="text", id_col="doc_id", n_perm=64, k=3):
@@ -126,20 +99,41 @@ def minhash_signatures(ds, text_col="text", id_col="doc_id", n_perm=64, k=3):
     )
 
 
-def lsh_candidate_pairs(sig_ds, id_col="doc_id", bands: int = 16, rows: int = 4):
-    """Band signatures into buckets; groupby(bucket) emits candidate pairs.
-    bands*rows must equal n_perm.  Returns Dataset of (id_a, id_b)."""
+def _sig_matrix(batch: pa.Table, n_perm: int) -> np.ndarray:
+    """FixedSizeList<uint64> -> (n, n_perm) zero-copy."""
+    col = batch.column("sig")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, n_perm)
+
+
+def lsh_candidate_pairs(
+    sig_ds,
+    id_col="doc_id",
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket: int | None = None,
+):
+    """Band signatures into buckets; groupby(bucket) emits candidate pairs
+    (id_a < id_b, deduplicated downstream).  bands*rows must equal n_perm.
+
+    ``max_bucket``: optional skew guard — a bucket with more members only
+    emits the star (min_id, other) edges instead of all pairs, which
+    preserves connected components while bounding a degenerate bucket to
+    O(n) output (logged, not silent).  Default None = exact all-pairs
+    (matches the band-equality SQL oracle)."""
+    n_perm = bands * rows
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+        sigs = _sig_matrix(batch, n_perm)
         n = len(batch)
-        out_ids, out_buckets = [], np.empty(n * bands, dtype=np.uint64)
+        ids = batch.column(id_col)
+        out_buckets = np.empty(n * bands, dtype=np.uint64)
         for b in range(bands):
             seg = sigs[:, b * rows : (b + 1) * rows]
             h = np.full(n, np.uint64(b + 1), dtype=np.uint64)
             for r in range(rows):
-                h = _splitmix(h ^ seg[:, r])
+                h = splitmix64(h ^ seg[:, r])
             out_buckets[b * n : (b + 1) * n] = h
         idx = np.tile(np.arange(n), bands)
         return pa.table(
@@ -150,25 +144,32 @@ def lsh_candidate_pairs(sig_ds, id_col="doc_id", bands: int = 16, rows: int = 4)
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
+        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+        t = group.schema.field(id_col).type
         if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], type=group.schema.field(id_col).type),
-                 "id_b": pa.array([], type=group.schema.field(id_col).type)}
-            )
-        a, b = [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+            return pa.table({"id_a": pa.array([], type=t), "id_b": pa.array([], type=t)})
+        if max_bucket is not None and len(ids) > max_bucket:
+            import logging
 
+            logging.getLogger(__name__).warning(
+                "lsh bucket size %d > max_bucket=%d: emitting star edges only",
+                len(ids), max_bucket,
+            )
+            a = np.full(len(ids) - 1, ids[0])
+            b = ids[1:]
+        else:
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a, b = ids[iu], ids[ju]
+        return pa.table({"id_a": pa.array(a, type=t), "id_b": pa.array(b, type=t)})
+
+    pairs.__name__ = "lsh_bucket_pairs"
+    to_buckets.__name__ = "lsh_band_buckets"
     buckets = sig_ds.map_batches(to_buckets, batch_format="pyarrow")
     return buckets.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
 
 
 class SimHasher:
-    """64-bit simhash over token hashes (map_batches fn)."""
+    """64-bit simhash over token hashes (map_batches fn, batch-vectorized)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -176,19 +177,11 @@ class SimHasher:
 
     @staticmethod
     def of(text: str) -> int:
-        th = _splitmix(_token_hashes(text))
-        if len(th) == 0:
-            return 0
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        score = (2 * bits - 1).sum(axis=0)
-        return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-
+        return int(simhash_batch(tokenize_hash([text or ""]))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        sh = np.array([self.of(t or "") for t in texts], dtype=np.uint64)
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        sh = simhash_batch(tokenize_hash(texts))
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
@@ -202,13 +195,14 @@ def simhash64(ds, text_col="text", id_col="doc_id"):
 
 
 def jaccard_pairs(pairs: list[tuple], texts: dict, k: int = 3, threshold: float = 0.8):
-    """Verify candidate pairs by exact shingle Jaccard (driver-side, tiny)."""
+    """Verify candidate pairs by exact shingle Jaccard (driver-side, tiny —
+    bounded by the candidate-pair count, not the corpus)."""
     out = []
     cache: dict = {}
 
     def sh(i):
         if i not in cache:
-            cache[i] = set(_shingle_hashes(texts[i], k).tolist())
+            cache[i] = set(shingle_hashes_single(texts[i], k).tolist())
         return cache[i]
 
     for a, b in pairs:
@@ -222,7 +216,9 @@ def jaccard_pairs(pairs: list[tuple], texts: dict, k: int = 3, threshold: float 
 
 
 def union_find_keep_min(ids: list, edges: list[tuple]) -> dict:
-    """Connected components over dup edges; representative = min id."""
+    """Connected components over dup edges; representative = min id.
+    Driver-side reference implementation — the distributed path is
+    stages/components.connected_components_min_label."""
     parent = {i: i for i in ids}
 
     def find(x):
@@ -243,10 +239,18 @@ def union_find_keep_min(ids: list, edges: list[tuple]) -> dict:
     return {i: find(i) for i in parent}
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    b = np.unpackbits(x.reshape(-1).view(np.uint8))
+    return b.reshape(*x.shape, 64).sum(axis=-1, dtype=np.int64)
+
+
 def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int = 2, bands: int = 4):
     """Image near-dup via 64-bit perceptual hash: band the hash into
-    ``bands`` exact-match buckets (any pair within hamming distance
-    bands-1 shares >=1 band), verify hamming distance in-group."""
+    ``bands`` exact-match buckets (pigeonhole: any pair within hamming
+    distance bands-1 shares >=1 band, so max_hamming < bands makes the
+    output EXACTLY all pairs within max_hamming), verify hamming in-group
+    with a vectorized pairwise popcount."""
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ph = batch.column(phash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -257,7 +261,7 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
         buckets = np.empty(n * bands, dtype=np.uint64)
         for b in range(bands):
             seg = (ph >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
-            buckets[b * n : (b + 1) * n] = _splitmix(seg ^ np.uint64(b << 60))
+            buckets[b * n : (b + 1) * n] = splitmix64(seg ^ np.uint64(b << 60))
         return pa.table(
             {
                 id_col: ids.take(pa.array(idx)),
@@ -267,22 +271,22 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        ph = group.column(phash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        uniq = {}
-        for i, d in enumerate(ids):
-            uniq.setdefault(d, i)
-        items = sorted(uniq.items())
-        a_out, b_out = [], []
-        for i in range(len(items) - 1):
-            for j in range(i + 1, len(items)):
-                x = int(ph[items[i][1]]) ^ int(ph[items[j][1]])
-                if bin(x).count("1") <= max_hamming:
-                    a_out.append(items[i][0])
-                    b_out.append(items[j][0])
+        ids_all = group.column(id_col).to_numpy(zero_copy_only=False)
+        ph_all = group.column(phash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids, first = np.unique(ids_all, return_index=True)
         t = group.schema.field(id_col).type
-        return pa.table({"id_a": pa.array(a_out, type=t), "id_b": pa.array(b_out, type=t)})
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], type=t), "id_b": pa.array([], type=t)})
+        ph = ph_all[first]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(ph[iu] ^ ph[ju])
+        keep = ham <= max_hamming
+        return pa.table(
+            {"id_a": pa.array(ids[iu[keep]], type=t), "id_b": pa.array(ids[ju[keep]], type=t)}
+        )
 
+    pairs.__name__ = "phash_bucket_pairs"
+    to_buckets.__name__ = "phash_band_buckets"
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     raw_pairs = buckets.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
 
@@ -292,6 +296,7 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
         b = [str(x) for x in batch.column("id_b").to_pylist()]
         return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
 
+    keyed.__name__ = "pair_key"
     uniq = exact_dedupe(
         raw_pairs.map_batches(keyed, batch_format="pyarrow"), key_col="pair", id_col="pair"
     )

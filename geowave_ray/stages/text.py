@@ -3,71 +3,138 @@ document fingerprinting.
 
 These are the training-data-pipeline operators layered on the engine (the
 reference's closest analog is the TextIndexStrategy n-gram machinery,
-core/index/.../text/TextIndexStrategy.java).  All vectorized / compiled-
-regex; regexes and stopword tables are built once per worker in
-``__init__``.
+core/index/.../text/TextIndexStrategy.java).  All counting/hashing runs
+batch-vectorized over a single codepoint array per batch (stages/texthash
+kernels — no per-row or per-character Python loops), and every output is
+defined by integer/codepoint arithmetic a DuckDB oracle can mirror exactly.
+
+Char classes are ASCII-exact (matching RE2 semantics so the SQL oracle
+agrees): word = [A-Za-z0-9_], digit = [0-9], whitespace = [\\t\\n\\v\\f\\r ].
+Codepoints > 127 count as word characters (not punctuation).
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-__all__ = ["TextFeatures", "LangId", "Fingerprinter", "ngrams_of"]
+from .texthash import (
+    TokenizedBatch,
+    _codepoints,
+    fingerprint_batch,
+    hash_strings,
+    tokenize_hash,
+)
 
-_STOPWORDS = {
+__all__ = ["TextFeatures", "LangId", "Fingerprinter", "ngrams_of", "STOPWORDS"]
+
+STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at", "by"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "für", "von", "im"},
     "fr": {"le", "la", "les", "et", "est", "une", "un", "que", "pour", "dans", "avec", "sur", "pas", "des"},
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por", "para", "con", "del", "en"},
 }
+_STOPWORDS = STOPWORDS  # back-compat alias
+
+
+def _char_class_counts(texts: list[str]) -> dict[str, np.ndarray]:
+    """Vectorized per-doc counts over the raw (unlowered) codepoint stream:
+    punct ([^\\w\\s] ASCII), alpha runs, digit runs, other non-ws chars."""
+    n = len(texts)
+    cp, offsets = _codepoints(texts)
+    m = len(cp)
+    zeros = np.zeros(n, dtype=np.int64)
+    if m == 0:
+        return {"n_punct": zeros, "n_subtokens": zeros.copy()}
+    ws = (cp == 32) | ((cp >= 9) & (cp <= 13))
+    alpha = ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+    digit = (cp >= 48) & (cp <= 57)
+    word = alpha | digit | (cp == 95) | (cp > 127)
+    punct = ~word & ~ws
+    doc_id = np.repeat(np.arange(n), np.diff(offsets))
+    n_punct = np.bincount(doc_id, weights=punct, minlength=n).astype(np.int64)
+
+    def run_starts(mask: np.ndarray) -> np.ndarray:
+        starts = mask.copy()
+        starts[1:] &= ~mask[:-1]
+        # doc boundaries restart runs
+        ds = offsets[:-1]
+        ds = ds[ds < m]
+        starts[ds] = mask[ds]
+        return starts
+
+    # BPE-ish subtoken count: [A-Za-z]+ runs + [0-9]+ runs + each remaining
+    # non-ws char (punctuation or >127) counted individually
+    other = ~alpha & ~digit & ~ws
+    sub = (
+        np.bincount(doc_id, weights=run_starts(alpha), minlength=n)
+        + np.bincount(doc_id, weights=run_starts(digit), minlength=n)
+        + np.bincount(doc_id, weights=other, minlength=n)
+    ).astype(np.int64)
+    return {"n_punct": n_punct, "n_subtokens": sub}
 
 
 class TextFeatures:
-    """Adds n_tokens, n_chars, avg_token_len, punct_ratio, stopword_ratio,
-    quality_score.  Token rule: whitespace split + a BPE-ish word/number/
-    punctuation regex for sub-token counting."""
+    """Adds token/char counts, ratios and a quality score.
+
+    Integer columns (exact, SQL-oracle-able): n_tokens, n_subtokens,
+    n_chars_calc, n_punct, n_stop, sum_token_len, quality_milli.
+    Float columns (derived): avg_token_len, punct_ratio, stopword_ratio,
+    quality_score.
+
+    quality_milli = 20*min(n_tokens,20)
+                  + (400*min(3*n_stop, max(n_tokens,1))) // max(n_tokens,1)
+                  + (200*max(n_chars-4*n_punct, 0)) // max(n_chars,1)
+    (the integer-exact form of the float heuristic: length band + stopword
+    evidence - punctuation noise).
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.all_stop = set().union(*_STOPWORDS.values())
+        words = sorted(set().union(*STOPWORDS.values()))
+        self.stop_hashes = np.sort(hash_strings(words))
+        assert len(np.unique(self.stop_hashes)) == len(words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
         n = len(texts)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        n_sub = np.zeros(n, dtype=np.int64)
-        n_chars = np.zeros(n, dtype=np.int64)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        avg_tok = np.zeros(n)
-        for i, t in enumerate(texts):
-            t = t or ""
-            toks = t.split()
-            n_tokens[i] = len(toks)
-            n_sub[i] = len(self.word_re.findall(t))
-            n_chars[i] = len(t)
-            punct_ratio[i] = len(self.punct_re.findall(t)) / max(len(t), 1)
-            stop_ratio[i] = sum(1 for w in toks if w.lower() in self.all_stop) / max(
-                len(toks), 1
-            )
-            avg_tok[i] = np.mean([len(w) for w in toks]) if toks else 0.0
-        # simple quality heuristic: length band + stopword evidence - punct noise
+        tb: TokenizedBatch = tokenize_hash(texts)
+        n_tokens = tb.n_tokens
+        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        cc = _char_class_counts(texts)
+        n_punct = cc["n_punct"]
+        stop_hit = np.isin(tb.tok_hashes, self.stop_hashes)
+        n_stop = np.zeros(n, dtype=np.int64)
+        sum_tok = np.zeros(n, dtype=np.int64)
+        ne = n_tokens > 0
+        if ne.any():
+            starts = tb.tok_offsets[:-1][ne]
+            n_stop[ne] = np.add.reduceat(stop_hit.astype(np.int64), starts)
+            sum_tok[ne] = np.add.reduceat(tb.tok_lens, starts)
+        nt1 = np.maximum(n_tokens, 1)
+        nc1 = np.maximum(n_chars, 1)
+        punct_ratio = n_punct / nc1
+        stop_ratio = n_stop / nt1
+        avg_tok = sum_tok / nt1
         quality = (
             np.clip(n_tokens / 20.0, 0, 1) * 0.4
             + np.clip(stop_ratio * 3, 0, 1) * 0.4
             + (1 - np.clip(punct_ratio * 4, 0, 1)) * 0.2
         )
+        quality_milli = (
+            20 * np.minimum(n_tokens, 20)
+            + (400 * np.minimum(3 * n_stop, nt1)) // nt1
+            + (200 * np.maximum(n_chars - 4 * n_punct, 0)) // nc1
+        )
         out = batch
         for name, arr in [
             ("n_tokens", n_tokens),
-            ("n_subtokens", n_sub),
+            ("n_subtokens", cc["n_subtokens"]),
             ("n_chars_calc", n_chars),
+            ("n_punct", n_punct),
+            ("n_stop", n_stop),
+            ("sum_token_len", sum_tok),
+            ("quality_milli", quality_milli),
             ("avg_token_len", avg_tok),
             ("punct_ratio", punct_ratio),
             ("stopword_ratio", stop_ratio),
@@ -79,32 +146,40 @@ class TextFeatures:
 
 class LangId:
     """Stopword-vote language ID over {en, de, fr, es}, 'und' (undetermined)
-    when no stopwords hit.  A deterministic n-gram/stopword heuristic — not a
-    trained model (none available here)."""
+    when no stopwords hit; ties keep the earlier language in (en, de, fr,
+    es) order.  A deterministic heuristic — not a trained model (none
+    available here).  Vectorized: token-hash membership + per-doc reduceat."""
+
+    LANGS = ("en", "de", "fr", "es")
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
-
-    def classify(self, text: str) -> str:
-        toks = [w.lower() for w in (text or "").split()]
-        best, best_n = "und", 0
-        for lang, table in self.tables.items():
-            hits = sum(1 for w in toks if w in table)
-            if hits > best_n:
-                best, best_n = lang, hits
-        return best
+        self.tables = [
+            np.sort(hash_strings(sorted(STOPWORDS[lang]))) for lang in self.LANGS
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch.column(self.text_col).to_pylist()]
-        return batch.append_column(self.out_col, pa.array(preds))
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        n = len(texts)
+        tb = tokenize_hash(texts)
+        hits = np.zeros((len(self.LANGS), n), dtype=np.int64)
+        ne = tb.n_tokens > 0
+        if ne.any():
+            starts = tb.tok_offsets[:-1][ne]
+            for li, table in enumerate(self.tables):
+                hit = np.isin(tb.tok_hashes, table).astype(np.int64)
+                hits[li, ne] = np.add.reduceat(hit, starts)
+        best = np.argmax(hits, axis=0)  # first max wins == loop order
+        preds = np.array(self.LANGS, dtype=object)[best]
+        preds[hits.max(axis=0) == 0] = "und"
+        return batch.append_column(self.out_col, pa.array(preds.tolist()))
 
 
 class Fingerprinter:
-    """Rolling-hash document fingerprint (winnowing-lite): 64-bit polynomial
-    rolling hash over the char stream; fingerprint = min-sampled k hashes
-    xor-folded.  Deterministic across workers."""
+    """Rolling-hash document fingerprint (winnowing-lite; spec in
+    stages/texthash): base-257 codepoint windows of ``window`` chars,
+    fingerprint = XOR-fold of the 8 smallest window hashes * GOLD."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint", window: int = 16):
         self.text_col = text_col
@@ -112,33 +187,11 @@ class Fingerprinter:
         self.window = window
 
     def of(self, text: str) -> int:
-        data = (text or "").encode("utf-8", "ignore")
-        if len(data) < self.window:
-            h = 0xCBF29CE484222325
-            for b in data:
-                h = (h ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-            return h
-        a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        base = np.uint64(257)
-        # rolling hash of each window via prefix powers
-        pw = np.ones(self.window, dtype=np.uint64)
-        for i in range(1, self.window):
-            pw[i] = pw[i - 1] * base
-        n = len(a) - self.window + 1
-        windows = np.lib.stride_tricks.sliding_window_view(a, self.window)
-        hs = (windows * pw[::-1]).sum(axis=1)
-        # min-sample 8 and fold
-        k = min(8, n)
-        sel = np.sort(hs)[:k]
-        out = np.uint64(0)
-        for v in sel:
-            out ^= v * np.uint64(0x9E3779B97F4A7C15)
-        return int(out)
+        return int(fingerprint_batch([text or ""], self.window)[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = np.array(
-            [self.of(t) for t in batch.column(self.text_col).to_pylist()],
-            dtype=np.uint64,
+        fps = fingerprint_batch(
+            [t or "" for t in batch.column(self.text_col).to_pylist()], self.window
         )
         return batch.append_column(self.out_col, pa.array(fps, type=pa.uint64()))
 

@@ -118,11 +118,10 @@ def compute_statistics(
             if pa.types.is_integer(arr.type):
                 h.add_ints(arr.to_numpy(zero_copy_only=False))
             else:
-                vals = np.array(
-                    [hash(x) & 0x7FFFFFFFFFFFFFFF for x in arr.to_pylist()],
-                    dtype=np.uint64,
-                )
-                h.add_hashed(HyperLogLog._hash(vals))
+                from ..stages.texthash import hash_strings
+
+                # deterministic across workers (no PYTHONHASHSEED dependence)
+                h.add_hashed(HyperLogLog._hash(hash_strings(arr.to_pylist())))
             hlls[c] = h.to_bytes().hex()
         if hlls:
             out["hll"] = hlls

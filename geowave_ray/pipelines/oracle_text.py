@@ -1,0 +1,189 @@
+"""DuckDB oracle SQL generators for the text/dedup/sample query family.
+
+Each builder returns a single SQL statement that recomputes the engine's
+deterministic hash spec (stages/texthash docstring) in pure SQL — HUGEINT
+mod-2**64 arithmetic over Unicode codepoints — so the driver's correctness
+gate hard-verifies these pipelines instead of recording rows-only.
+"""
+
+from __future__ import annotations
+
+from ..stages.dedupe import minhash_perms
+from ..stages.text import STOPWORDS
+from ..stages.texthash import (
+    GOLD,
+    M64_SQL,
+    SHINGLE_F,
+    sql_mulmod64,
+    sql_pow_literal,
+    sql_splitmix64,
+    sql_tokens,
+    sql_tokhash_list,
+)
+
+_GOLD = int(GOLD)
+_F = int(SHINGLE_F)
+
+
+def _tok_cte(table: str = "documents", text_col: str = "text") -> str:
+    """CTEs `pw` (power literals) and `tok` (doc_id, tokens, th)."""
+    tokens = sql_tokens(f"d.{text_col}")
+    return f"""
+pw AS (SELECT {sql_pow_literal(31, 64)} AS P31),
+tok AS (
+  SELECT d.doc_id, {tokens} AS tokens, {sql_tokhash_list(tokens)} AS th
+  FROM {table} d CROSS JOIN pw
+)""".strip()
+
+
+def _shingle_expr(th: str = "th") -> str:
+    """Shingle-hash list for a token-hash list expression (k=3)."""
+    sm_x = sql_splitmix64("x::HUGEINT")
+    comb = (
+        f"((({th}[j]*{_F}::HUGEINT + {th}[j+1]) % {M64_SQL})"
+        f"*{_F}::HUGEINT + {th}[j+2]) % {M64_SQL}"
+    )
+    sm_comb = sql_splitmix64(comb)
+    return f"""CASE
+  WHEN len({th}) = 0 THEN [0::HUGEINT]
+  WHEN len({th}) < 3 THEN list_transform({th}, x -> {sm_x})
+  ELSE list_transform(range(1, len({th}) - 1), j -> {sm_comb})
+END"""
+
+
+def sql_langid() -> str:
+    def inlist(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        return f"len(list_filter(tokens, tk -> tk IN ({words})))"
+
+    return f"""
+WITH {_tok_cte()}
+, votes AS (
+  SELECT doc_id, {inlist('en')} AS h_en, {inlist('de')} AS h_de,
+         {inlist('fr')} AS h_fr, {inlist('es')} AS h_es
+  FROM tok)
+SELECT doc_id,
+  CASE
+    WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+    WHEN h_fr >= h_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM votes
+"""
+
+
+def sql_quality() -> str:
+    all_stop = ",".join(f"'{w}'" for w in sorted(set().union(*STOPWORDS.values())))
+    return rf"""
+WITH {_tok_cte()}
+, feat AS (
+  SELECT t.doc_id,
+         len(t.tokens) AS n_tokens,
+         len(list_filter(t.tokens, tk -> tk IN ({all_stop}))) AS n_stop,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS n_punct,
+         length(d.text) AS n_chars
+  FROM tok t JOIN documents d USING (doc_id))
+SELECT doc_id, n_tokens, n_punct, n_stop,
+  CAST(20 * least(n_tokens, 20)
+   + (400 * least(3 * n_stop, greatest(n_tokens, 1))) // greatest(n_tokens, 1)
+   + (200 * greatest(n_chars - 4 * n_punct, 0)) // greatest(n_chars, 1)
+   AS BIGINT) AS quality_milli
+FROM feat
+"""
+
+
+def _to_int64(expr: str) -> str:
+    """uint64-valued HUGEINT -> two's-complement BIGINT (matches numpy
+    .astype(int64) wraparound)."""
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 9223372036854775808::HUGEINT"
+        f" THEN ({expr}) - {M64_SQL} ELSE ({expr}) END AS BIGINT)"
+    )
+
+
+def sql_simhash() -> str:
+    sm_x = sql_splitmix64("x::HUGEINT")
+    bit = (
+        "CASE WHEN 2 * len(list_filter(sm, x -> (x >> b) % 2 = 1)) > len(sm)"
+        " THEN (1::HUGEINT << b) ELSE 0::HUGEINT END"
+    )
+    val = (
+        "CASE WHEN len(th) = 0 THEN 0::HUGEINT ELSE "
+        f"(coalesce(list_sum(list_transform(range(64), b -> {bit})), 0::HUGEINT))"
+        " % " + M64_SQL + " END"
+    )
+    return f"""
+WITH {_tok_cte()}
+, sm_t AS (SELECT doc_id, th, list_transform(th, x -> {sm_x}) AS sm FROM tok)
+SELECT doc_id, {_to_int64(val)} AS simhash FROM sm_t
+"""
+
+
+def sql_fingerprints(window: int = 16) -> str:
+    w = window
+    whole = (
+        "(coalesce(list_sum(list_transform(range(1, length(d.text)+1),"
+        f" i -> unicode(d.text[i])::HUGEINT * P257[length(d.text)-i+1])), 0::HUGEINT))"
+        f" % {M64_SQL}"
+    )
+    win = (
+        f"(list_sum(list_transform(range(0, {w}),"
+        f" j -> unicode(d.text[st+j])::HUGEINT * P257[{w}-j]))) % {M64_SQL}"
+    )
+    fold_v = sql_mulmod64("v", f"{_GOLD}::HUGEINT")
+    return f"""
+WITH pw AS (SELECT {sql_pow_literal(257, max(window, 64))} AS P257),
+vals AS (
+  SELECT d.doc_id,
+    CASE
+      WHEN length(d.text) = 0 THEN [0::HUGEINT]
+      WHEN length(d.text) < {w} THEN [{whole}]
+      ELSE list_transform(range(1, length(d.text) - {w} + 2), st -> {win})
+    END AS v
+  FROM documents d CROSS JOIN pw),
+folded AS (
+  SELECT doc_id,
+    list_reduce(
+      list_transform(list_slice(list_sort(v), 1, least(8, len(v))), v -> {fold_v}),
+      (a, b) -> xor(a, b)) AS fp
+  FROM vals)
+SELECT doc_id, {_to_int64('fp')} AS fingerprint FROM folded
+"""
+
+
+def sql_minhash_pairs(n_perm: int = 64, bands: int = 16, rows: int = 4) -> str:
+    a, b = minhash_perms(n_perm)
+    a_lit = "[" + ",".join(str(int(x)) for x in a) + "]::HUGEINT[]"
+    b_lit = "[" + ",".join(str(int(x)) for x in b) + "]::HUGEINT[]"
+    # s < 2**64, a_p < 2**61 => product < 2**125 fits HUGEINT directly
+    perm_min = (
+        f"list_min(list_transform(sh, s -> (s * A[p+1] + B[p+1]) % {M64_SQL}))"
+    )
+    band_eq = (
+        f"len(list_filter(range({bands}), bb ->"
+        f" list_slice(x.sig, bb*{rows}+1, bb*{rows}+{rows})"
+        f" = list_slice(y.sig, bb*{rows}+1, bb*{rows}+{rows}))) > 0"
+    )
+    return f"""
+WITH {_tok_cte()}
+, sh_t AS (SELECT doc_id, {_shingle_expr('th')} AS sh FROM tok),
+ab AS (SELECT {a_lit} AS A, {b_lit} AS B),
+mh AS (
+  SELECT doc_id, list_transform(range({n_perm}), p -> {perm_min}) AS sig
+  FROM sh_t CROSS JOIN ab)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b
+FROM mh x JOIN mh y ON x.doc_id < y.doc_id
+WHERE {band_eq}
+"""
+
+
+def sql_deterministic_sample(pts_sql: str, rate: float = 0.05, seed: int = 7) -> str:
+    z = sql_mulmod64(f"(image_id + {seed})::HUGEINT", f"{_GOLD}::HUGEINT")
+    return f"""
+WITH pts AS ({pts_sql}),
+h AS (SELECT image_id, ({z}) AS z FROM pts)
+SELECT image_id FROM h
+WHERE CAST(xor(z, z >> 31) AS DOUBLE) / 18446744073709551616.0 < {rate}
+"""

@@ -371,6 +371,8 @@ def q_langid(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """Quality scoring — integer-exact columns so the DuckDB oracle can
+    hash-match (quality_milli spec in stages/text.TextFeatures)."""
     import ray
 
     from ..stages.text import TextFeatures
@@ -379,7 +381,7 @@ def q_quality_scores(sf_dir: str):
     from ..stages.util import stage_fn
 
     out = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
-    return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "punct_ratio"])
+    return out.select_columns(["doc_id", "n_tokens", "n_punct", "n_stop", "quality_milli"])
 
 
 def q_fingerprints(sf_dir: str):
@@ -1126,7 +1128,22 @@ QUERIES = {
     "store_bbox_query": q_store_bbox_query,
 }
 
+from .oracle_text import (  # noqa: E402  (uses constants defined above)
+    sql_deterministic_sample,
+    sql_fingerprints,
+    sql_langid,
+    sql_minhash_pairs,
+    sql_quality,
+    sql_simhash,
+)
+
 ORACLE_SQL = {
+    "langid": sql_langid(),
+    "quality_scores": sql_quality(),
+    "fingerprints": sql_fingerprints(),
+    "simhash": sql_simhash(),
+    "minhash_dedupe_pairs": sql_minhash_pairs(),
+    "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,
     "spatial_join_anti": SQL_SPATIAL_JOIN_ANTI,

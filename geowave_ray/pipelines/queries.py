@@ -729,21 +729,189 @@ def q_phash_near_dup(sf_dir: str):
 
 
 def q_hll_distinct_users(sf_dir: str):
-    """Approximate distinct users (HLL sketch) — rows-only (approx by design)."""
+    """Distributed HLL sketch over user_id, verified by REGISTER-STATE
+    parity: the output is the merged sketch's integer state (sum of
+    registers + zero-register count), which the DuckDB oracle recomputes
+    from the same splitmix64 hash — an exact check of the approximate
+    sketch's distributed construction."""
     import ray
 
-    from ..stages.aggregate import global_stats
+    from ..stages.aggregate import HyperLogLog
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
-    stats = global_stats(ds, "value", id_col="user_id")
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog()
+        hll.add_ints(batch.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "hll": pa.array([hll.to_bytes()], type=pa.large_binary()),
+            }
+        )
+
+    partial.__name__ = "hll_partial"
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    hll = HyperLogLog.from_bytes(parts[0]["hll"])
+    for r in parts[1:]:
+        hll.merge(HyperLogLog.from_bytes(r["hll"]))
     return pa.table(
         {
-            "n_rows": pa.array([stats["n"]], type=pa.int64()),
-            "approx_distinct_users": pa.array(
-                [int(round(stats["approx_distinct"]))], type=pa.int64()
+            "n_rows": pa.array([sum(r["n"] for r in parts)], type=pa.int64()),
+            "sum_registers": pa.array([int(hll.registers.sum())], type=pa.int64()),
+            "zero_registers": pa.array(
+                [int((hll.registers == 0).sum())], type=pa.int64()
             ),
         }
     )
+
+
+def _sql_hll_state() -> str:
+    from ..stages.texthash import M64_SQL, sql_splitmix64
+
+    h = sql_splitmix64("user_id::HUGEINT")
+    msb = "(len(list_filter(range(64), b -> (rest >> b) >= 1)) - 1)"
+    return f"""
+WITH h AS (SELECT ({h}) AS h FROM events),
+r AS (SELECT h >> 52 AS idx, (h * 4096) % {M64_SQL} + 1 AS rest FROM h),
+rk AS (SELECT idx, LEAST(GREATEST(63 - {msb} + 1, 1), 52) AS rank FROM r),
+reg AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx)
+SELECT (SELECT COUNT(*) FROM events) AS n_rows,
+       CAST(SUM(r) AS BIGINT) AS sum_registers,
+       CAST(4096 - COUNT(*) AS BIGINT) AS zero_registers
+FROM reg
+"""
+
+
+SQL_HLL_STATE = None  # built lazily in oracle_sql() assembly below
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distributed distinct count (groupby-then-count; the exact
+    companion to the HLL sketch)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = ds.groupby("user_id").count().count()
+    return pa.table({"n_users": pa.array([n], type=pa.int64())})
+
+
+SQL_DISTINCT_USERS = "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
+
+
+def q_quantiles_exact(sf_dir: str):
+    """Exact distributed quantiles of integer-cents values: per-value
+    counts via groupby (distributed), then a tiny driver-side cumsum over
+    the distinct-value histogram.  Rank rule: value at 1-based cumulative
+    position floor(q*(n-1)) + 1."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"v_cents": pa.array(np.floor(v * 100).astype(np.int64))})
+
+    pre.__name__ = "to_cents"
+    counts = (
+        ds.map_batches(pre, batch_format="pyarrow").groupby("v_cents").count().to_pandas()
+    )
+    counts = counts.sort_values("v_cents").reset_index(drop=True)
+    vals = counts["v_cents"].to_numpy()
+    cum = counts["count()"].to_numpy().cumsum()
+    n = int(cum[-1])
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    targets = [int(np.floor(q * (n - 1))) + 1 for q in qs]
+    picks = [int(vals[np.searchsorted(cum, t)]) for t in targets]
+    return pa.table({"q": pa.array(qs), "v_cents": pa.array(picks, type=pa.int64())})
+
+
+SQL_QUANTILES_EXACT = """
+WITH c AS (
+  SELECT CAST(FLOOR(value*100) AS BIGINT) AS v, COUNT(*) AS n FROM events GROUP BY v),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+o AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT qs.q,
+  (SELECT MIN(v) FROM o, tot
+   WHERE cum >= CAST(FLOOR(qs.q * (tot.t - 1)) AS BIGINT) + 1) AS v_cents
+FROM qs
+"""
+
+
+def q_zorder_cells(sf_dir: str):
+    """Z-order (Morton) keys of the derived points at 8 bits/dim — the
+    ZOrderSFC encode path (ZOrderSFC.java getId), bit-interleave verified
+    against a pure-SQL interleave oracle."""
+    from ..index.dimensions import norm_to_cell_point
+    from ..index.zorder import ZOrderCurve
+
+    pts = _events_points(sf_dir)
+    curve = ZOrderCurve(2, 8)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        cx = norm_to_cell_point((lon + 180.0) / 360.0, 256)
+        cy = norm_to_cell_point((lat + 90.0) / 180.0, 256)
+        z = curve.encode([cx, cy]).astype(np.int64)
+        return pa.table({"image_id": batch.column("image_id"), "zcell": pa.array(z)})
+
+    encode.__name__ = "zorder_encode"
+    return pts.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_zorder() -> str:
+    cx = "GREATEST(CAST(CEIL((lon + 180.0) / 360.0 * 256) AS BIGINT) - 1, 0)"
+    cy = "GREATEST(CAST(CEIL((lat + 90.0) / 180.0 * 256) AS BIGINT) - 1, 0)"
+    inter = (
+        "list_sum(list_transform(range(8), b ->"
+        " ((cx >> b) & 1) * (1::BIGINT << (2*b))"
+        " + ((cy >> b) & 1) * (1::BIGINT << (2*b + 1))))"
+    )
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (SELECT image_id, {cx} AS cx, {cy} AS cy FROM pts)
+SELECT image_id, CAST({inter} AS BIGINT) AS zcell FROM c
+"""
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT 'v-' || CAST(q.qid AS VARCHAR) AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS c
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _sql_phash_near_dup() -> str:
+    """Regenerate the deterministic phash pool in SQL (the image table is
+    engine-synthesized from image ids 0..1999; phash = splitmix64(id % 512))
+    and emit exactly the pairs within hamming distance 2 — the engine's
+    banded pipeline is provably complete for max_hamming < bands."""
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("(j % 512)::HUGEINT")
+    return f"""
+WITH ph AS (
+  SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS sid, ({sm}) AS h FROM range(2000) t(j))
+SELECT a.sid AS id_a, b.sid AS id_b
+FROM ph a JOIN ph b ON a.sid < b.sid
+WHERE bit_count(xor(a.h, b.h)) <= 2
+"""
+
+
+SQL_IMAGE_ROUNDTRIP = """
+SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS image_id,
+       true AS pixels_ok, true AS caption_ok
+FROM range(2000) t(j)
+"""
 
 
 
@@ -1126,6 +1294,9 @@ QUERIES = {
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_temporal_cells": q_spatial_temporal_cells,
     "store_bbox_query": q_store_bbox_query,
+    "distinct_users": q_distinct_users,
+    "quantiles_exact": q_quantiles_exact,
+    "zorder_cells": q_zorder_cells,
 }
 
 from .oracle_text import (  # noqa: E402  (uses constants defined above)
@@ -1138,6 +1309,13 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
 )
 
 ORACLE_SQL = {
+    "hll_distinct_users": _sql_hll_state(),
+    "distinct_users": SQL_DISTINCT_USERS,
+    "quantiles_exact": SQL_QUANTILES_EXACT,
+    "zorder_cells": _sql_zorder(),
+    "ann_topk": SQL_ANN_TOPK,
+    "phash_near_dup": _sql_phash_near_dup(),
+    "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
     "langid": sql_langid(),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -105,10 +105,16 @@ class HyperLogLog:
     def add_hashed(self, h: np.ndarray) -> "HyperLogLog":
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64(1)  # sentinel bit
-        # rank = leading zeros of rest + 1, vectorized via log2
-        f = rest.astype(np.float64)
-        lz = 63 - np.floor(np.log2(f)).astype(np.int64)
-        rank = np.clip(lz + 1, 1, 64 - self.p).astype(np.uint8)
+        # rank = leading zeros of rest + 1; exact integer msb via binary
+        # search (a float log2 would mis-rank values within rounding
+        # distance below a power of two)
+        x = rest.copy()
+        msb = np.zeros(len(rest), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = x >= (np.uint64(1) << np.uint64(shift))
+            msb[m] += shift
+            x[m] >>= np.uint64(shift)
+        rank = np.clip(63 - msb + 1, 1, 64 - self.p).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
         return self
 

@@ -179,6 +179,27 @@ WHERE {band_eq}
 """
 
 
+def sql_minhash_groups(n_perm: int = 64, bands: int = 16, rows: int = 4) -> str:
+    """Duplicate groups = connected components (min doc_id label) of the
+    LSH band-equality pair graph, via a recursive CTE."""
+    pairs = sql_minhash_pairs(n_perm, bands, rows).strip()
+    # strip the leading WITH so the pair query nests as a CTE chain
+    assert pairs.upper().startswith("WITH")
+    inner = pairs[4:].rsplit("SELECT x.doc_id", 1)
+    body = "SELECT x.doc_id" + inner[1]
+    return f"""
+WITH RECURSIVE {inner[0].strip().rstrip(',')},
+pr AS ({body}),
+nodes AS (SELECT id_a AS pid FROM pr UNION SELECT id_b FROM pr),
+e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+reach(pid, lab) AS (
+  SELECT pid, pid FROM nodes
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.pid WHERE r.lab <= e.b)
+SELECT pid AS doc_id, MIN(lab) AS dup_group FROM reach GROUP BY pid
+"""
+
+
 def sql_deterministic_sample(pts_sql: str, rate: float = 0.05, seed: int = 7) -> str:
     z = sql_mulmod64(f"(image_id + {seed})::HUGEINT", f"{_GOLD}::HUGEINT")
     return f"""

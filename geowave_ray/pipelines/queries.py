@@ -422,6 +422,27 @@ def q_minhash_dedupe_pairs(sf_dir: str):
     return uniq.select_columns(["id_a", "id_b"])
 
 
+def q_minhash_dup_groups(sf_dir: str):
+    """LSH duplicate GROUPS: connected components of the band-equality
+    candidate graph via distributed min-label propagation (the scale path
+    for corpus dedup — no driver-side union-find)."""
+    import ray
+
+    from ..stages.components import connected_components_min_label
+    from ..stages.dedupe import lsh_candidate_pairs, minhash_signatures
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, text_col="text", id_col="doc_id")
+    pairs = lsh_candidate_pairs(sigs, id_col="doc_id")
+    labels = connected_components_min_label(pairs, a_col="id_a", b_col="id_b")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "dup_group"])
+
+    rename.__name__ = "dup_group_cols"
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     import ray
 
@@ -1032,23 +1053,78 @@ def q_image_roundtrip(sf_dir: str):
 
 
 
+DBSCAN_EPS = 0.3
+DBSCAN_MIN_PTS = 8
+_DBSCAN_PTS_SQL = """
+SELECT event_id AS pid,
+       CAST((event_id % 40) * 37 % 340 - 170 AS DOUBLE)
+         + ((event_id * 13 + user_id) % 101) / CAST(101.0 AS DOUBLE)
+           * CAST(0.8 AS DOUBLE) AS lon,
+       CAST((event_id % 40) * 53 % 160 - 80 AS DOUBLE)
+         + ((event_id * 29 + user_id * 7) % 103) / CAST(103.0 AS DOUBLE)
+           * CAST(0.8 AS DOUBLE) AS lat
+FROM events
+""".strip()
+
+
 def q_dbscan(sf_dir: str):
-    """Grid-cogroup DBSCAN over the hot-cluster synthetic points (rows-only)."""
+    """Fully distributed DBSCAN (grid-cogroup neighbor scan + iterated
+    min-label propagation — no driver union-find) over 40 dense integer-
+    derived blobs; hard-verified against a recursive-CTE SQL oracle."""
     import ray
 
-    from ..sources.images import synth_images_ds
     from ..stages.dbscan import dbscan
 
-    ds = synth_images_ds(3000, with_bytes=False).map_batches(
-        lambda b: b.select(["image_id", "lon", "lat"]), batch_format="pyarrow"
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     )
-    out = dbscan(ds, eps=0.4, min_pts=8)
-    return pa.table(
-        {
-            "pid": pa.array(out["pid"].tolist()),
-            "cluster": pa.array(out["cluster"].tolist()),
-        }
-    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        c = ev % 40
+        lon = (c * 37 % 340 - 170).astype(np.float64) + (
+            (ev * 13 + us) % 101
+        ) / 101.0 * 0.8
+        lat = (c * 53 % 160 - 80).astype(np.float64) + (
+            (ev * 29 + us * 7) % 103
+        ) / 103.0 * 0.8
+        return pa.table({"pid": pa.array(ev), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    derive.__name__ = "dbscan_blob_points"
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    return dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE pts AS ({_DBSCAN_PTS_SQL}),
+e AS (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM pts a JOIN pts b
+    ON ((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat))
+       <= CAST({DBSCAN_EPS} AS DOUBLE) * CAST({DBSCAN_EPS} AS DOUBLE)),
+cnt AS (SELECT pa AS pid, COUNT(*) AS n FROM e GROUP BY pa),
+core AS (SELECT pid FROM cnt WHERE n >= {DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT pa, pb FROM e
+  WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+reach(pid, lab) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.pb, r.lab FROM reach r JOIN ce ON ce.pa = r.pid
+  WHERE r.lab <= ce.pb),
+fc AS (SELECT pid, MIN(lab) AS cluster FROM reach GROUP BY pid),
+brd AS (
+  SELECT e.pa AS pid, MIN(fc.cluster) AS cluster
+  FROM e JOIN fc ON e.pb = fc.pid
+  WHERE e.pa NOT IN (SELECT pid FROM core)
+  GROUP BY e.pa)
+SELECT pid, cluster FROM fc
+UNION ALL SELECT pid, cluster FROM brd
+UNION ALL
+SELECT p.pid, -1 AS cluster FROM pts p
+WHERE p.pid NOT IN (SELECT pid FROM fc) AND p.pid NOT IN (SELECT pid FROM brd)
+"""
 
 
 def q_value_quantiles(sf_dir: str):
@@ -1267,6 +1343,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
+    "minhash_dup_groups": q_minhash_dup_groups,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -1301,6 +1378,7 @@ QUERIES = {
 
 from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_deterministic_sample,
+    sql_minhash_groups,
     sql_fingerprints,
     sql_langid,
     sql_minhash_pairs,
@@ -1309,6 +1387,7 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
 )
 
 ORACLE_SQL = {
+    "dbscan": SQL_DBSCAN,
     "hll_distinct_users": _sql_hll_state(),
     "distinct_users": SQL_DISTINCT_USERS,
     "quantiles_exact": SQL_QUANTILES_EXACT,
@@ -1321,6 +1400,7 @@ ORACLE_SQL = {
     "fingerprints": sql_fingerprints(),
     "simhash": sql_simhash(),
     "minhash_dedupe_pairs": sql_minhash_pairs(),
+    "minhash_dup_groups": sql_minhash_groups(),
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

@@ -14,7 +14,7 @@ heavy state (multi-GB models); use ``stage_fn`` for everything else.
 
 from __future__ import annotations
 
-__all__ = ["stage_fn"]
+__all__ = ["stage_fn", "drop_empty_blocks", "safe_join"]
 
 
 def stage_fn(cls, **kwargs):
@@ -28,3 +28,92 @@ def stage_fn(cls, **kwargs):
 
     fn.__name__ = getattr(cls, "__name__", cls.__class__.__name__)
     return fn
+
+
+def drop_empty_blocks(ds, schema=None):
+    """Materialize and rebuild a Dataset from its non-empty blocks only.
+
+    Works around a Ray Data 2.49 quirk: ``map_batches`` passes 0-row input
+    blocks through WITHOUT running the UDF, producing 0-row 0-COLUMN
+    blocks; a downstream hash ``Dataset.join`` then fails with
+    "No match ... for key field reference" when such a block lands in a
+    partition.  Only block *references* move here — no data is pulled to
+    the driver (metadata row counts decide).  ``schema`` (pa.schema) is
+    used to synthesize a typed empty dataset when every block is empty."""
+    import pyarrow as pa
+    import ray
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        if schema is not None:
+            return ray.data.from_arrow(schema.empty_table())
+        return mat  # fully empty, no schema hint — nothing to fix
+    return ray.data.from_arrow_refs(refs)
+
+
+def _pa_schema_of(ds, hint):
+    import pyarrow as pa
+
+    if hint is not None:
+        return hint
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def safe_join(
+    left,
+    right,
+    join_type: str,
+    num_partitions: int,
+    on,
+    right_on=None,
+    left_schema=None,
+    right_schema=None,
+):
+    """``Dataset.join`` with empty-input handling.
+
+    Ray Data 2.49's hash join crashes ("No match ... for key field
+    reference") when one side has NO non-empty blocks — empty blocks'
+    shuffle shards never reach the aggregators, whose ArrowBlockBuilder
+    then builds a 0-column partition table.  This wrapper (a) strips
+    0-row blocks (see drop_empty_blocks), and (b) short-circuits fully
+    empty sides driver-side: empty left (or inner with empty right) ->
+    typed empty result; left_outer with empty right -> left rows with
+    null-filled right columns."""
+    import numpy as np  # noqa: F401  (kept for parity with callers)
+    import pyarrow as pa
+    import ray
+
+    l2 = drop_empty_blocks(left, left_schema)
+    r2 = drop_empty_blocks(right, right_schema)
+    l_empty = l2.count() == 0
+    r_empty = r2.count() == 0
+    if not l_empty and not r_empty:
+        return l2.join(r2, join_type, num_partitions, on=on, right_on=right_on)
+
+    assert join_type in ("inner", "left_outer"), (
+        "safe_join empty-side shortcut only implements inner/left_outer; got "
+        + join_type
+    )
+    ls = _pa_schema_of(l2, left_schema)
+    rs = _pa_schema_of(r2, right_schema)
+    rkeys = set(right_on or on)
+    extra = [f for f in rs if f.name not in rkeys]
+    out_schema = pa.schema(list(ls) + extra)
+    if l_empty or join_type == "inner":
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    # left_outer with empty right: left rows + null right columns
+    def add_nulls(batch: pa.Table) -> pa.Table:
+        out = batch
+        for f in extra:
+            out = out.append_column(f.name, pa.nulls(len(batch), f.type))
+        return out
+
+    add_nulls.__name__ = "left_outer_null_right"
+    return l2.map_batches(add_nulls, batch_format="pyarrow")

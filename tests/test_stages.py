@@ -342,6 +342,35 @@ def test_group_convex_hulls(ray_session):
         assert inside.all()
 
 
+def _ref_dbscan(pts, eps, min_pts):
+    """Exact O(n^2) reference: core = |eps-ball| >= min_pts; clusters =
+    components of the core-core graph labeled by min member id; border =
+    min cluster among core neighbors; else -1."""
+    from geowave_ray.stages.dedupe import union_find_keep_min
+
+    n = len(pts)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    close = d2 <= eps * eps
+    counts = close.sum(axis=1)
+    core = counts >= min_pts
+    core_ids = np.nonzero(core)[0]
+    edges = [
+        (int(i), int(j))
+        for i in core_ids
+        for j in np.nonzero(close[i] & core)[0]
+        if i < j
+    ]
+    comp = union_find_keep_min([int(i) for i in core_ids], edges)
+    lab = {}
+    for i in range(n):
+        if core[i]:
+            lab[i] = comp[i]
+        else:
+            nb = [comp[int(j)] for j in np.nonzero(close[i] & core)[0]]
+            lab[i] = min(nb) if nb else -1
+    return lab
+
+
 def test_dbscan(ray_session):
     import ray
 
@@ -354,22 +383,26 @@ def test_dbscan(ray_session):
     noise = np.stack(
         [rng.uniform(-170, 170, 30), rng.uniform(-80, 80, 30)], axis=1
     )
-    # keep noise away from the blobs
     noise = noise[
         (np.abs(noise[:, 0] - 10) > 5)
         & (np.abs(noise[:, 0] - 20) > 5)
     ]
     pts = np.concatenate([blob1, blob2, noise])
-    ids = [f"p{i:04d}" for i in range(len(pts))]
-    t = pa.table({"image_id": ids, "lon": pts[:, 0], "lat": pts[:, 1]})
-    out = dbscan(ray.data.from_arrow(t), eps=0.5, min_pts=5)
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table({"pid": ids, "lon": pts[:, 0], "lat": pts[:, 1]})
+    out = dbscan(
+        ray.data.from_arrow(t).repartition(4), eps=0.5, min_pts=5
+    ).to_pandas()
     lab = dict(zip(out["pid"], out["cluster"]))
-    c1 = {lab[f"p{i:04d}"] for i in range(150)}
-    c2 = {lab[f"p{i:04d}"] for i in range(150, 300)}
-    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
-    assert "-1" not in c1 and "-1" not in c2
-    noise_labels = [lab[f"p{i:04d}"] for i in range(300, len(pts))]
-    assert all(l == "-1" for l in noise_labels)
+    assert len(lab) == len(pts)
+    c1 = {lab[i] for i in range(150)}
+    c2 = {lab[i] for i in range(150, 300)}
+    assert c1 == {0} and c2 == {150}
+    assert all(lab[i] == -1 for i in range(300, len(pts)))
+    # exact parity with the O(n^2) reference (distributed label propagation
+    # must reproduce union-find clustering bit-for-bit)
+    ref = _ref_dbscan(pts, 0.5, 5)
+    assert {k: int(v) for k, v in lab.items()} == ref
 
 
 def test_tdigest_quantiles():

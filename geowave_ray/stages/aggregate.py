@@ -29,59 +29,48 @@ __all__ = [
 ]
 
 
-def _partial_batch(batch: pa.Table, bin_cols, value_col):
-    import pandas as pd
-
-    df = batch.select([*bin_cols, value_col]).to_pandas()
-    g = df.groupby(list(bin_cols), sort=False)[value_col]
-    out = g.agg(["count", "sum", "min", "max"]).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
 def binned_aggregate(ds, bin_cols, value_col: str, lon_col: str | None = None, lat_col: str | None = None):
     """count/sum/min/max of ``value_col`` per bin, with optional bbox
     (lon/lat min/max) statistics — BinningAggregation + BoundingBoxStatistic.
 
-    Partial-combines per batch before the groupby shuffle.
+    Partial-combines per batch with the ARROW hash aggregate
+    (``pa.TableGroupBy`` — no pandas round trip), then merges partials with
+    NATIVE Ray Data groupby aggregates (no per-group Python callables).
     Output columns: bin cols + n, sum_v, min_v, max_v [, minx,miny,maxx,maxy].
     """
+    from ray.data.aggregate import Max, Min, Sum
+
     bin_cols = list(bin_cols)
     with_bbox = lon_col is not None
 
+    specs = [(value_col, "count"), (value_col, "sum"), (value_col, "min"), (value_col, "max")]
+    names = ["n", "sum_v", "min_v", "max_v"]
+    if with_bbox:
+        specs += [(lon_col, "min"), (lon_col, "max"), (lat_col, "min"), (lat_col, "max")]
+        names += ["minx", "maxx", "miny", "maxy"]
+
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         cols = [*bin_cols, value_col] + ([lon_col, lat_col] if with_bbox else [])
-        df = batch.select(cols).to_pandas()
-        agg = {value_col: ["count", "sum", "min", "max"]}
-        if with_bbox:
-            agg[lon_col] = ["min", "max"]
-            agg[lat_col] = ["min", "max"]
-        g = df.groupby(bin_cols, sort=False).agg(agg)
-        g.columns = ["n", "sum_v", "min_v", "max_v"] + (
-            ["minx", "maxx", "miny", "maxy"] if with_bbox else []
-        )
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        out = pa.TableGroupBy(batch.select(cols), bin_cols).aggregate(specs)
+        # pyarrow names: key cols first, then <col>_<agg>
+        return out.rename_columns([*bin_cols, *names])
 
-    def final(group: pa.Table) -> pa.Table:
-        n = group.column("n").to_numpy(zero_copy_only=False)
-        s = group.column("sum_v").to_numpy(zero_copy_only=False)
-        mn = group.column("min_v").to_numpy(zero_copy_only=False)
-        mx = group.column("max_v").to_numpy(zero_copy_only=False)
-        out = {c: group.column(c).slice(0, 1) for c in bin_cols}
-        out["n"] = pa.array([int(n.sum())], type=pa.int64())
-        out["sum_v"] = pa.array([float(s.sum())])
-        out["min_v"] = pa.array([float(mn.min())])
-        out["max_v"] = pa.array([float(mx.max())])
-        if with_bbox:
-            out["minx"] = pa.array([float(group.column("minx").to_numpy(zero_copy_only=False).min())])
-            out["maxx"] = pa.array([float(group.column("maxx").to_numpy(zero_copy_only=False).max())])
-            out["miny"] = pa.array([float(group.column("miny").to_numpy(zero_copy_only=False).min())])
-            out["maxy"] = pa.array([float(group.column("maxy").to_numpy(zero_copy_only=False).max())])
-        return pa.table(out)
-
+    partial.__name__ = "binned_partial"
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(bin_cols).map_groups(final, batch_format="pyarrow")
+    aggs = [
+        Sum("n", alias_name="n"),
+        Sum("sum_v", alias_name="sum_v"),
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
+    ]
+    if with_bbox:
+        aggs += [
+            Min("minx", alias_name="minx"),
+            Max("maxx", alias_name="maxx"),
+            Min("miny", alias_name="miny"),
+            Max("maxy", alias_name="maxy"),
+        ]
+    return partials.groupby(bin_cols).aggregate(*aggs)
 
 
 # -------------------------------------------------------------------- sketches

@@ -154,47 +154,117 @@ def _year_start_ms(year: np.ndarray) -> np.ndarray:
     return y.astype("datetime64[Y]").astype("datetime64[ms]").astype(np.int64)
 
 
+_PERIODS = {
+    # periodicity -> (numpy unit, bin-label digits, label formatter width)
+    "YEAR": ("Y", 4),
+    "MONTH": ("M", 6),
+    "DAY": ("D", 8),
+    "HOUR": ("h", 10),
+}
+
+
 @dataclass(frozen=True)
 class TimeDimension:
-    """Unbounded time axis binned by calendar YEAR (UTC).
+    """Unbounded time axis binned by a calendar unit (UTC).
 
-    bin id = 4 ASCII digit bytes of the year (TemporalBinningStrategy:
-    YEAR -> getFixedBinIdSize()==4, getBinId == year string).  Values are
-    normalized within the bin over [binStart, nextBinStart] (the reference
-    uses the full bin extent as the denominator).
+    Mirrors TemporalBinningStrategy (core/geotime/.../dimension/
+    TemporalBinningStrategy.java:36-474): values normalize within
+    [binStart, nextBinStart); the bin id is a fixed-width ASCII label —
+    YEAR "YYYY" (4 bytes, the reference's getBinId), MONTH "YYYYMM",
+    DAY "YYYYMMDD", HOUR "YYYYMMDDHH".  ``bins_of`` returns the integer
+    form of that label so group keys stay numeric.
     """
 
-    fixed_bin_id_size: int = 4
+    periodicity: str = "YEAR"
     range: float = field(default=366.0 * 86400e3)  # informational only
 
+    def __post_init__(self):
+        if self.periodicity not in _PERIODS:
+            raise ValueError(
+                f"unsupported periodicity {self.periodicity!r}; "
+                f"one of {sorted(_PERIODS)}"
+            )
+
+    @property
+    def fixed_bin_id_size(self) -> int:
+        return _PERIODS[self.periodicity][1]
+
+    def _unit(self) -> str:
+        return _PERIODS[self.periodicity][0]
+
+    def _bin_index(self, t_ms: np.ndarray) -> np.ndarray:
+        """epoch-based bin ordinal (years/months/days/hours since epoch)."""
+        dt = (
+            np.asarray(t_ms, dtype="datetime64[ms]")
+            if np.asarray(t_ms).dtype.kind != "M"
+            else t_ms
+        )
+        return dt.astype(f"datetime64[{self._unit()}]").astype(np.int64)
+
+    def _bin_start_ms(self, idx: np.ndarray) -> np.ndarray:
+        return (
+            np.asarray(idx, dtype=np.int64)
+            .astype(f"datetime64[{self._unit()}]")
+            .astype("datetime64[ms]")
+            .astype(np.int64)
+        )
+
+    def _label_of_index(self, idx: np.ndarray) -> np.ndarray:
+        """bin ordinal -> integer label (YYYY / YYYYMM / YYYYMMDD / ...)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        dt = idx.astype(f"datetime64[{self._unit()}]")
+        years = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+        if self.periodicity == "YEAR":
+            return years
+        months = dt.astype("datetime64[M]").astype(np.int64) % 12 + 1
+        if self.periodicity == "MONTH":
+            return years * 100 + months
+        days = (
+            dt.astype("datetime64[D]") - dt.astype("datetime64[M]").astype("datetime64[D]")
+        ).astype(np.int64) + 1
+        if self.periodicity == "DAY":
+            return (years * 100 + months) * 100 + days
+        hours = (
+            dt.astype("datetime64[h]") - dt.astype("datetime64[D]").astype("datetime64[h]")
+        ).astype(np.int64)
+        return ((years * 100 + months) * 100 + days) * 100 + hours
+
+    def bins_of(self, t_ms: np.ndarray) -> np.ndarray:
+        """Integer bin labels of timestamps."""
+        return self._label_of_index(self._bin_index(t_ms))
+
     def years_of(self, t_ms: np.ndarray) -> np.ndarray:
-        dt = np.asarray(t_ms, dtype="datetime64[ms]") if np.asarray(t_ms).dtype.kind != "M" else t_ms
+        dt = (
+            np.asarray(t_ms, dtype="datetime64[ms]")
+            if np.asarray(t_ms).dtype.kind != "M"
+            else t_ms
+        )
         return dt.astype("datetime64[Y]").astype(np.int64) + 1970
 
     def normalize_within_bin(self, t_ms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """-> (year, normalized position in [0,1] within that year)."""
+        """-> (bin label, normalized position in [0,1] within that bin)."""
         t = np.asarray(t_ms, dtype=np.int64)
-        years = self.years_of(t)
-        start = _year_start_ms(years)
-        end = _year_start_ms(years + 1)
-        return years, (t - start) / (end - start)
+        idx = self._bin_index(t)
+        start = self._bin_start_ms(idx)
+        end = self._bin_start_ms(idx + 1)
+        return self._label_of_index(idx), (t - start) / (end - start)
 
-    def bin_id_bytes(self, year: int) -> bytes:
-        return str(int(year)).encode("ascii")
+    def bin_id_bytes(self, label: int) -> bytes:
+        return str(int(label)).zfill(self.fixed_bin_id_size).encode("ascii")
 
     def get_normalized_ranges(self, lo_ms: float, hi_ms: float) -> list[BinRange]:
         lo_ms, hi_ms = int(min(lo_ms, hi_ms)), int(max(lo_ms, hi_ms))
-        y0 = int(self.years_of(np.int64(lo_ms)))
-        y1 = int(self.years_of(np.int64(hi_ms)))
+        i0 = int(self._bin_index(np.int64(lo_ms)))
+        i1 = int(self._bin_index(np.int64(hi_ms)))
         out = []
-        for y in range(y0, y1 + 1):
-            start = int(_year_start_ms(np.int64(y)))
-            end = int(_year_start_ms(np.int64(y + 1)))
+        for i in range(i0, i1 + 1):
+            start = int(self._bin_start_ms(np.int64(i)))
+            end = int(self._bin_start_ms(np.int64(i + 1)))
             seg_lo = max(lo_ms, start)
             seg_hi = min(hi_ms, end)
             out.append(
                 BinRange(
-                    self.bin_id_bytes(y),
+                    self.bin_id_bytes(int(self._label_of_index(np.int64(i)))),
                     (seg_lo - start) / (end - start),
                     (seg_hi - start) / (end - start),
                 )

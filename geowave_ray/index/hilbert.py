@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HilbertCurve"]
+__all__ = ["HilbertCurve", "CompactHilbertCurve"]
 
 
 def _gc(i: int) -> int:
@@ -243,3 +243,99 @@ def merge_ranges(ranges: list[tuple[int, int]], max_ranges: int = -1) -> list[tu
             merged[k][1] = merged[k + 1][1]
             del merged[k + 1]
     return [(lo, hi) for lo, hi in merged]
+
+
+class CompactHilbertCurve:
+    """Compact Hilbert curve with UNEQUAL bits per dimension.
+
+    Generalizes ``HilbertCurve`` to per-dimension precisions (the reference
+    gets this from uzaygezen ``CompactHilbertCurve`` for the SPATIAL
+    (25,25,10) / TEMPORAL (10,10,40) spatial-temporal presets,
+    SpatialTemporalDimensionalityTypeProvider.java:207-246).  Construction:
+    at bit level i only dimensions with ``bits_j > i`` are active; a node's
+    valid children are those whose orientation label has inactive bits 0,
+    and the index packs each level's RANK among valid children (Hilbert
+    w-order), so the total index is sum(bits) bits and bijective.  With
+    equal bits every child is valid and rank == w, so this reduces EXACTLY
+    to ``HilbertCurve`` (tested).  Index values for unequal bits are
+    self-consistent rather than bit-identical to uzaygezen's CHI — the key
+    layout (total bits, nested prefixes) matches.
+    """
+
+    def __init__(self, bits_list: list[int]):
+        self.bits_list = [int(b) for b in bits_list]
+        n = len(self.bits_list)
+        if n < 2:
+            raise ValueError("need >= 2 dimensions")
+        self.n_dims = n
+        self.m = max(self.bits_list)
+        self.total_bits = sum(self.bits_list)
+        if self.total_bits > 64:
+            raise ValueError(f"total precision {self.total_bits} > 64 bits unsupported")
+        self.w_table, self.l_table, self.next_state = HilbertCurve._tables(n)
+        # per-level active-dimension masks (label-space, world frame)
+        self.masks = [
+            sum(1 << j for j, b in enumerate(self.bits_list) if b > i)
+            for i in range(self.m)
+        ]
+        self.k_per_level = [bin(mu).count("1") for mu in self.masks]
+        # rank/unrank tables per distinct mask: rank[s][w] and unrank[s][r]
+        n_states = (1 << n) * n
+        self._rank: dict[int, np.ndarray] = {}
+        self._unrank: dict[int, np.ndarray] = {}
+        for mu in set(self.masks):
+            rank = np.full((n_states, 1 << n), -1, dtype=np.int8)
+            unrank = np.full((n_states, 1 << n), -1, dtype=np.int8)
+            inactive = ((1 << n) - 1) ^ mu
+            for s in range(n_states):
+                r = 0
+                for w in range(1 << n):
+                    l = int(self.l_table[(s << n) | w])
+                    if l & inactive:
+                        continue
+                    rank[s, w] = r
+                    unrank[s, r] = w
+                    r += 1
+            self._rank[mu] = rank
+            self._unrank[mu] = unrank
+
+    def encode(self, coords: list[np.ndarray]) -> np.ndarray:
+        n = self.n_dims
+        next_state = self.next_state[0]
+        coords = [np.asarray(c, dtype=np.uint64) for c in coords]
+        h = np.zeros(coords[0].shape, dtype=np.uint64)
+        s = np.zeros(coords[0].shape, dtype=np.uint16)
+        for i in range(self.m - 1, -1, -1):
+            mu = self.masks[i]
+            k = self.k_per_level[i]
+            l = np.zeros(coords[0].shape, dtype=np.uint64)
+            for j in range(n):
+                if mu & (1 << j):
+                    l |= ((coords[j] >> np.uint64(i)) & np.uint64(1)) << np.uint64(j)
+            idx = (s.astype(np.uint32) << n) | l.astype(np.uint32)
+            w = self.w_table[idx]
+            r = self._rank[mu][s, w]
+            h = (h << np.uint64(k)) | r.astype(np.uint64)
+            s = next_state[idx]
+        return h
+
+    def decode(self, h: np.ndarray) -> list[np.ndarray]:
+        n = self.n_dims
+        next_state = self.next_state[1]
+        h = np.asarray(h, dtype=np.uint64)
+        coords = [np.zeros(h.shape, dtype=np.uint64) for _ in range(n)]
+        s = np.zeros(h.shape, dtype=np.uint16)
+        shift = self.total_bits
+        for i in range(self.m - 1, -1, -1):
+            mu = self.masks[i]
+            k = self.k_per_level[i]
+            shift -= k
+            r = (h >> np.uint64(shift)) & np.uint64((1 << k) - 1)
+            w = self._unrank[mu][s, r.astype(np.int64)].astype(np.uint64)
+            idx = (s.astype(np.uint32) << n) | w.astype(np.uint32)
+            l = self.l_table[idx].astype(np.uint64)
+            for j in range(n):
+                if mu & (1 << j):
+                    coords[j] |= ((l >> np.uint64(j)) & np.uint64(1)) << np.uint64(i)
+            s = next_state[idx]
+        return coords

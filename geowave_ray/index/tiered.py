@@ -329,64 +329,101 @@ def spatial_strategy(
     )
 
 
+ST_BIAS_PRESETS = {
+    # SpatialTemporalDimensionalityTypeProvider.java:207-246 (Bias enum):
+    # (lon_bits, lat_bits, time_bits)
+    "BALANCED": (20, 20, 20),
+    "SPATIAL": (25, 25, 10),
+    "TEMPORAL": (10, 10, 40),
+}
+
+
 def spatial_temporal_strategy(
-    bits: tuple[int, int, int] = (20, 20, 20),
+    bits: tuple[int, int, int] | str = (20, 20, 20),
     curve_type: str = "hilbert",
+    periodicity: str = "YEAR",
 ) -> "SpatialTemporalStrategy":
-    return SpatialTemporalStrategy(bits, curve_type)
+    """``bits`` may be a per-dimension tuple or a Bias preset name
+    ("BALANCED" | "SPATIAL" | "TEMPORAL")."""
+    if isinstance(bits, str):
+        bits = ST_BIAS_PRESETS[bits.upper()]
+    return SpatialTemporalStrategy(bits, curve_type, periodicity=periodicity)
 
 
 class SpatialTemporalStrategy:
-    """3-D (lon, lat, time) tiered strategy with YEAR binning on time.
+    """3-D (lon, lat, time) tiered strategy with calendar binning on time.
 
-    BALANCED default (20,20,20) bits
+    BALANCED default (20,20,20) bits; unequal-bit Bias presets SPATIAL
+    (25,25,10) and TEMPORAL (10,10,40) use the compact Hilbert curve with
+    per-dimension precisions
     (SpatialTemporalDimensionalityTypeProvider.java:207-246).  Keys are
-    tier byte + 4-byte year + ceil(60/8)=8-byte curve index == 13 bytes,
+    tier byte + fixed-size time-bin id (4 ASCII bytes for YEAR) +
+    ceil(sum(bits)/8)-byte curve index — 13 bytes for all three presets,
     matching TieredSFCIndexStrategyTest.testSingleEntry.
-    Equal-bit dimensions only.
     """
 
-    def __init__(self, bits=(20, 20, 20), curve_type="hilbert"):
+    def __init__(self, bits=(20, 20, 20), curve_type="hilbert", periodicity="YEAR"):
         from .dimensions import LatitudeDimension, LongitudeDimension, TimeDimension
+        from .hilbert import CompactHilbertCurve
 
-        if len(set(bits)) != 1:
-            raise NotImplementedError("unequal per-dimension bits not supported")
-        self.bits = bits[0]
+        self.bits_per_dim = tuple(int(b) for b in bits)
+        self.equal_bits = len(set(self.bits_per_dim)) == 1
+        self.bits = max(self.bits_per_dim)
         self.lon = LongitudeDimension()
         self.lat = LatitudeDimension(half_range=True)
-        self.time = TimeDimension()
+        self.time = TimeDimension(periodicity=periodicity)
         self.tiers = list(range(self.bits + 1))
-        self._spatial_norm = TieredStrategy([self.lon, self.lat], self.tiers, curve_type)
+        self._spatial_norm = TieredStrategy(
+            [self.lon, self.lat], list(range(min(self.bits_per_dim[:2]) + 1)), curve_type
+        )
         self._curves = self._spatial_norm._curves  # reuse tables
-        self.curve3 = {
-            t: (HilbertCurve(3, t) if t > 0 else _TrivialCurve(3)) for t in self.tiers
-        }
+        if self.equal_bits:
+            self.curve3 = {
+                t: (HilbertCurve(3, t) if t > 0 else _TrivialCurve(3))
+                for t in self.tiers
+            }
+        else:
+            # unequal bits: the full-resolution curve is compact Hilbert;
+            # coarser tiers scale every dimension down by the same amount
+            # (clamped at 0 bits)
+            self.curve3 = {}
+            for t in self.tiers:
+                drop = self.bits - t
+                tb = [max(b - drop, 0) for b in self.bits_per_dim]
+                if sum(tb) == 0:
+                    self.curve3[t] = _TrivialCurve(3)
+                else:
+                    self.curve3[t] = CompactHilbertCurve(tb)
 
     @property
     def finest_tier(self):
         return self.tiers[-1]
 
+    def _dim_bins(self, tier: int) -> list[int]:
+        drop = self.bits - tier
+        return [1 << max(b - drop, 0) for b in self.bits_per_dim]
+
     def encode_points(self, lon, lat, t_ms) -> tuple[np.ndarray, np.ndarray]:
-        """-> (year:int64, cell:uint64) at the finest tier."""
+        """-> (time-bin label:int64, cell:uint64) at the finest tier."""
         t = self.finest_tier
-        bins = 1 << t
-        years, tnorm = self.time.normalize_within_bin(np.asarray(t_ms))
+        nb = self._dim_bins(t)
+        labels, tnorm = self.time.normalize_within_bin(np.asarray(t_ms))
         coords = [
-            norm_to_cell_point(self.lon.normalize(lon), bins),
-            norm_to_cell_point(self.lat.normalize(lat), bins),
-            norm_to_cell_point(tnorm, bins),
+            norm_to_cell_point(self.lon.normalize(lon), nb[0]),
+            norm_to_cell_point(self.lat.normalize(lat), nb[1]),
+            norm_to_cell_point(tnorm, nb[2]),
         ]
-        return years, self.curve3[t].encode(coords)
+        return labels, self.curve3[t].encode(coords)
 
     def insertion_id_bytes(self, lon: float, lat: float, t_ms: int) -> bytes:
-        years, cells = self.encode_points(
+        labels, cells = self.encode_points(
             np.asarray([lon]), np.asarray([lat]), np.asarray([t_ms])
         )
         t = self.finest_tier
-        nbytes = (3 * t + 7) // 8
+        nbytes = (sum(self.bits_per_dim) + 7) // 8
         return (
             bytes([t])
-            + self.time.bin_id_bytes(int(years[0]))
+            + self.time.bin_id_bytes(int(labels[0]))
             + int(cells[0]).to_bytes(nbytes, "big")
         )
 
@@ -420,14 +457,27 @@ def st_query_ranges(
     if max_ranges > 1 and n_bins > 1:
         per_bin_max = -(-max_ranges // n_bins)
     out: list[STQueryRange] = []
+    if not st.equal_bits:
+        raise NotImplementedError(
+            "range decomposition for unequal-bit (compact Hilbert) strategies "
+            "is not implemented — scan the time bins and refine with the "
+            "coarse bbox filter instead (the binned-scan fallback)"
+        )
     for t in sorted(use_tiers, reverse=True):
         curve = st.curve3[t]
-        bins = 1 << t
+        dim_bins = st._dim_bins(t)
         for tb in time_bins:
             year = int(tb.bin_id.decode())
             for lb in lon_bins:
                 cmin, cmax = [], []
-                for lo, hi in ((lb.norm_lo, lb.norm_hi), (lat_bin.norm_lo, lat_bin.norm_hi), (tb.norm_lo, tb.norm_hi)):
+                for (lo, hi), bins in zip(
+                    (
+                        (lb.norm_lo, lb.norm_hi),
+                        (lat_bin.norm_lo, lat_bin.norm_hi),
+                        (tb.norm_lo, tb.norm_hi),
+                    ),
+                    dim_bins,
+                ):
                     a = int(norm_to_cell_query_min(np.float64(lo), bins))
                     b = int(norm_to_cell_query_max(np.float64(hi), bins))
                     if a > b:

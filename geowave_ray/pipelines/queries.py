@@ -611,6 +611,41 @@ FROM events GROUP BY year
 """
 
 
+def q_temporal_bins_month(sf_dir: str):
+    """MONTH-periodicity temporal binning (TemporalBinningStrategy MONTH)."""
+    import ray
+
+    from ..index.dimensions import TimeDimension
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    td = TimeDimension(periodicity="MONTH")
+
+    def bin_months(batch: pa.Table) -> pa.Table:
+        t_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bins = td.bins_of(t_us // 1000)
+        return pa.table({"month_bin": pa.array(bins, type=pa.int64())})
+
+    bin_months.__name__ = "bin_months"
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["month_bin", "n"])
+
+    rename.__name__ = "rename_month_n"
+    return (
+        ds.map_batches(bin_months, batch_format="pyarrow")
+        .groupby("month_bin")
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+SQL_TEMPORAL_BINS_MONTH = """
+SELECT CAST(DATE_PART('year', ts) * 100 + DATE_PART('month', ts) AS BIGINT) AS month_bin,
+       COUNT(*) AS n
+FROM events GROUP BY month_bin
+"""
+
+
 def q_event_type_stats(sf_dir: str):
     import ray
 
@@ -1407,6 +1442,7 @@ QUERIES = {
     "label_counts": q_label_counts,
     "sessionize": q_sessionize,
     "temporal_bins": q_temporal_bins,
+    "temporal_bins_month": q_temporal_bins_month,
     "event_type_stats": q_event_type_stats,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
@@ -1472,6 +1508,7 @@ ORACLE_SQL = {
     "label_counts": SQL_LABEL_COUNTS,
     "sessionize": SQL_SESSIONIZE,
     "temporal_bins": SQL_TEMPORAL_BINS,
+    "temporal_bins_month": SQL_TEMPORAL_BINS_MONTH,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,

@@ -201,3 +201,102 @@ def test_spatial_temporal_query_ranges():
         by_year.setdefault(r.year, []).append((r.lo, r.hi))
     for y, c in zip(years, cells):
         assert any(lo <= int(c) <= hi for lo, hi in by_year[int(y)]), (y, c)
+
+
+def test_st_bias_presets_unequal_bits():
+    """SPATIAL (25,25,10) / TEMPORAL (10,10,40) presets
+    (SpatialTemporalDimensionalityTypeProvider.java:207-246): 13-byte keys
+    (tier + 4-byte YEAR bin + 8-byte compact index), round-trip decode."""
+    import numpy as np
+
+    from geowave_ray.index.tiered import ST_BIAS_PRESETS, spatial_temporal_strategy
+
+    t_ms = int(np.datetime64("2024-03-15T12:00:00").astype("datetime64[ms]").astype(np.int64))
+    for bias, bits in ST_BIAS_PRESETS.items():
+        st = spatial_temporal_strategy(bias)
+        assert st.bits_per_dim == bits
+        key = st.insertion_id_bytes(12.5, 47.25, t_ms)
+        assert len(key) == 1 + 4 + 8, (bias, len(key))
+        assert key[0] == max(bits)
+        assert key[1:5] == b"2024"
+        # encode/decode round trip at the finest tier
+        labels, cells = st.encode_points(
+            np.array([12.5, -170.0]), np.array([47.25, -80.0]),
+            np.array([t_ms, t_ms + 86400_000]),
+        )
+        curve = st.curve3[st.finest_tier]
+        back = curve.decode(cells)
+        nb = st._dim_bins(st.finest_tier)
+        from geowave_ray.index.dimensions import norm_to_cell_point
+
+        assert np.array_equal(
+            back[0], norm_to_cell_point(st.lon.normalize(np.array([12.5, -170.0])), nb[0])
+        )
+        assert np.array_equal(
+            back[2],
+            norm_to_cell_point(
+                st.time.normalize_within_bin(np.array([t_ms, t_ms + 86400_000]))[1],
+                nb[2],
+            ),
+        )
+
+
+def test_temporal_binning_periodicities():
+    """MONTH/DAY/HOUR binning (TemporalBinningStrategy.java:36-474):
+    labels, in-bin normalization and multi-bin range splitting."""
+    import numpy as np
+
+    from geowave_ray.index.dimensions import TimeDimension
+
+    t = np.array(
+        [
+            np.datetime64("2024-01-31T23:59:59.999"),
+            np.datetime64("2024-02-01T00:00:00.000"),
+            np.datetime64("2023-12-15T06:30:00.000"),
+        ],
+        dtype="datetime64[ms]",
+    ).astype(np.int64)
+    month = TimeDimension(periodicity="MONTH")
+    assert month.bins_of(t).tolist() == [202401, 202402, 202312]
+    day = TimeDimension(periodicity="DAY")
+    assert day.bins_of(t).tolist() == [20240131, 20240201, 20231215]
+    hour = TimeDimension(periodicity="HOUR")
+    assert hour.bins_of(t).tolist() == [2024013123, 2024020100, 2023121506]
+    # normalization is within-bin and in [0, 1)
+    labels, norm = month.normalize_within_bin(t)
+    assert labels.tolist() == [202401, 202402, 202312]
+    assert (norm >= 0).all() and (norm < 1).all()
+    assert norm[1] == 0.0  # first instant of the bin
+    # a range crossing a month boundary splits into two bins
+    ranges = month.get_normalized_ranges(int(t[2]), int(t[0]))
+    assert [r.bin_id for r in ranges] == [b"202312", b"202401"]
+    assert ranges[0].norm_hi == 1.0 and ranges[1].norm_lo == 0.0
+    # bin id widths (fixed-size ids, TemporalBinningStrategy.getFixedBinIdSize)
+    assert month.fixed_bin_id_size == 6 and day.fixed_bin_id_size == 8
+
+
+def test_compact_hilbert_equal_bits_matches_hilbert():
+    import numpy as np
+
+    from geowave_ray.index.hilbert import CompactHilbertCurve, HilbertCurve
+
+    rng = np.random.default_rng(11)
+    hc, ch = HilbertCurve(2, 16), CompactHilbertCurve([16, 16])
+    coords = [rng.integers(0, 1 << 16, 2000).astype(np.uint64) for _ in range(2)]
+    assert np.array_equal(hc.encode(coords), ch.encode(coords))
+
+
+def test_compact_hilbert_roundtrip_unequal():
+    import numpy as np
+
+    from geowave_ray.index.hilbert import CompactHilbertCurve
+
+    rng = np.random.default_rng(12)
+    for bits in ([25, 25, 10], [10, 10, 40]):
+        c = CompactHilbertCurve(bits)
+        coords = [rng.integers(0, 1 << b, 3000).astype(np.uint64) for b in bits]
+        h = c.encode(coords)
+        assert int(h.max()) < (1 << c.total_bits)
+        back = c.decode(h)
+        for j in range(3):
+            assert np.array_equal(back[j], coords[j])

@@ -272,6 +272,10 @@ class TieredStrategy:
                     break
         return out
 
+    def cell_bits(self, tier: int) -> int:
+        """Bit width of cell ids at a tier (prefix-partitioning width)."""
+        return 2 * tier
+
     def get_query_ranges(
         self,
         ranges: list[tuple[float, float]],

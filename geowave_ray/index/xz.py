@@ -108,3 +108,58 @@ class XZOrderSFC:
             self.x0 + np.minimum(cx + 2 * cs, 1.0) * sx,
             self.y0 + np.minimum(cy + 2 * cs, 1.0) * sy,
         )
+
+    def subtree_size(self, level: int) -> int:
+        """Elements in a subtree rooted at an element of ``level`` (incl.)."""
+        return (4 ** (self.g - level + 1) - 1) // 3
+
+    def query_ranges(
+        self, minx: float, miny: float, maxx: float, maxy: float, max_ranges: int = -1
+    ) -> list[tuple[int, int]]:
+        """XZ code ranges whose elements may hold objects intersecting the
+        query box (over-inclusive, Böhm SSD'99 query algorithm): an element
+        is a candidate iff its DOUBLED region intersects the box; a subtree
+        is taken whole when the doubled region is contained (every stored
+        object's min corner then lies inside the box)."""
+        qx0, qy0, qx1, qy1 = (float(v[()] if hasattr(v, "shape") else v) for v in self._normalize(minx, miny, maxx, maxy))
+        out: list[tuple[int, int]] = []
+        stack = [(0, 0.0, 0.0, 1.0, 0)]
+        while stack:
+            l, x, y, cs, code = stack.pop()
+            dx1, dy1 = x + 2 * cs, y + 2 * cs
+            if qx0 > dx1 or qx1 < x or qy0 > dy1 or qy1 < y:
+                continue  # doubled region disjoint from the query
+            if x >= qx0 and y >= qy0 and dx1 <= qx1 and dy1 <= qy1:
+                out.append((code, code + self.subtree_size(l) - 1))
+                continue
+            out.append((code, code))
+            if l < self.g:
+                cs2 = cs / 2
+                child_size = self.subtree_size(l + 1)
+                for quad in range(4):
+                    stack.append(
+                        (
+                            l + 1,
+                            x + (quad & 1) * cs2,
+                            y + (quad >> 1) * cs2,
+                            cs2,
+                            code + 1 + quad * child_size,
+                        )
+                    )
+        out.sort()
+        merged: list[list[int]] = []
+        for lo, hi in out:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        ranges = [(lo, hi) for lo, hi in merged]
+        if max_ranges > 0 and len(ranges) > max_ranges:
+            # merge smallest inter-range gaps first (reference coalescing)
+            while len(ranges) > max_ranges:
+                gaps = [
+                    (ranges[i + 1][0] - ranges[i][1], i) for i in range(len(ranges) - 1)
+                ]
+                _, i = min(gaps)
+                ranges[i : i + 2] = [(ranges[i][0], ranges[i + 1][1])]
+        return ranges

@@ -1416,6 +1416,68 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
 """
 
 
+
+def q_store_mixed_bbox(sf_dir: str):
+    """End-to-end XZHierarchical GeoStore: mixed point/box envelopes
+    (derived from events with integer arithmetic) ingested under the
+    composed point-curve + XZ index, then a bbox query over the PRUNED
+    scan — the oracle proves the two-curve pruning loses no rows
+    (XZHierarchicalIndexStrategy.java:46-215)."""
+    import tempfile
+
+    import ray
+
+    from ..index.xz_hier import XZHierarchicalStrategy
+    from ..store import GeoStore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        lon = ((ev * 7919 + us) % 36000) / 100.0 - 180.0
+        lat = ((ev * 104729 + us * 13) % 18000) / 100.0 - 90.0
+        is_box = ev % 3 == 0
+        w = np.where(is_box, (ev % 7 + 1).astype(np.float64), 0.0)
+        h = np.where(is_box, (ev % 5 + 1).astype(np.float64), 0.0)
+        return pa.table(
+            {
+                "image_id": pa.array(ev),
+                "minx": pa.array(lon),
+                "miny": pa.array(lat),
+                "maxx": pa.array(np.minimum(lon + w, 180.0)),
+                "maxy": pa.array(np.minimum(lat + h, 90.0)),
+            }
+        )
+
+    derive.__name__ = "mixed_envelopes"
+    strat = XZHierarchicalStrategy(bits=31, g=8)
+    store = GeoStore(
+        tempfile.mkdtemp(prefix="geowave_xzstore_"), prefix_bits=3, strategy=strat
+    )
+    store.ingest_envelopes(ds.map_batches(derive, batch_format="pyarrow"))
+    from ..geom.wkb import box_polygon
+    from ..query.planner import SpatialQuery
+
+    q = SpatialQuery(box_polygon(BBOX[0], BBOX[1], BBOX[2], BBOX[3]))
+    return store.query_envelopes(q, columns=["image_id"])
+
+
+SQL_STORE_MIXED_BBOX = f"""
+WITH env AS (
+  SELECT event_id AS image_id,
+         {LON_EXPR_SQL} AS minx,
+         {LAT_EXPR_SQL} AS miny,
+         LEAST({LON_EXPR_SQL} + CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 7 + 1 AS DOUBLE) ELSE 0.0 END, 180.0) AS maxx,
+         LEAST({LAT_EXPR_SQL} + CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 5 + 1 AS DOUBLE) ELSE 0.0 END, 90.0) AS maxy
+  FROM events)
+SELECT image_id FROM env
+WHERE minx <= {BBOX[2]} AND maxx >= {BBOX[0]} AND miny <= {BBOX[3]} AND maxy >= {BBOX[1]}
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1463,6 +1525,7 @@ QUERIES = {
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_temporal_cells": q_spatial_temporal_cells,
     "store_bbox_query": q_store_bbox_query,
+    "store_mixed_bbox": q_store_mixed_bbox,
     "distinct_users": q_distinct_users,
     "quantiles_exact": q_quantiles_exact,
     "zorder_cells": q_zorder_cells,
@@ -1518,4 +1581,5 @@ ORACLE_SQL = {
     "docs_by_lang": SQL_DOCS_BY_LANG,
     "events_ts_range_by_type": SQL_EVENTS_TS_RANGE,
     "store_bbox_query": SQL_STORE_BBOX,
+    "store_mixed_bbox": SQL_STORE_MIXED_BBOX,
 }

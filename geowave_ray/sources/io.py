@@ -156,17 +156,31 @@ def read_geojson(paths: str | list[str]):
     )
 
 
-def write_partitioned_by_cell(ds, root: str, prefix_bits: int = 8, bits: int = 31):
+def write_partitioned_by_cell(
+    ds, root: str, prefix_bits: int = 8, bits: int = 31, cell_bits_of=None
+):
     """Write (tier, cell, ...) rows as parquet partitioned by tier and a
-    cell prefix — the resumable keyed layout for range-pruned scans."""
+    cell prefix — the resumable keyed layout for range-pruned scans.
+    ``cell_bits_of(tier)`` gives each tier's cell-id bit width (default
+    2*tier, the tiered-Hilbert rule; the XZHierarchical strategy supplies
+    its own widths for the point/XZ tiers)."""
     import pyarrow.dataset  # noqa: F401
+
+    # vectorized per-tier bit widths via a lookup table (tiers < 256)
+    lut = np.array(
+        [
+            (cell_bits_of(t) if cell_bits_of is not None else 2 * t)
+            for t in range(256)
+        ],
+        dtype=np.int64,
+    )
 
     def add_prefix(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
         tier = batch.column("tier").to_numpy(zero_copy_only=False).astype(np.int64)
-        # prefix on the tier's OWN bits: a tier-t cell id has 2t bits, so
-        # coarse tiers keep prefix == full cell (prunable per coarse cell)
-        shift = np.clip(2 * tier - 2 * prefix_bits, 0, None).astype(np.uint64)
+        # prefix on the tier's OWN bits: coarse tiers keep prefix == full
+        # cell (prunable per coarse cell)
+        shift = np.clip(lut[tier] - 2 * prefix_bits, 0, None).astype(np.uint64)
         return batch.append_column(
             "cell_prefix", pa.array((cell >> shift).astype(np.int64))
         )

@@ -36,10 +36,21 @@ __all__ = ["GeoStore"]
 
 
 class GeoStore:
-    def __init__(self, root: str, bits: int = 31, prefix_bits: int = 8):
+    def __init__(self, root: str, bits: int = 31, prefix_bits: int = 8, strategy=None):
+        """``strategy``: any object with ``get_query_ranges`` +
+        ``cell_bits`` (TieredStrategy default; pass an
+        ``XZHierarchicalStrategy`` for the reference's default point+XZ
+        composed index)."""
         self.root = root
         self.bits = bits
         self.prefix_bits = prefix_bits
+        self._strategy = strategy
+
+    @property
+    def strategy(self):
+        if self._strategy is None:
+            self._strategy = spatial_strategy(self.bits)
+        return self._strategy
 
     # ------------------------------------------------------------- ingest
     def ingest(
@@ -57,7 +68,11 @@ class GeoStore:
             batch_format="pyarrow",
         )
         write_partitioned_by_cell(
-            encoded, self.root, prefix_bits=self.prefix_bits, bits=self.bits
+            encoded,
+            self.root,
+            prefix_bits=self.prefix_bits,
+            bits=self.bits,
+            cell_bits_of=self.strategy.cell_bits,
         )
         import ray
 
@@ -79,6 +94,87 @@ class GeoStore:
         stats.save(self.root)
         return stats
 
+    def ingest_envelopes(
+        self,
+        ds,
+        cols: tuple = ("minx", "miny", "maxx", "maxy"),
+    ) -> None:
+        """Ingest mixed point/box entries keyed by the XZHierarchical
+        strategy (points -> point curve tier 128, boxes -> XZ tier 129).
+        Requires ``strategy`` to be an XZHierarchicalStrategy."""
+        strat = self.strategy
+
+        def encode(batch: pa.Table) -> pa.Table:
+            tier, cell = strat.insertion_cells(
+                *(batch.column(c).to_numpy(zero_copy_only=False) for c in cols)
+            )
+            return batch.append_column(
+                "tier", pa.array(tier.astype(np.uint8))
+            ).append_column("cell", pa.array(cell, type=pa.uint64()))
+
+        encode.__name__ = "xz_hier_encode"
+        encoded = ds.map_batches(encode, batch_format="pyarrow")
+        write_partitioned_by_cell(
+            encoded,
+            self.root,
+            prefix_bits=self.prefix_bits,
+            bits=self.bits,
+            cell_bits_of=strat.cell_bits,
+        )
+        stats = StatisticsManifest({"count": -1})
+        stats.data["tier_counts"] = {
+            str(int(d.split("=")[1])): -1
+            for d in os.listdir(self.root)
+            if d.startswith("tier=")
+        }
+        stats.save(self.root)
+
+    def query_envelopes(
+        self,
+        query: SpatialQuery,
+        columns: list[str] | None = None,
+        cols: tuple = ("minx", "miny", "maxx", "maxy"),
+    ):
+        """Pruned scan + envelope-intersection refine for envelope entries
+        (points have minx==maxx).  Fine geometry refinement, when a wkb
+        column is stored, is ``query.planner.apply_wkb_query`` downstream."""
+        import ray
+
+        paths = self._expand_paths(self._pruned_paths(query))
+        if not paths:
+            return ray.data.from_items([])
+        read_cols = columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, *cols]))
+        ds = ray.data.read_parquet(paths, columns=read_cols)
+        minx, miny, maxx, maxy = query.bbox()
+
+        def refine(batch: pa.Table) -> pa.Table:
+            bx0 = batch.column(cols[0]).to_numpy(zero_copy_only=False)
+            by0 = batch.column(cols[1]).to_numpy(zero_copy_only=False)
+            bx1 = batch.column(cols[2]).to_numpy(zero_copy_only=False)
+            by1 = batch.column(cols[3]).to_numpy(zero_copy_only=False)
+            mask = (bx0 <= maxx) & (bx1 >= minx) & (by0 <= maxy) & (by1 >= miny)
+            return batch.filter(pa.array(mask))
+
+        refine.__name__ = "envelope_refine"
+        out = ds.map_batches(refine, batch_format="pyarrow")
+        if columns is not None:
+            out = out.select_columns(columns)
+        return out
+
+    def _expand_paths(self, paths: list[str]) -> list[str]:
+        files: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for base, _, names in os.walk(p):
+                    files.extend(
+                        os.path.join(base, n) for n in names if n.endswith(".parquet")
+                    )
+            else:
+                files.append(p)
+        return sorted(files)
+
     def stats(self) -> StatisticsManifest | None:
         return load_statistics(self.root)
 
@@ -86,7 +182,7 @@ class GeoStore:
     def _pruned_paths(self, query: SpatialQuery) -> list[str]:
         """Select (tier, cell_prefix) directories intersecting the query's
         ranges — the scan-pruning step (QueryRanges -> splits)."""
-        strategy = spatial_strategy(self.bits)
+        strategy = self.strategy
         stats = self.stats()
         occupied = (
             [int(t) for t in stats.data.get("tier_counts", {})] if stats else None
@@ -100,7 +196,7 @@ class GeoStore:
                 continue  # already whole-tier; don't .update() a None
             # prefix of a cell at this tier, on that tier's OWN bits
             # (matches write_partitioned_by_cell's per-tier shift)
-            shift = max(0, 2 * r.tier - 2 * self.prefix_bits)
+            shift = max(0, strategy.cell_bits(r.tier) - 2 * self.prefix_bits)
             lo_p = int(r.lo) >> shift
             hi_p = int(r.hi) >> shift
             if hi_p - lo_p <= 4096:
@@ -132,18 +228,8 @@ class GeoStore:
         """Pruned scan -> coarse filter -> fine refine; returns a Dataset."""
         import ray
 
-        paths = self._pruned_paths(query)
         # ray.data.read_parquet treats list entries as files — expand dirs
-        files: list[str] = []
-        for p in paths:
-            if os.path.isdir(p):
-                for base, _, names in os.walk(p):
-                    files.extend(
-                        os.path.join(base, n) for n in names if n.endswith(".parquet")
-                    )
-            else:
-                files.append(p)
-        paths = sorted(files)
+        paths = self._expand_paths(self._pruned_paths(query))
         if not paths:
             return ray.data.from_items([])
         read_cols = columns

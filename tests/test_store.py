@@ -124,3 +124,64 @@ def test_store_lookup_by_id(store):
     ids = t.column("image_id").to_pylist()[:5]
     out = s.lookup(ids).to_pandas()
     assert sorted(out["image_id"]) == sorted(ids)
+
+
+def test_xz_hierarchical_store_mixed_entries(tmp_path, ray_session):
+    """XZHierarchicalIndexStrategy composition
+    (XZHierarchicalIndexStrategy.java:46-215): ONE strategy routes points
+    to the dedicated point curve (tier byte 128 == -128) and boxes to the
+    XZ curve (tier 129 == -127); a bbox query over the mixed store prunes
+    by both curves' ranges and loses no rows."""
+    import ray
+
+    from geowave_ray.index.xz_hier import XZHierarchicalStrategy
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(21)
+    n_pts, n_box = 2000, 400
+    px = rng.uniform(-179, 179, n_pts)
+    py = rng.uniform(-89, 89, n_pts)
+    bx = rng.uniform(-170, 150, n_box)
+    by = rng.uniform(-80, 60, n_box)
+    bw = rng.uniform(0.5, 15, n_box)
+    bh = rng.uniform(0.5, 10, n_box)
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "eid": np.arange(n_pts + n_box, dtype=np.int64),
+            "minx": np.concatenate([px, bx]),
+            "miny": np.concatenate([py, by]),
+            "maxx": np.concatenate([px, bx + bw]),
+            "maxy": np.concatenate([py, by + bh]),
+        }
+    )
+    strat = XZHierarchicalStrategy(bits=31, g=6)
+    s = GeoStore(str(tmp_path / "xzstore"), prefix_bits=3, strategy=strat)
+    s.ingest_envelopes(ray.data.from_arrow(t).repartition(4))
+
+    tiers = sorted(
+        int(d.split("=")[1]) for d in os.listdir(s.root) if d.startswith("tier=")
+    )
+    assert tiers and set(tiers) <= {128, 129}
+    assert 128 in tiers and 129 in tiers  # both curves used
+
+    Q = (-30.0, 10.0, 40.0, 60.0)
+    q = SpatialQuery(box_polygon(*Q))
+    got = set(s.query_envelopes(q, columns=["eid"]).to_pandas()["eid"])
+    x0, y0, x1, y1 = (
+        t.column("minx").to_numpy(),
+        t.column("miny").to_numpy(),
+        t.column("maxx").to_numpy(),
+        t.column("maxy").to_numpy(),
+    )
+    want = set(
+        np.asarray(t.column("eid"))[
+            (x0 <= Q[2]) & (x1 >= Q[0]) & (y0 <= Q[3]) & (y1 >= Q[1])
+        ].tolist()
+    )
+    assert got == want
+    # pruning actually happened on the point tier
+    pruned = s._pruned_paths(q)
+    point_dirs = os.listdir(os.path.join(s.root, "tier=128"))
+    assert len([p for p in pruned if "tier=128" in p]) < len(point_dirs)

@@ -1478,6 +1478,33 @@ WHERE minx <= {BBOX[2]} AND maxx >= {BBOX[0]} AND miny <= {BBOX[3]} AND maxy >= 
 """
 
 
+
+LOOKUP_IDS = [17, 502, 1234, 4321, 8888]
+
+
+def q_store_lookup(sf_dir: str):
+    """Point lookup by data id through the SECONDARY id-keyed store layout
+    (BatchDataIndexRetrieval analog): only the id-hash partitions holding
+    the wanted ids are scanned."""
+    import tempfile
+
+    from ..store import GeoStore
+
+    store = GeoStore(tempfile.mkdtemp(prefix="geowave_idstore_"), prefix_bits=3)
+    store.ingest(
+        _events_points(sf_dir), compute_stats=False, id_index_col="image_id"
+    )
+    out = store.lookup(LOOKUP_IDS)
+    return out.select_columns(["image_id", "lon", "lat"])
+
+
+SQL_STORE_LOOKUP = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id, lon, lat FROM pts
+WHERE image_id IN ({", ".join(str(i) for i in LOOKUP_IDS)})
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1526,6 +1553,7 @@ QUERIES = {
     "spatial_temporal_cells": q_spatial_temporal_cells,
     "store_bbox_query": q_store_bbox_query,
     "store_mixed_bbox": q_store_mixed_bbox,
+    "store_lookup": q_store_lookup,
     "distinct_users": q_distinct_users,
     "quantiles_exact": q_quantiles_exact,
     "zorder_cells": q_zorder_cells,
@@ -1582,4 +1610,5 @@ ORACLE_SQL = {
     "events_ts_range_by_type": SQL_EVENTS_TS_RANGE,
     "store_bbox_query": SQL_STORE_BBOX,
     "store_mixed_bbox": SQL_STORE_MIXED_BBOX,
+    "store_lookup": SQL_STORE_LOOKUP,
 }

@@ -53,20 +53,56 @@ class GeoStore:
         return self._strategy
 
     # ------------------------------------------------------------- ingest
+    ID_INDEX_BITS = 6  # 64 id-hash partitions in the secondary layout
+
+    @staticmethod
+    def _id_partitions(ids) -> np.ndarray:
+        """Deterministic hash partition of data ids (int or str)."""
+        from .stages.texthash import hash_strings, splitmix64
+
+        arr = np.asarray(ids)
+        if arr.dtype.kind in "iu":
+            h = splitmix64(arr.astype(np.uint64))
+        else:
+            h = hash_strings([str(x) for x in ids])
+        return (h >> np.uint64(64 - GeoStore.ID_INDEX_BITS)).astype(np.int64)
+
     def ingest(
         self,
         ds,
         lon_col: str = "lon",
         lat_col: str = "lat",
         compute_stats: bool = True,
+        id_index_col: str | None = None,
     ) -> StatisticsManifest:
         """Encode cells, write the keyed layout, persist statistics.
         ``compute_stats=False`` skips the read-back statistics pass (tier
-        occupancy still recorded from the directory layout)."""
+        occupancy still recorded from the directory layout).
+        ``id_index_col`` additionally writes a SECONDARY id-keyed layout
+        (hash-prefix partitioned) so ``lookup`` prunes to matching
+        partitions instead of scanning the store — the
+        BatchDataIndexRetrieval analog
+        (core/store/.../base/dataidx/BatchDataIndexRetrieval.java)."""
         encoded = ds.map_batches(
             stage_fn(CellEncoder, bits=self.bits, lon_col=lon_col, lat_col=lat_col),
             batch_format="pyarrow",
         )
+        if id_index_col is not None:
+            col = id_index_col
+
+            def add_idp(batch: pa.Table) -> pa.Table:
+                idp = GeoStore._id_partitions(
+                    batch.column(col).to_numpy(zero_copy_only=False)
+                    if batch.column(col).type != pa.string()
+                    else batch.column(col).to_pylist()
+                )
+                return batch.append_column("idp", pa.array(idp))
+
+            add_idp.__name__ = "add_id_partition"
+            ds.map_batches(add_idp, batch_format="pyarrow").write_parquet(
+                os.path.join(self.root, "_id_idx"), partition_cols=["idp"]
+            )
+            self._id_index_col = col
         write_partitioned_by_cell(
             encoded,
             self.root,
@@ -242,14 +278,27 @@ class GeoStore:
         return out
 
     def lookup(self, ids: list, id_col: str = "image_id"):
-        """DataIdQuery analog: point lookup by data id over the keyed
-        layout.  Scans with a vectorized id filter (at scale: a secondary
-        by-id layout — BaseDataIndexWriter analog — would prune; the keyed
-        store's columnar scan with projection keeps this cheap in-sandbox)."""
+        """DataIdQuery analog: point lookup by data id.  When the secondary
+        id-keyed layout exists (``ingest(id_index_col=...)``), only the
+        hash partitions containing the wanted ids are read
+        (BatchDataIndexRetrieval); otherwise a vectorized full-store
+        filter."""
         import ray
 
         wanted = pa.array(list(ids))
-        ds = ray.data.read_parquet(self.root)
+        idx_root = os.path.join(self.root, "_id_idx")
+        if os.path.isdir(idx_root):
+            parts = set(self._id_partitions(list(ids)).tolist())
+            paths = [
+                os.path.join(idx_root, d)
+                for d in os.listdir(idx_root)
+                if d.startswith("idp=") and int(d.split("=")[1]) in parts
+            ]
+            if not paths:
+                return ray.data.from_items([])
+            ds = ray.data.read_parquet(self._expand_paths(paths))
+        else:
+            ds = ray.data.read_parquet(self.root)
 
         def keep(batch: pa.Table) -> pa.Table:
             col = batch.column(id_col)

@@ -185,3 +185,39 @@ def test_xz_hierarchical_store_mixed_entries(tmp_path, ray_session):
     pruned = s._pruned_paths(q)
     point_dirs = os.listdir(os.path.join(s.root, "tier=128"))
     assert len([p for p in pruned if "tier=128" in p]) < len(point_dirs)
+
+
+def test_secondary_id_index_lookup(tmp_path, ray_session):
+    """BatchDataIndexRetrieval analog: ingest with id_index_col writes an
+    id-hash partitioned secondary layout; lookup reads ONLY matching
+    partitions and returns exactly the wanted rows."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    n = 5000
+    rng = np.random.default_rng(31)
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+        }
+    )
+    s = GeoStore(str(tmp_path / "idstore"), prefix_bits=3)
+    s.ingest(
+        ray.data.from_arrow(t).repartition(4),
+        compute_stats=False,
+        id_index_col="image_id",
+    )
+    assert os.path.isdir(os.path.join(s.root, "_id_idx"))
+    wanted = [3, 777, 4999]
+    out = s.lookup(wanted).to_pandas()
+    assert sorted(out["image_id"]) == wanted
+    # pruning: only the hash partitions of the wanted ids are read
+    parts = set(GeoStore._id_partitions(wanted).tolist())
+    all_parts = [
+        d for d in os.listdir(os.path.join(s.root, "_id_idx")) if d.startswith("idp=")
+    ]
+    assert len(parts) < len(all_parts)

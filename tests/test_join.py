@@ -170,3 +170,54 @@ def test_knn_join_matches_brute_force(ray_session):
         want = [ids[i] for i in sorted(range(n_data), key=lambda i: (d[i], ids[i]))[:k]]
         sub = out[out["query_id"] == f"q{j:03d}"].sort_values("rank")
         assert sub["image_id"].tolist() == want, f"q{j}"
+
+
+def test_knn_join_radius_escalation(ray_session):
+    """The k-th neighbor lies far outside the initial ring; the internal
+    radius-escalation loop must still return the exact brute-force top-k."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.knn import haversine_km, knn_join
+
+    # 3 queries; per query a tight cluster of k-1 points plus the k-th
+    # neighbor ~4 cells away (initial ring=1 cannot see it)
+    k = 5
+    qlon = np.array([10.0, 40.0, -60.0])
+    qlat = np.array([10.0, -20.0, 30.0])
+    data_lon, data_lat = [], []
+    for j in range(3):
+        for i in range(k - 1):
+            data_lon.append(qlon[j] + 0.01 * (i + 1))
+            data_lat.append(qlat[j] + 0.005 * (i + 1))
+        data_lon.append(qlon[j] + 4.2)  # far k-th neighbor
+        data_lat.append(qlat[j])
+    data_lon, data_lat = np.array(data_lon), np.array(data_lat)
+    qt = pa.table(
+        {"query_id": [f"q{j}" for j in range(3)], "lon": qlon, "lat": qlat}
+    )
+    dt = pa.table(
+        {
+            "image_id": np.arange(len(data_lon), dtype=np.int64),
+            "lon": data_lon,
+            "lat": data_lat,
+        }
+    )
+    out = (
+        knn_join(
+            ray.data.from_arrow(qt),
+            ray.data.from_arrow(dt).repartition(3),
+            k=k,
+            cell_deg=1.0,
+            ring=1,
+            max_rounds=4,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for j in range(3):
+        d = haversine_km(qlon[j], qlat[j], data_lon, data_lat)
+        want = sorted(range(len(d)), key=lambda i: (d[i], i))[:k]
+        got = out[out["query_id"] == f"q{j}"]["image_id"].tolist()
+        assert got == want, (j, got, want)

@@ -1034,11 +1034,44 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
 
 
 def q_kde_cells(sf_dir: str):
-    """Gaussian-splat KDE heatmap cells (float sums — rows-only check)."""
+    """KDE heatmap cells with the integer binomial kernel — distributed
+    splat + sum hash-verified against a pure-SQL convolution oracle (the
+    float-gaussian variant stays available via kernel="gauss")."""
     from ..stages.kde import kde_cells
 
     pts = _events_points(sf_dir)
-    return kde_cells(pts, levels=(5, 6), radius=1)
+    return kde_cells(pts, levels=(5, 6), radius=1, kernel="binomial")
+
+
+def _sql_kde_cells() -> str:
+    parts = []
+    for level in (5, 6):
+        nx, ny = 1 << level, 1 << (level - 1)
+        dx_deg, dy_deg = 360.0 / nx, 180.0 / ny
+        cx = f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / {dx_deg}) AS BIGINT), 0), {nx - 1})"
+        cy = f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / {dy_deg}) AS BIGINT), 0), {ny - 1})"
+        parts.append(f"""
+  SELECT {level} AS level,
+         (({cy}) + o.dy) * {nx} + ((({cx}) + o.dx) % {nx} + {nx}) % {nx} AS cell,
+         o.w AS w,
+         ({cy}) + o.dy AS gy
+  FROM pts CROSS JOIN offs o
+  """.strip())
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+offs AS (
+  SELECT dxdy // 3 - 1 AS dy, dxdy % 3 - 1 AS dx,
+         [1,2,1][(dxdy // 3) + 1] * [1,2,1][(dxdy % 3) + 1] AS w
+  FROM (SELECT unnest(range(9)) AS dxdy)),
+splat AS (
+{union}
+)
+SELECT level, cell, CAST(SUM(w) AS BIGINT) AS weight
+FROM splat
+WHERE gy >= 0 AND gy < CASE WHEN level = 5 THEN 16 ELSE 32 END
+GROUP BY level, cell
+"""
 
 
 def q_xz_zone_keys(sf_dir: str):
@@ -1505,6 +1538,99 @@ WHERE image_id IN ({", ".join(str(i) for i in LOOKUP_IDS)})
 """
 
 
+
+def q_tile_counts(sf_dir: str):
+    """Covering-cell COUNT per image at its full-resolution pyramid level —
+    the integer-arithmetic core of RasterDataAdapter.convertToIndex
+    (level rule + insertion edge rules), hard-verified by a pure-SQL
+    oracle.  Per-image ground resolution varies so the floorEntry(1+eps)
+    level rule is actually exercised."""
+    pts = _events_points(sf_dir)
+
+    def add_dims(batch: pa.Table) -> pa.Table:
+        ev = batch.column("image_id").to_numpy(zero_copy_only=False)
+        w = (64 + (ev % 193)).astype(np.int32)
+        res = 1e-4 * (1 + (ev % 4)).astype(np.float64)
+        return (
+            batch.append_column("w", pa.array(w))
+            .append_column("h", pa.array(w))
+            .append_column("res", pa.array(res))
+        )
+
+    add_dims.__name__ = "tile_dims"
+    from ..stages.tiles import TileAssigner
+    from ..stages.util import stage_fn
+
+    with_dims = pts.map_batches(add_dims, batch_format="pyarrow")
+    assigned = with_dims.map_batches(
+        stage_fn(TileAssigner, res_col="res", keep_cols=("image_id",)),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["image_id", "tier"]).append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.int64))
+        )
+        out = pa.TableGroupBy(t, ["image_id", "tier"]).aggregate([("one", "sum")])
+        return out.rename_columns(["image_id", "tier", "n_cells"])
+
+    partial.__name__ = "tile_count_partial"
+    from ray.data.aggregate import Sum
+
+    out = (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby(["image_id", "tier"])
+        .aggregate(Sum("n_cells", alias_name="n_cells"))
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "tier": batch.column("tier").cast(pa.int64()),
+                "n_cells": batch.column("n_cells").cast(pa.int64()),
+            }
+        )
+
+    cast.__name__ = "tile_count_cast"
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_tile_counts() -> str:
+    # mirrors stages/tiles.select_levels + TileAssigner._cover_at_tier
+    # (insertion edge rules of PrimitiveHilbertSFCOperations.normalizeDimension)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+img AS (
+  SELECT image_id, lon, lat,
+         CAST(64 + image_id % 193 AS DOUBLE) AS px,
+         1e-4 * CAST(1 + image_id % 4 AS DOUBLE) AS res
+  FROM pts),
+lvl AS (
+  SELECT *,
+         CAST(LEAST(GREATEST(CEIL(LOG2(360.0 / GREATEST(res * 256, 1e-300)) - 1e-9), 0), 31) AS BIGINT) AS tier
+  FROM img),
+env AS (
+  SELECT image_id, tier,
+         (1::BIGINT << tier) AS bins,
+         LEAST(GREATEST(lon, -180), 180) AS minx,
+         LEAST(GREATEST(lon + px * res, -180), 180) AS maxx,
+         LEAST(GREATEST(lat - px * res, -90), 90) AS miny,
+         LEAST(GREATEST(lat, -90), 90) AS maxy
+  FROM lvl),
+cells AS (
+  SELECT image_id, tier, bins,
+         LEAST(CAST(FLOOR((minx + 180.0) / 360.0 * bins) AS BIGINT), bins - 1) AS cx0,
+         GREATEST(CAST(CEIL((maxx + 180.0) / 360.0 * bins) AS BIGINT) - 1, 0) AS cx1r,
+         LEAST(CAST(FLOOR((miny + 180.0) / 360.0 * bins) AS BIGINT), bins - 1) AS cy0,
+         GREATEST(CAST(CEIL((maxy + 180.0) / 360.0 * bins) AS BIGINT) - 1, 0) AS cy1r
+  FROM env)
+SELECT image_id, tier,
+       (GREATEST(cx1r, cx0) - cx0 + 1) * (GREATEST(cy1r, cy0) - cy0 + 1) AS n_cells
+FROM cells
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1516,6 +1642,7 @@ QUERIES = {
     "lod_subsample": q_lod_subsample,
     "knn": q_knn,
     "tile_assignment": q_tile_assignment,
+    "tile_counts": q_tile_counts,
     "hilbert_cells": q_hilbert_cells,
     "dedupe_exact": q_dedupe_exact,
     "token_stats": q_token_stats,
@@ -1575,6 +1702,7 @@ ORACLE_SQL = {
     "distinct_users": SQL_DISTINCT_USERS,
     "quantiles_exact": SQL_QUANTILES_EXACT,
     "zorder_cells": _sql_zorder(),
+    "kde_cells": _sql_kde_cells(),
     "ann_topk": SQL_ANN_TOPK,
     "phash_near_dup": _sql_phash_near_dup(),
     "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
@@ -1611,4 +1739,5 @@ ORACLE_SQL = {
     "store_bbox_query": SQL_STORE_BBOX,
     "store_mixed_bbox": SQL_STORE_MIXED_BBOX,
     "store_lookup": SQL_STORE_LOOKUP,
+    "tile_counts": _sql_tile_counts(),
 }

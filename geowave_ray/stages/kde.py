@@ -27,13 +27,26 @@ def _gauss_kernel(radius: int) -> np.ndarray:
     return k / k.sum()
 
 
-def kde_cells(points_ds, levels=(4, 8), radius: int = 2, weight_col: str | None = None):
-    """points -> Dataset of (level, cell, weight) gaussian-splat sums.
+def _binomial_kernel(radius: int) -> np.ndarray:
+    """Integer binomial (Pascal-row) kernel — the gaussian's integer-exact
+    approximation, so distributed partial sums are bit-exact and the
+    DuckDB oracle can hash-match the splat output."""
+    from math import comb
+
+    row = np.array([comb(2 * radius, j) for j in range(2 * radius + 1)], dtype=np.int64)
+    return row[:, None] * row[None, :]
+
+
+def kde_cells(points_ds, levels=(4, 8), radius: int = 2, weight_col: str | None = None, kernel: str = "gauss"):
+    """points -> Dataset of (level, cell, weight) kernel-splat sums.
 
     Splats each point's kernel into the (2r+1)^2 neighborhood at each grid
-    level, pre-summing per batch before the groupby.
+    level, pre-summing per batch before the groupby.  ``kernel="binomial"``
+    uses integer Pascal-row weights (exact distributed sums; SQL-oracle
+    matchable); "gauss" is the float gaussian of the reference KDE.
     """
-    kernel = _gauss_kernel(radius)
+    integer = kernel == "binomial"
+    kernel = _binomial_kernel(radius) if integer else _gauss_kernel(radius)
     offsets = [(dy, dx) for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)]
 
     def splat(batch: pa.Table) -> pa.Table:
@@ -58,6 +71,8 @@ def kde_cells(points_ds, levels=(4, 8), radius: int = 2, weight_col: str | None 
                 # pre-sum within the batch
                 uc, inv = np.unique(cells, return_inverse=True)
                 sums = np.bincount(inv, weights=wts)
+                if integer:
+                    sums = sums.astype(np.int64)
                 out_lv.append(np.full(len(uc), level, dtype=np.int32))
                 out_cell.append(uc)
                 out_w.append(sums)
@@ -71,19 +86,12 @@ def kde_cells(points_ds, levels=(4, 8), radius: int = 2, weight_col: str | None 
 
     splat.__name__ = "kde_splat"
     partials = points_ds.map_batches(splat, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
 
-    def merge(group: pa.Table) -> pa.Table:
-        w = group.column("weight").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "level": group.column("level").slice(0, 1),
-                "cell": group.column("cell").slice(0, 1),
-                "weight": pa.array([float(w.sum())]),
-            }
-        )
-
-    merge.__name__ = "kde_merge"
-    return partials.groupby(["level", "cell"]).map_groups(merge, batch_format="pyarrow")
+    # native vectorized final merge (no per-cell Python callable)
+    return partials.groupby(["level", "cell"]).aggregate(
+        Sum("weight", alias_name="weight")
+    )
 
 
 def render_kde_tiles(kde_ds, level: int, tile_cells: int = 64):

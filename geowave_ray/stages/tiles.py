@@ -70,6 +70,7 @@ class TileAssigner:
         build_pyramid: bool = False,
         min_pyramid_bits: int | None = None,
         keep_cols: tuple = ("image_id",),
+        res_col: str | None = None,
     ):
         self.strategy = spatial_strategy(max_bits)
         self.tile_size = tile_size
@@ -78,14 +79,21 @@ class TileAssigner:
         self.build_pyramid = build_pyramid
         self.min_pyramid_bits = min_pyramid_bits if min_pyramid_bits is not None else 0
         self.keep_cols = list(keep_cols)
+        self.res_col = res_col  # per-image ground resolution override
+
+    def _res(self, batch: pa.Table) -> np.ndarray:
+        if self.res_col is not None and self.res_col in batch.column_names:
+            return batch.column(self.res_col).to_numpy(zero_copy_only=False)
+        return np.full(len(batch), self.pixel_res_deg)
 
     def _envelope(self, batch: pa.Table):
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
-        ext_lon = w * self.pixel_res_deg
-        ext_lat = h * self.pixel_res_deg
+        res = self._res(batch)
+        ext_lon = w * res
+        ext_lat = h * res
         minx = np.clip(lon, -180, 180)
         maxx = np.clip(lon + ext_lon, -180, 180)
         miny = np.clip(lat - ext_lat, -90, 90)
@@ -96,9 +104,10 @@ class TileAssigner:
         minx, miny, maxx, maxy, w, h = self._envelope(batch)
         # level from the UNCLIPPED pixel extent: clamping at world bounds
         # (poles/antimeridian) must not change the sample resolution
+        res = self._res(batch)
         levels = select_levels(
-            w * self.pixel_res_deg,
-            h * self.pixel_res_deg,
+            w * res,
+            h * res,
             w,
             h,
             self.tile_size,

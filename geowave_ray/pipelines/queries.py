@@ -288,8 +288,10 @@ SQL_KNN = _knn_sql()
 
 
 def q_tile_assignment(sf_dir: str):
-    """Hilbert-tiered pyramid tile assignment (engine-native; not
-    SQL-expressible — rows-only check)."""
+    """Hilbert-tiered pyramid tile assignment — the full (image, tier,
+    covering-cell) expansion, hash-verified by a SQL oracle that expands
+    the covering boxes and re-derives every Hilbert cell id with the
+    list_reduce state-machine fold (pipelines/oracle_sfc)."""
     import ray
 
     from ..stages.tiles import TileAssigner
@@ -306,23 +308,88 @@ def q_tile_assignment(sf_dir: str):
     with_dims = pts.map_batches(add_dims, batch_format="pyarrow")
     from ..stages.util import stage_fn
 
-    return with_dims.map_batches(
+    out = with_dims.map_batches(
         stage_fn(TileAssigner, pixel_res_deg=1e-3, keep_cols=("image_id",)),
         batch_format="pyarrow",
     )
 
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "tier": batch.column("tier").cast(pa.int64()),
+                "cell": pa.array(
+                    batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    cast.__name__ = "tile_assignment_cast"
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_tile_assignment() -> str:
+    """Cover-box expansion + per-cell 2-D Hilbert fold.  With the fixed
+    1e-3 ground resolution every image selects pyramid level 11
+    (ceil(log2(360/0.256) - eps) == 11, far from the rule's boundary)."""
+    from .oracle_sfc import sql_hilbert_fold
+
+    bits = 11
+    b = 1 << bits
+    tables, fold = sql_hilbert_fold(2, bits, ["u.cx", "u.cy"])
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+env AS (
+  SELECT image_id,
+         LEAST(GREATEST(lon, -180), 180) AS minx,
+         LEAST(GREATEST(lon + CAST(64 + image_id % 193 AS DOUBLE) * 1e-3, -180), 180) AS maxx,
+         LEAST(GREATEST(lat - CAST(64 + image_id % 193 AS DOUBLE) * 1e-3, -90), 90) AS miny,
+         LEAST(GREATEST(lat, -90), 90) AS maxy
+  FROM pts),
+cellbox AS (
+  SELECT image_id,
+         LEAST(CAST(FLOOR((minx + 180.0) / 360.0 * {b}) AS BIGINT), {b - 1}) AS cx0,
+         GREATEST(CAST(CEIL((maxx + 180.0) / 360.0 * {b}) AS BIGINT) - 1, 0) AS cx1r,
+         LEAST(CAST(FLOOR((miny + 180.0) / 360.0 * {b}) AS BIGINT), {b - 1}) AS cy0,
+         GREATEST(CAST(CEIL((maxy + 180.0) / 360.0 * {b}) AS BIGINT) - 1, 0) AS cy1r
+  FROM env),
+ht AS {tables},
+u AS (
+  SELECT c.image_id, ux.cx, uy.cy
+  FROM cellbox c,
+    LATERAL (SELECT unnest(range(c.cx0, GREATEST(c.cx1r, c.cx0) + 1)) AS cx) ux,
+    LATERAL (SELECT unnest(range(c.cy0, GREATEST(c.cy1r, c.cy0) + 1)) AS cy) uy)
+SELECT u.image_id, {bits} AS tier, CAST({fold} AS BIGINT) AS cell
+FROM u CROSS JOIN ht
+"""
+
 
 def q_hilbert_cells(sf_dir: str):
-    """Tiered-Hilbert cell encode of the derived points (engine-native keys;
-    rows-only — the SFC kernel itself is conformance-tested in tests/)."""
+    """Tiered-Hilbert cell encode of the derived points — the curve keys
+    themselves are hash-verified against a list_reduce state-machine fold
+    in pure SQL (pipelines/oracle_sfc)."""
     from ..stages.encode import CellEncoder
 
     pts = _events_points(sf_dir)
     from ..stages.util import stage_fn
 
-    return pts.map_batches(
+    out = pts.map_batches(
         stage_fn(CellEncoder, bits=31), batch_format="pyarrow"
     ).select_columns(["image_id", "tier", "cell"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "tier": batch.column("tier").cast(pa.int64()),
+                "cell": pa.array(
+                    batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    cast.__name__ = "hilbert_cells_cast"
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- documents
@@ -1119,7 +1186,11 @@ def q_kmeans_clusters(sf_dir: str):
 
 
 def q_convex_hulls(sf_dir: str):
-    """Per-group convex hulls of the derived points (rows-only)."""
+    """Per-group convex hulls of the derived points.  The oracle verifies
+    the hull's EXTREMES (its bbox equals the point set's bbox — min/max of
+    identical doubles, hash-exact) plus the member count; hull geometry
+    itself is unit-tested (tests/test_stages)."""
+    from ..geom.wkb import parse_wkb
     from ..stages.analytics import group_convex_hulls
 
     pts = _events_points(sf_dir)
@@ -1128,9 +1199,35 @@ def q_convex_hulls(sf_dir: str):
         ids = batch.column("image_id").to_numpy(zero_copy_only=False)
         return batch.append_column("grp", pa.array((ids % 5).astype(np.int64)))
 
+    add_grp.__name__ = "hull_grp"
     grouped = pts.map_batches(add_grp, batch_format="pyarrow")
     out = group_convex_hulls(grouped, "grp")
-    return out.select_columns(["grp", "n_points"])
+
+    def with_bbox(batch: pa.Table) -> pa.Table:
+        from ..geom.wkb import bbox_of
+
+        boxes = [bbox_of(parse_wkb(w)) for w in batch.column("hull_wkb").to_pylist()]
+        return pa.table(
+            {
+                "grp": batch.column("grp"),
+                "n_points": batch.column("n_points"),
+                "minx": pa.array([b[0] for b in boxes]),
+                "miny": pa.array([b[1] for b in boxes]),
+                "maxx": pa.array([b[2] for b in boxes]),
+                "maxy": pa.array([b[3] for b in boxes]),
+            }
+        )
+
+    with_bbox.__name__ = "hull_bbox"
+    return out.map_batches(with_bbox, batch_format="pyarrow")
+
+
+SQL_CONVEX_HULLS = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id % 5 AS grp, COUNT(*) AS n_points,
+       MIN(lon) AS minx, MIN(lat) AS miny, MAX(lon) AS maxx, MAX(lat) AS maxy
+FROM pts GROUP BY image_id % 5
+"""
 
 
 def q_deterministic_sample(sf_dir: str):
@@ -1384,7 +1481,8 @@ FROM events GROUP BY event_type
 
 def q_spatial_temporal_cells(sf_dir: str):
     """3-D (lon, lat, YEAR-binned time) tiered-Hilbert keys — the
-    SpatialTemporalStrategy encode path at scale (rows-only)."""
+    SpatialTemporalStrategy encode path, hash-verified by the 3-D SQL
+    Hilbert fold oracle (pipelines/oracle_sfc)."""
     from ..index.tiered import SpatialTemporalStrategy
 
     pts = _events_points(sf_dir, with_ts=True)
@@ -1402,7 +1500,7 @@ def q_spatial_temporal_cells(sf_dir: str):
                 {
                     "image_id": batch.column("image_id"),
                     "year_bin": pa.array(years, type=pa.int64()),
-                    "st_cell": pa.array(cells, type=pa.uint64()),
+                    "st_cell": pa.array(cells.astype(np.int64)),
                 }
             )
 
@@ -1696,7 +1794,16 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_simhash,
 )
 
+from .oracle_sfc import (  # noqa: E402
+    sql_hilbert_cells,
+    sql_spatial_temporal_cells,
+)
+
 ORACLE_SQL = {
+    "hilbert_cells": sql_hilbert_cells(_PTS_SQL),
+    "spatial_temporal_cells": sql_spatial_temporal_cells(_PTS_SQL),
+    "tile_assignment": _sql_tile_assignment(),
+    "convex_hulls": SQL_CONVEX_HULLS,
     "dbscan": SQL_DBSCAN,
     "hll_distinct_users": _sql_hll_state(),
     "distinct_users": SQL_DISTINCT_USERS,

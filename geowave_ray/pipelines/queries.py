@@ -1729,6 +1729,33 @@ FROM cells
 """
 
 
+
+CQL_TEXT = (
+    f"BBOX(geom, {BBOX[0]}, {BBOX[1]}, {BBOX[2]}, {BBOX[3]})"
+    " AND v_cents >= 5000 AND ts DURING '2024-01-05T00:00:00/2024-01-25T00:00:00'"
+)
+
+
+def q_cql_query(sf_dir: str):
+    """CQL string filter end-to-end (OptimalCQLQuery analog): the string
+    compiles to an index bbox + time range + vectorized attribute filter."""
+    from ..query.cql import parse_cql
+
+    pts = _events_points(sf_dir, with_value=True, with_ts=True)
+    q = parse_cql(CQL_TEXT)
+    assert q.spatial is not None and q.time_range is not None
+    return q.apply(pts, time_col="ts").select_columns(["image_id", "v_cents"])
+
+
+SQL_CQL_QUERY = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id, v_cents FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+  AND v_cents >= 5000
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1763,6 +1790,7 @@ QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "hll_distinct_users": q_hll_distinct_users,
     "gwql_bbox_count": q_gwql_bbox_count,
+    "cql_query": q_cql_query,
     "kde_cells": q_kde_cells,
     "xz_zone_keys": q_xz_zone_keys,
     "kmeans_clusters": q_kmeans_clusters,
@@ -1839,6 +1867,7 @@ ORACLE_SQL = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "gwql_bbox_count": SQL_GWQL_BBOX_COUNT,
+    "cql_query": SQL_CQL_QUERY,
     "spatial_join_category_agg": SQL_SPATIAL_JOIN_CATEGORY,
     "top_zones": SQL_TOP_ZONES,
     "docs_by_lang": SQL_DOCS_BY_LANG,

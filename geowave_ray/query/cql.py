@@ -1,0 +1,328 @@
+"""CQL (ECQL subset) string filter parser.
+
+Reference surface: OptimalCQLQuery.createOptimalQuery
+(core/geotime/.../store/query/cql/OptimalCQLQuery.java:42-102) compiles a
+CQL string into (a) an index-usable geometry/time constraint — extracted by
+ExtractGeometryFilterVisitor / ExtractTimeFilterVisitor — and (b) a fine
+row filter.  This parser produces the same split over the engine's
+expression trees: ``parse_cql`` returns a CqlQuery carrying the vectorized
+filter Expr, the extracted planner bbox (a SpatialQuery when present), and
+the extracted time range.
+
+Grammar (recursive descent, OR < AND < NOT precedence, parentheses):
+
+  comparison:  attr {=, <>, <, <=, >, >=} literal
+  BETWEEN:     attr BETWEEN a AND b
+  IN:          attr IN (v, v, ...)
+  LIKE:        attr LIKE 'pat%'   (% and _ wildcards)
+  NULL:        attr IS [NOT] NULL
+  spatial:     BBOX(geom, minx, miny, maxx, maxy)
+               INTERSECTS|DISJOINT|WITHIN|CONTAINS|TOUCHES|CROSSES|
+               OVERLAPS|EQUALS(geom, 'POLYGON((x y, ...))')
+               DWITHIN(geom, 'POINT(x y)', dist, 'degrees'|'meters')
+  temporal:    attr BEFORE ts | attr AFTER ts
+               attr DURING t1/t2        (ISO-8601 instants)
+
+``geom`` is the geometry attribute name; at apply() time point datasets
+map it to (lon_col, lat_col) and WKB datasets refine via
+planner.apply_wkb_query.  bbox extraction: AND intersects boxes, OR unions
+them, NOT discards the bound (conservative, like the visitor).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom.wkb import Polygon, box_polygon
+from .expressions import Expr, apply_filter, col
+from .gwql import _Parser, _tokens
+from .planner import SpatialQuery
+
+__all__ = ["parse_cql", "CqlQuery"]
+
+_SPATIAL_OPS = {
+    "INTERSECTS",
+    "DISJOINT",
+    "WITHIN",
+    "CONTAINS",
+    "TOUCHES",
+    "CROSSES",
+    "OVERLAPS",
+    "EQUALS",
+}
+
+
+@dataclass(eq=False)
+class _TimeCmp(Expr):
+    name: str
+    op: str  # "<", ">", "between"
+    lo_us: int
+    hi_us: int | None = None
+
+    def evaluate(self, batch):
+        import pyarrow.compute as pc
+
+        t = batch.column(self.name).cast(pa.int64())
+        if self.op == "<":
+            return pc.less(t, self.lo_us)
+        if self.op == ">":
+            return pc.greater(t, self.lo_us)
+        return pc.and_(pc.greater_equal(t, self.lo_us), pc.less_equal(t, self.hi_us))
+
+
+def _iso_us(s: str) -> int:
+    return int(np.datetime64(s).astype("datetime64[us]").astype(np.int64))
+
+
+def _parse_wkt(wkt: str):
+    m = re.match(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", wkt, re.IGNORECASE)
+    if m:
+        coords = np.array(
+            [[float(x) for x in pair.split()] for pair in m.group(1).split(",")],
+            dtype=np.float64,
+        )
+        return Polygon(coords)
+    m = re.match(r"\s*POINT\s*\(\s*([-\d.eE]+)\s+([-\d.eE]+)\s*\)\s*$", wkt, re.IGNORECASE)
+    if m:
+        return (float(m.group(1)), float(m.group(2)))
+    raise ValueError(f"unsupported WKT {wkt!r}")
+
+
+@dataclass
+class _SpatialTerm:
+    """A spatial predicate leaf: carries its own SpatialQuery."""
+
+    geom_field: str
+    query: SpatialQuery
+
+
+@dataclass
+class CqlQuery:
+    expr: Expr | None  # attribute filter tree (non-spatial terms)
+    spatial: SpatialQuery | None  # extracted index constraint
+    time_range: tuple[int, int] | None  # us
+    spatial_terms: list  # all _SpatialTerm leaves (for refinement)
+
+    def apply(self, ds, lon_col: str = "lon", lat_col: str = "lat", time_col: str | None = None):
+        """Point-dataset execution: coarse+fine spatial refine per term,
+        then the attribute filter (OptimalCQLQuery -> filter chain)."""
+        for term in self.spatial_terms:
+            ds = term.query.apply(ds, lon_col=lon_col, lat_col=lat_col)
+        if self.time_range is not None and time_col is not None:
+            tr = _TimeCmp(time_col, "between", self.time_range[0], self.time_range[1])
+            ds = apply_filter(ds, tr)
+        if self.expr is not None:
+            ds = apply_filter(ds, self.expr)
+        return ds
+
+
+def parse_cql(text: str) -> CqlQuery:
+    p = _Parser(_tokens(text))
+    expr, spatial_terms, boxes, time_range = _parse_or(p)
+    if p.peek()[0] is not None:
+        raise ValueError(f"trailing tokens at {p.peek()!r}")
+    spatial = None
+    if boxes:
+        minx = min(b[0] for b in boxes)
+        miny = min(b[1] for b in boxes)
+        maxx = max(b[2] for b in boxes)
+        maxy = max(b[3] for b in boxes)
+        spatial = SpatialQuery(box_polygon(minx, miny, maxx, maxy))
+    return CqlQuery(expr, spatial, time_range, spatial_terms)
+
+
+def _merge_and(b1, b2):
+    """AND of bbox lists: intersect the union-boxes pessimistically
+    (single enclosing box per side, like the visitor's bbox algebra)."""
+    if not b1:
+        return b2
+    if not b2:
+        return b1
+    e1 = (
+        min(b[0] for b in b1),
+        min(b[1] for b in b1),
+        max(b[2] for b in b1),
+        max(b[3] for b in b1),
+    )
+    e2 = (
+        min(b[0] for b in b2),
+        min(b[1] for b in b2),
+        max(b[2] for b in b2),
+        max(b[3] for b in b2),
+    )
+    out = (
+        max(e1[0], e2[0]),
+        max(e1[1], e2[1]),
+        min(e1[2], e2[2]),
+        min(e1[3], e2[3]),
+    )
+    return [out]
+
+
+def _parse_or(p: _Parser):
+    expr, terms, boxes, tr = _parse_and(p)
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "OR":
+        p.next()
+        e2, t2, b2, tr2 = _parse_and(p)
+        if terms or t2:
+            raise ValueError("OR over spatial predicates is not index-plannable; "
+                             "wrap spatial constraints at the top level with AND")
+        expr = expr | e2 if expr is not None and e2 is not None else (expr or e2)
+        boxes = boxes + b2  # OR unions boxes
+        tr = None if tr is None or tr2 is None else (min(tr[0], tr2[0]), max(tr[1], tr2[1]))
+    return expr, terms, boxes, tr
+
+
+def _parse_and(p: _Parser):
+    expr, terms, boxes, tr = _parse_not(p)
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "AND":
+        p.next()
+        e2, t2, b2, tr2 = _parse_not(p)
+        if expr is not None and e2 is not None:
+            expr = expr & e2
+        else:
+            expr = expr or e2
+        terms = terms + t2
+        boxes = _merge_and(boxes, b2)
+        if tr2 is not None:
+            tr = tr2 if tr is None else (max(tr[0], tr2[0]), min(tr[1], tr2[1]))
+    return expr, terms, boxes, tr
+
+
+def _parse_not(p: _Parser):
+    if p.peek()[0] == "word" and p.peek()[1].upper() == "NOT":
+        p.next()
+        expr, terms, boxes, tr = _parse_not(p)
+        if terms:
+            raise ValueError("NOT over spatial predicates unsupported; use DISJOINT")
+        # NOT discards index bounds (conservative)
+        return (~expr if expr is not None else None), [], [], None
+    return _parse_primary(p)
+
+
+def _parse_primary(p: _Parser):
+    k, v = p.peek()
+    if k == "op" and v == "(":
+        p.next()
+        out = _parse_or(p)
+        p.expect_op(")")
+        return out
+    if k != "word":
+        raise ValueError(f"unexpected token {v!r}")
+    word = v.upper()
+    if word == "BBOX":
+        p.next()
+        p.expect_op("(")
+        geom = p.next()[1]
+        vals = []
+        while p.peek() != ("op", ")"):
+            kk, vv = p.next()
+            if (kk, vv) == ("op", ","):
+                continue
+            vals.append(float(vv))
+        p.expect_op(")")
+        minx, miny, maxx, maxy = vals[:4]
+        q = SpatialQuery(box_polygon(minx, miny, maxx, maxy))
+        return None, [_SpatialTerm(geom, q)], [(minx, miny, maxx, maxy)], None
+    if word in _SPATIAL_OPS:
+        p.next()
+        p.expect_op("(")
+        geom = p.next()[1]
+        p.expect_op(",")
+        wkt = p.next()[1]
+        p.expect_op(")")
+        g = _parse_wkt(wkt)
+        if isinstance(g, tuple):
+            raise ValueError(f"{word} needs a polygon operand")
+        q = SpatialQuery(g, op=word)
+        from ..geom.wkb import bbox_of
+
+        boxes = [] if word == "DISJOINT" else [bbox_of(g)]
+        return None, [_SpatialTerm(geom, q)], boxes, None
+    if word == "DWITHIN":
+        p.next()
+        p.expect_op("(")
+        geom = p.next()[1]
+        p.expect_op(",")
+        wkt = p.next()[1]
+        p.expect_op(",")
+        dist = float(p.next()[1])
+        p.expect_op(",")
+        units = p.next()[1].lower()
+        p.expect_op(")")
+        g = _parse_wkt(wkt)
+        if not isinstance(g, tuple):
+            raise ValueError("DWITHIN supports POINT operands")
+        if units in ("meters", "m"):
+            dist = dist / 111320.0  # equatorial degrees approximation
+        x, y = g
+        box = (x - dist, y - dist, x + dist, y + dist)
+        q = SpatialQuery(box_polygon(*box))
+        return None, [_SpatialTerm(geom, q)], [box], None
+
+    # attribute predicate
+    p.next()
+    name = v
+    nk, nv = p.peek()
+    c = col(name)
+    if nk == "word":
+        u = nv.upper()
+        if u == "BETWEEN":
+            p.next()
+            lo = p.next()[1]
+            p.expect_word("AND")
+            hi = p.next()[1]
+            return c.between(lo, hi), [], [], None
+        if u == "IN":
+            p.next()
+            p.expect_op("(")
+            vals = []
+            while p.peek() != ("op", ")"):
+                kk, vv = p.next()
+                if (kk, vv) == ("op", ","):
+                    continue
+                vals.append(vv)
+            p.expect_op(")")
+            return c.isin(vals), [], [], None
+        if u == "LIKE":
+            p.next()
+            pat = p.next()[1]
+            return c.like(pat), [], [], None
+        if u == "IS":
+            p.next()
+            neg = False
+            if p.peek()[0] == "word" and p.peek()[1].upper() == "NOT":
+                p.next()
+                neg = True
+            p.expect_word("NULL")
+            e = c.is_null()
+            return (~e if neg else e), [], [], None
+        if u in ("BEFORE", "AFTER"):
+            p.next()
+            ts = _iso_us(str(p.next()[1]))
+            e = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
+            return e, [], [], None
+        if u == "DURING":
+            p.next()
+            span = str(p.next()[1])
+            lo_s, hi_s = span.split("/")
+            lo, hi = _iso_us(lo_s), _iso_us(hi_s)
+            return _TimeCmp(name, "between", lo, hi), [], [], (lo, hi)
+        raise ValueError(f"unsupported predicate keyword {nv!r}")
+    kk, op = p.next()
+    if kk != "op":
+        raise ValueError(f"expected comparison operator, got {op!r}")
+    val = p.next()[1]
+    term = {
+        "=": c == val,
+        "<>": c != val,
+        "<": c < val,
+        "<=": c <= val,
+        ">": c > val,
+        ">=": c >= val,
+    }[op]
+    return term, [], [], None

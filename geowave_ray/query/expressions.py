@@ -85,6 +85,13 @@ class Expr:
     def contains(self, sub: str, ignore_case: bool = False):
         return _Text("match_substring", self, sub, ignore_case)
 
+    def like(self, pattern: str, ignore_case: bool = False):
+        """SQL LIKE (% / _ wildcards) via pyarrow match_like."""
+        return _Text("match_like", self, pattern, ignore_case)
+
+    def isin(self, values: list):
+        return _In(self, list(values))
+
     def evaluate(self, batch: pa.Table):
         raise NotImplementedError
 
@@ -176,6 +183,15 @@ class _Arith(Expr):
         if self.op == "abs":
             return pc.abs(self.left.evaluate(batch))
         return getattr(pc, self.op)(self.left.evaluate(batch), self.right.evaluate(batch))
+
+
+@dataclass(eq=False)
+class _In(Expr):
+    inner: Expr
+    values: list
+
+    def evaluate(self, batch):
+        return pc.is_in(self.inner.evaluate(batch), value_set=pa.array(self.values))
 
 
 @dataclass(eq=False)

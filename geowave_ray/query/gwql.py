@@ -3,10 +3,14 @@
 Subset of the reference's GWQL grammar
 (``core/store/src/main/antlr4/.../GWQL.g4:49-105``):
 
-    SELECT <agg(col) | col, ... | *> FROM <table>
+    SELECT <agg(col) | scalar_fn | col, ... | *> FROM <table>
         [WHERE <predicates>] [LIMIT n]
+    DELETE FROM <table> [WHERE <predicates>]
 
 - aggregations: COUNT(*), COUNT(col), SUM(col), MIN(col), MAX(col)
+- scalar functions: ABS(col), CONCAT(a, b, ...)  (GWQL.g4:49-105
+  functions surface); DELETE returns the RETAINED rows (the caller
+  persists them — the engine's stores are immutable parquet layouts)
 - predicates: col <op> literal (op in =, <>, <, <=, >, >=),
   col BETWEEN a AND b, AND-combinations,
   BBOX(lon_col, lat_col, minx, miny, maxx, maxy),
@@ -83,6 +87,22 @@ class _Parser:
 
 def parse_gwql(query: str) -> dict:
     p = _Parser(_tokens(query))
+    if p.peek()[0] == "word" and p.peek()[1].upper() == "DELETE":
+        p.next()
+        p.expect_word("FROM")
+        table = p.next()[1]
+        where = spatial = None
+        if p.peek()[0] == "word" and p.peek()[1].upper() == "WHERE":
+            p.next()
+            where, spatial = _parse_predicates(p)
+        return {
+            "delete": True,
+            "select": [],
+            "table": table,
+            "where": where,
+            "spatial": spatial,
+            "limit": None,
+        }
     p.expect_word("SELECT")
     select: list = []
     while True:
@@ -93,16 +113,24 @@ def parse_gwql(query: str) -> dict:
             name = v
             if p.peek() == ("op", "("):
                 p.next()
-                k2, v2 = p.next()
-                arg = "*" if (k2 == "op" and v2 == "*") else v2
+                args = []
+                while p.peek() != ("op", ")"):
+                    k2, v2 = p.next()
+                    if (k2, v2) == ("op", ","):
+                        continue
+                    args.append("*" if (k2 == "op" and v2 == "*") else v2)
                 p.expect_op(")")
+                arg = args[0] if args else "*"
                 alias = f"{name.lower()}_{arg if arg != '*' else 'all'}"
-                if p.peek() == ("word", "AS") or (
+                if (
                     p.peek()[0] == "word" and p.peek()[1].upper() == "AS"
                 ):
                     p.next()
                     alias = p.next()[1]
-                select.append((name.upper(), arg, alias))
+                if name.upper() in ("ABS", "CONCAT"):
+                    select.append((name.upper(), args, alias))
+                else:
+                    select.append((name.upper(), arg, alias))
             else:
                 alias = name
                 if p.peek()[0] == "word" and p.peek()[1].upper() == "AS":
@@ -218,11 +246,62 @@ def run_gwql(query: str, tables: dict, lon_col="lon", lat_col="lat"):
 
     plan = parse_gwql(query)
     ds = tables[plan["table"]]
+    if plan.get("delete"):
+        # DELETE: keep the rows NOT matched by (spatial AND where)
+        from ..geom.predicates import points_in_polygon
+
+        spatial = plan["spatial"]
+        where = plan["where"]
+
+        def keep(batch: pa.Table) -> pa.Table:
+            matched = np.ones(len(batch), dtype=bool)
+            if spatial is not None:
+                lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+                lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+                matched &= points_in_polygon(
+                    lon, lat, spatial.geometry, include_boundary=True
+                )
+            if where is not None:
+                m = where.evaluate(batch)
+                matched &= np.asarray(m.to_pandas() if hasattr(m, "to_pandas") else m).astype(bool)
+            return batch.filter(pa.array(~matched))
+
+        keep.__name__ = "gwql_delete_keep"
+        return ds.map_batches(keep, batch_format="pyarrow")
     if plan["spatial"] is not None:
         ds = plan["spatial"].apply(ds, lon_col=lon_col, lat_col=lat_col)
     if plan["where"] is not None:
         ds = apply_filter(ds, plan["where"])
     sel = plan["select"]
+    scalars = [s for s in sel if s[0] in ("ABS", "CONCAT")]
+    if scalars:
+        import pyarrow.compute as pc
+
+        plain = [s for s in sel if s[0] == "COL"]
+
+        def project(batch: pa.Table) -> pa.Table:
+            out = {alias: batch.column(cname) for _, cname, alias in plain}
+            for kind, args, alias in scalars:
+                if kind == "ABS":
+                    out[alias] = pc.abs(batch.column(args[0]))
+                else:  # CONCAT
+                    parts = [
+                        batch.column(a).cast(pa.string())
+                        if a in batch.column_names
+                        else pa.array([str(a)] * len(batch))
+                        for a in args
+                    ]
+                    acc = parts[0]
+                    for nxt in parts[1:]:
+                        acc = pc.binary_join_element_wise(acc, nxt, "")
+                    out[alias] = acc
+            return pa.table(out)
+
+        project.__name__ = "gwql_scalar_project"
+        ds = ds.map_batches(project, batch_format="pyarrow")
+        if plan["limit"] is not None:
+            ds = ds.limit(plan["limit"])
+        return ds
     aggs = [s for s in sel if s[0] in ("COUNT", "SUM", "MIN", "MAX")]
     if aggs:
         out = {}

@@ -289,3 +289,67 @@ def test_ewkb_srid_payload():
     buf = struct.pack("<BIIdd", 1, 0x20000001, 4326, 12.5, -3.25)
     g = parse_wkb(buf)
     assert (g.x, g.y) == (12.5, -3.25)
+
+
+def test_gwql_delete_and_scalar_functions(ray_session):
+    """GWQL DELETE + ABS/CONCAT scalar functions (GWQL.g4:49-105)."""
+    import ray
+
+    from geowave_ray.query.gwql import run_gwql
+
+    t = pa.table(
+        {
+            "pid": pa.array(range(6), type=pa.int64()),
+            "lon": [0.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+            "lat": [0.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+            "v": [-5, 3, -2, 7, 1, -9],
+            "tag": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    tables = {"pts": ray.data.from_arrow(t)}
+    kept = run_gwql(
+        "DELETE FROM pts WHERE BBOX(lon, lat, 5, 5, 35, 35)", tables
+    ).to_pandas()
+    assert sorted(kept["pid"]) == [0, 4, 5]
+    tables = {"pts": ray.data.from_arrow(t)}
+    out = run_gwql(
+        "SELECT pid, ABS(v) AS av, CONCAT(tag, tag) AS tt FROM pts WHERE v < 0",
+        tables,
+    ).to_pandas().sort_values("pid")
+    assert out["av"].tolist() == [5, 2, 9]
+    assert out["tt"].tolist() == ["aa", "cc", "ff"]
+
+
+def test_visibility_rows_and_fields(ray_session):
+    """Per-row + per-field visibility (core/store/.../data/visibility):
+    rows outside the auth set are dropped, unauthorized fields nulled."""
+    import ray
+
+    from geowave_ray.stages.visibility import apply_visibility, visibility_satisfied
+
+    assert visibility_satisfied("", {"x"})
+    assert visibility_satisfied("a|b", {"b"})
+    assert not visibility_satisfied("a&b", {"b"})
+    assert visibility_satisfied("(a|b)&c", {"b", "c"})
+
+    t = pa.table(
+        {
+            "pid": pa.array(range(5), type=pa.int64()),
+            "payload": ["p0", "p1", "p2", "p3", "p4"],
+            "secret_score": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "visibility": ["", "public", "admin", "admin&audit", "public|admin"],
+        }
+    )
+    out = apply_visibility(
+        ray.data.from_arrow(t),
+        auths={"public"},
+        field_vis={"secret_score": "admin"},
+    ).to_pandas()
+    assert sorted(out["pid"]) == [0, 1, 4]
+    assert out["secret_score"].isna().all()
+    out2 = apply_visibility(
+        ray.data.from_arrow(t), auths={"admin", "audit"},
+        field_vis={"secret_score": "admin"},
+    ).to_pandas()
+    assert sorted(out2["pid"]) == [0, 2, 3, 4]
+    assert not out2["secret_score"].isna().any()

@@ -1,0 +1,36 @@
+"""TWKB codec round-trip + compression (TWKBWriter.java analog)."""
+
+import numpy as np
+
+from geowave_ray.geom.twkb import parse_twkb, to_twkb
+from geowave_ray.geom.wkb import LineString, MultiGeometry, Point, Polygon, to_wkb
+
+
+def test_twkb_point_header_and_roundtrip():
+    p = Point(12.3456789, -45.0000001)
+    b = to_twkb(p, 7)
+    # header: type 1 | zigzag(7)=14 << 4 == 0xE1; empty metadata byte
+    assert b[0] == 0xE1 and b[1] == 0x00
+    q = parse_twkb(b)
+    assert abs(q.x - p.x) < 1e-7 and abs(q.y - p.y) < 1e-7
+
+
+def test_twkb_roundtrip_all_types():
+    ls = LineString(np.array([[0.0, 0.0], [1.5, 2.5], [-3.25, 4.0]]))
+    assert np.allclose(parse_twkb(to_twkb(ls, 6)).coords, ls.coords, atol=1e-6)
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=float)
+    pg = Polygon(ring, [hole])
+    p2 = parse_twkb(to_twkb(pg, 5))
+    assert np.allclose(p2.rings[0], ring, atol=1e-5)
+    assert np.allclose(p2.rings[1], hole, atol=1e-5)
+    mp = MultiGeometry([Polygon(ring), Polygon(ring + 20)])
+    m2 = parse_twkb(to_twkb(mp, 5))
+    assert len(m2.parts) == 2
+    assert np.allclose(m2.parts[1].rings[0], ring + 20, atol=1e-5)
+
+
+def test_twkb_smaller_than_wkb():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    pg = Polygon(ring, [ring * 0.3 + 2])
+    assert len(to_twkb(pg, 7)) < len(to_wkb(pg)) / 2

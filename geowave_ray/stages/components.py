@@ -107,6 +107,7 @@ def connected_components_min_label(
     emit.__name__ = "cc_emit"
 
     prev_sig = None
+    base_count = None
     for _ in range(rounds):
         labels = drop_empty_blocks(
             pairs.groupby("node").min("peer").map_batches(
@@ -127,11 +128,21 @@ def connected_components_min_label(
             right_schema=pa.schema([("node", _i64), ("label", _i64)]),
         )
         pairs = drop_empty_blocks(
-            _dedupe_pairs(
-                joined.map_batches(emit, batch_format="pyarrow"), num_partitions
-            ),
+            joined.map_batches(emit, batch_format="pyarrow"),
             schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
         )
+        # dedupe (an extra shuffle) only when the pair list actually grows —
+        # emission triples rows per round, but duplicates collapse for free
+        # in the next round's min; only sustained growth needs the groupby
+        cnt = pairs.count()
+        if base_count is None:
+            base_count = max(cnt, 1)
+        elif cnt > 6 * base_count:
+            pairs = drop_empty_blocks(
+                _dedupe_pairs(pairs, num_partitions),
+                schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
+            )
+            base_count = max(pairs.count(), 1)
 
     final = pairs.groupby("node").min("peer").map_batches(
         label_min, batch_format="pyarrow"

@@ -1,24 +1,27 @@
-"""DBSCAN density clustering (SURVEY §2.C) — fully distributed.
+"""DBSCAN density clustering (SURVEY §2.C) — fully distributed, two-pass.
 
 Reference: MapReduce DBSCAN (analytics/mapreduce/.../dbscan/
 DBScanMapReduce.java — iterative NN-based cluster union over
 distance-sized partitions).  Ray-Data shape:
 
-1. points -> eps-sized grid cells; every point is duplicated to its cell +
-   ring-1 neighborhood (the OrthodromicDistancePartitioner neighbor-cell
-   duplication), so every eps-neighborhood is fully contained in the
-   point's home-cell group;
-2. ``groupby(cell)``: each home point's neighbor count + directed edges to
-   its eps-neighbors, all vectorized (pairwise distance matrix per group);
-3. core flags from the counts; core-core edges feed DISTRIBUTED iterated
-   min-label propagation (stages/components — no driver-side union-find,
-   round-1 verdict "What's wrong" #2); border points take the min cluster
-   label among their core neighbors; everything else is noise (-1).
+PASS 1 (counts): points -> eps grid cells with ring-1 duplication
+(OrthodromicDistancePartitioner); ``groupby(cell)`` computes each HOME
+point's eps-neighbor count vectorized -> core flags (one row per point).
 
-Every join is a native hash ``Dataset.join``; every aggregate is a native
-vectorized groupby — no per-group Python callables outside the single
-per-cell neighbor scan.  Planar degree distance (matching the grid);
-haversine variant via the knn module if needed.
+PASS 2 (spanning edges): core flags join back onto the points (a join of
+POINTS, never of edges), the flagged points re-duplicate to cells, and
+each cell group runs a LOCAL union-find over its core-core close pairs —
+emitting only the SPANNING star edges (member -> local root) plus, per
+border point, one edge to each distinct local root among its close cores.
+A dense blob therefore emits O(n) edges instead of the O(n * avg_degree)
+all-pairs list (the round-2 scale fix: 100k clustered points -> ~1M edge
+rows instead of ~34M).
+
+Cluster labels: distributed iterated min-label propagation over the
+spanning edges (stages/components — no driver union-find); border points
+take the min component label among their core neighbors; else noise (-1).
+Every join is a native hash ``Dataset.join``.  Planar degree distance
+(matching the grid); haversine variant via the knn module if needed.
 """
 
 from __future__ import annotations
@@ -30,6 +33,28 @@ from .components import connected_components_min_label
 from .util import safe_join
 
 __all__ = ["dbscan"]
+
+
+def _cell_dup(pid, lon, lat, extra_cols: dict, eps: float, nx: int):
+    cx = np.floor((lon + 180.0) / eps).astype(np.int64)
+    cy = np.floor((lat + 90.0) / eps).astype(np.int64)
+    n = len(pid)
+    cells, homes = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            cells.append((cy + dy) * nx + (cx + dx))
+            homes.append(np.full(n, dx == 0 and dy == 0))
+    idx = np.tile(np.arange(n), 9)
+    cols = {
+        "pid": pa.array(pid[idx]),
+        "x": pa.array(lon[idx]),
+        "y": pa.array(lat[idx]),
+        "cell": pa.array(np.concatenate(cells)),
+        "home": pa.array(np.concatenate(homes)),
+    }
+    for name, arr in extra_cols.items():
+        cols[name] = pa.array(arr[idx])
+    return pa.table(cols)
 
 
 def dbscan(
@@ -49,83 +74,197 @@ def dbscan(
     nx = max(int(360.0 / eps), 1) + 2
 
     def to_cells(batch: pa.Table) -> pa.Table:
-        lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
-        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
-        pid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cx = np.floor((lon + 180.0) / eps).astype(np.int64)
-        cy = np.floor((lat + 90.0) / eps).astype(np.int64)
-        n = len(batch)
-        cells, homes = [], []
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                cells.append((cy + dy) * nx + (cx + dx))
-                homes.append(np.full(n, dx == 0 and dy == 0))
-        idx = np.tile(np.arange(n), 9)
-        return pa.table(
-            {
-                "pid": pa.array(pid[idx]),
-                "x": pa.array(lon[idx]),
-                "y": pa.array(lat[idx]),
-                "cell": pa.array(np.concatenate(cells)),
-                "home": pa.array(np.concatenate(homes)),
-            }
+        return _cell_dup(
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            batch.column(lon_col).to_numpy(zero_copy_only=False),
+            batch.column(lat_col).to_numpy(zero_copy_only=False),
+            {},
+            eps,
+            nx,
         )
 
     to_cells.__name__ = "dbscan_cells"
 
-    def per_cell(group: pa.Table) -> pa.Table:
-        pid = group.column("pid").to_numpy(zero_copy_only=False)
+    # ---------------- pass 1: per-point neighbor counts -> core flags
+    def count_cell(group: pa.Table) -> pa.Table:
         x = group.column("x").to_numpy(zero_copy_only=False)
         y = group.column("y").to_numpy(zero_copy_only=False)
         home = group.column("home").to_numpy(zero_copy_only=False)
-        d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
-        close = d2 <= eps * eps
+        pid = group.column("pid").to_numpy(zero_copy_only=False)
         h_idx = np.nonzero(home)[0]
-        counts = close[h_idx].sum(axis=1)  # neighbors incl. self
-        hi, j = np.nonzero(close[h_idx])
-        src = pid[h_idx[hi]]
-        dst = pid[j]
-        keep = src != dst
+        d2 = (x[h_idx, None] - x[None, :]) ** 2 + (y[h_idx, None] - y[None, :]) ** 2
+        counts = (d2 <= eps * eps).sum(axis=1)  # incl. self
         return pa.table(
             {
-                "kind": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(h_idx), np.int64), np.ones(int(keep.sum()), np.int64)]
-                    )
-                ),
-                "pid": pa.array(np.concatenate([pid[h_idx], src[keep]])),
-                "val": pa.array(np.concatenate([counts.astype(np.int64), dst[keep]])),
+                "pid": pa.array(pid[h_idx]),
+                "is_core": pa.array((counts >= min_pts).astype(np.int64)),
             }
         )
 
-    per_cell.__name__ = "dbscan_cell_scan"
+    count_cell.__name__ = "dbscan_counts"
+    pts0 = ds.materialize()
+    flags = (
+        pts0.map_batches(to_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(count_cell, batch_format="pyarrow")
+        .materialize()
+    )
 
-    cells = ds.map_batches(to_cells, batch_format="pyarrow")
-    raw = cells.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    # ---------------- pass 2: flagged points -> spanning edges
+    def point_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": batch.column(id_col).cast(pa.int64()),
+                "x": batch.column(lon_col),
+                "y": batch.column(lat_col),
+            }
+        )
 
-    def split(kind):
+    point_cols.__name__ = "dbscan_point_cols"
+    flagged = safe_join(
+        pts0.map_batches(point_cols, batch_format="pyarrow"),
+        flags,
+        "inner",
+        num_partitions,
+        on=("pid",),
+        left_schema=pa.schema(
+            [("pid", pa.int64()), ("x", pa.float64()), ("y", pa.float64())]
+        ),
+        right_schema=pa.schema([("pid", pa.int64()), ("is_core", pa.int64())]),
+    )
+
+    def to_cells2(batch: pa.Table) -> pa.Table:
+        return _cell_dup(
+            batch.column("pid").to_numpy(zero_copy_only=False),
+            batch.column("x").to_numpy(zero_copy_only=False),
+            batch.column("y").to_numpy(zero_copy_only=False),
+            {"is_core": batch.column("is_core").to_numpy(zero_copy_only=False)},
+            eps,
+            nx,
+        )
+
+    to_cells2.__name__ = "dbscan_cells_flagged"
+
+    def span_cell(group: pa.Table) -> pa.Table:
+        """Local contraction: spanning star edges over this group's
+        core-core close graph + (border -> local core root) edges.
+        kind 0 = core-core spanning edge, kind 1 = border edge."""
+        empty = pa.table(
+            {
+                "kind": pa.array([], type=pa.int64()),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+            }
+        )
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        pid = group.column("pid").to_numpy(zero_copy_only=False)
+        home = group.column("home").to_numpy(zero_copy_only=False)
+        core = group.column("is_core").to_numpy(zero_copy_only=False) == 1
+        h_idx = np.nonzero(home)[0]
+        if len(h_idx) == 0:
+            return empty
+        d2 = (x[h_idx, None] - x[None, :]) ** 2 + (y[h_idx, None] - y[None, :]) ** 2
+        close = d2 <= eps * eps
+        core_pids = pid[core]
+        out_k, out_a, out_b = [], [], []
+        root_of: dict[int, int] = {}
+        hc_rows = np.nonzero(core[h_idx])[0]  # home cores (rows of close)
+        if len(hc_rows) and len(core_pids):
+            sub = close[hc_rows][:, core]  # (home cores, all cores in group)
+            parent: dict[int, int] = {}
+
+            def find(v: int) -> int:
+                r = v
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(v, v) != v:
+                    parent[v], v = r, parent[v]
+                return r
+
+            hi, j = np.nonzero(sub)
+            src = pid[h_idx[hc_rows[hi]]]
+            dst = core_pids[j]
+            for a_, b_ in zip(src.tolist(), dst.tolist()):
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi2] = lo
+            members = np.unique(np.concatenate([src, dst]))
+            roots = np.fromiter(
+                (find(int(v)) for v in members), dtype=np.int64, count=len(members)
+            )
+            # star edges member <-> root (self-loops harmless, ensure every
+            # core node appears in the component input)
+            out_k.append(np.zeros(len(members), dtype=np.int64))
+            out_a.append(members)
+            out_b.append(roots)
+            root_of = dict(zip(members.tolist(), roots.tolist()))
+        # border: home non-core -> distinct local roots among close cores
+        hb_rows = np.nonzero(~core[h_idx])[0]
+        if len(hb_rows) and len(core_pids):
+            subb = close[hb_rows][:, core]
+            bi, j = np.nonzero(subb)
+            if len(bi):
+                bpid = pid[h_idx[hb_rows[bi]]]
+                croot = np.fromiter(
+                    (root_of.get(int(c), int(c)) for c in core_pids[j]),
+                    dtype=np.int64,
+                    count=len(j),
+                )
+                uniq = np.unique(np.stack([bpid, croot]), axis=1)
+                out_k.append(np.ones(uniq.shape[1], dtype=np.int64))
+                out_a.append(uniq[0])
+                out_b.append(uniq[1])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(out_k)),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    span_cell.__name__ = "dbscan_span"
+    spans = (
+        flagged.map_batches(to_cells2, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(span_cell, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def take(kind):
         def f(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pa.compute.equal(batch.column("kind"), pa.scalar(kind))
-            ).drop_columns(["kind"])
+            b = batch.filter(pa.compute.equal(batch.column("kind"), pa.scalar(kind)))
+            return pa.table({"e_a": b.column("a"), "e_b": b.column("b")})
 
-        f.__name__ = f"dbscan_take_kind{kind}"
+        f.__name__ = f"dbscan_take{kind}"
         return f
 
-    counts = raw.map_batches(split(0), batch_format="pyarrow").materialize()
-    edges = raw.map_batches(split(1), batch_format="pyarrow")
+    labels = connected_components_min_label(
+        spans.map_batches(take(0), batch_format="pyarrow"),
+        rounds=cc_rounds,
+        n_hint=n_hint,
+        num_partitions=num_partitions,
+    ).materialize()  # (node, label) over every core point
 
-    def to_flag(batch: pa.Table) -> pa.Table:
-        nb = batch.column("val").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "pid": batch.column("pid"),
-                "is_core": pa.array((nb >= min_pts).astype(np.int64)),
-            }
-        )
+    # border: min component label among core-neighbor local roots
+    def border_cols(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.compute.equal(batch.column("kind"), pa.scalar(1)))
+        return pa.table({"pid": b.column("a"), "node": b.column("b")})
 
-    to_flag.__name__ = "core_flags"
-    flags = counts.map_batches(to_flag, batch_format="pyarrow").materialize()
+    border_cols.__name__ = "dbscan_border_cols"
+    bj = safe_join(
+        spans.map_batches(border_cols, batch_format="pyarrow"),
+        labels,
+        "inner",
+        num_partitions,
+        on=("node",),
+        left_schema=pa.schema([("pid", pa.int64()), ("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    border = bj.select_columns(["pid", "label"]).groupby("pid").min("label")
 
     def rename(cols):
         def f(batch: pa.Table) -> pa.Table:
@@ -134,88 +273,26 @@ def dbscan(
         f.__name__ = "rename_" + "_".join(cols)
         return f
 
-    # (src, dst) + src_core + dst_core via two native hash joins
-    e0 = edges.map_batches(rename(["src", "dst"]), batch_format="pyarrow")
-    f_src = flags.map_batches(rename(["src", "src_core"]), batch_format="pyarrow")
-    f_dst = flags.map_batches(rename(["dst", "dst_core"]), batch_format="pyarrow")
-    _i64 = pa.int64()
-    sch = lambda *names: pa.schema([(n, _i64) for n in names])  # noqa: E731
-    e1 = safe_join(
-        e0, f_src, "inner", num_partitions, on=("src",),
-        left_schema=sch("src", "dst"), right_schema=sch("src", "src_core"),
-    )
-    e2 = safe_join(
-        e1, f_dst, "inner", num_partitions, on=("dst",),
-        left_schema=sch("src", "dst", "src_core"),
-        right_schema=sch("dst", "dst_core"),
-    ).materialize()
+    border = border.map_batches(rename(["pid", "blab"]), batch_format="pyarrow")
 
-    def take_core_edges(batch: pa.Table) -> pa.Table:
-        m = pa.compute.and_(
-            pa.compute.equal(batch.column("src_core"), pa.scalar(1)),
-            pa.compute.equal(batch.column("dst_core"), pa.scalar(1)),
-        )
-        b = batch.filter(m)
-        return pa.table({"e_a": b.column("src"), "e_b": b.column("dst")})
-
-    take_core_edges.__name__ = "core_edges"
-    labels = connected_components_min_label(
-        e2.map_batches(take_core_edges, batch_format="pyarrow"),
-        rounds=cc_rounds,
-        n_hint=n_hint,
-        num_partitions=num_partitions,
-    ).materialize()  # (node, label) for core points with >=1 core neighbor
-
-    # border: src not core, dst core -> min component label among core nbrs
-    def take_border(batch: pa.Table) -> pa.Table:
-        m = pa.compute.and_(
-            pa.compute.equal(batch.column("src_core"), pa.scalar(0)),
-            pa.compute.equal(batch.column("dst_core"), pa.scalar(1)),
-        )
-        b = batch.filter(m)
-        return pa.table({"pid": b.column("src"), "node": b.column("dst")})
-
-    take_border.__name__ = "border_edges"
-    border_req = e2.map_batches(take_border, batch_format="pyarrow")
-    # left join: a dst absent from `labels` is an isolated core (no
-    # core-core edge) whose cluster label is its own id
-    bj = safe_join(
-        border_req, labels, "left_outer", num_partitions, on=("node",),
-        left_schema=sch("pid", "node"), right_schema=sch("node", "label"),
-    )
-
-    def border_label(batch: pa.Table) -> pa.Table:
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        null = np.asarray(batch.column("label").is_null())
-        lab = np.asarray(
-            batch.column("label").fill_null(0).to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        lab = np.where(null, node, lab)
-        return pa.table({"pid": batch.column("pid"), "blab": pa.array(lab)})
-
-    border_label.__name__ = "border_label"
-    border = (
-        bj.map_batches(border_label, batch_format="pyarrow")
-        .groupby("pid")
-        .min("blab")
-        .map_batches(rename(["pid", "blab"]), batch_format="pyarrow")
-    )
-
-    # assemble: counts (all points) left-join core labels, left-join border
-    pts = counts.map_batches(rename(["pid", "n_nb"]), batch_format="pyarrow")
+    # assemble: flags (all points) left-join core labels, left-join border
     lab_core = labels.map_batches(rename(["pid", "clab"]), batch_format="pyarrow")
     a1 = safe_join(
-        pts, lab_core, "left_outer", num_partitions, on=("pid",),
-        left_schema=sch("pid", "n_nb"), right_schema=sch("pid", "clab"),
+        flags, lab_core, "left_outer", num_partitions, on=("pid",),
+        left_schema=pa.schema([("pid", pa.int64()), ("is_core", pa.int64())]),
+        right_schema=pa.schema([("pid", pa.int64()), ("clab", pa.int64())]),
     )
     a2 = safe_join(
         a1, border, "left_outer", num_partitions, on=("pid",),
-        left_schema=sch("pid", "n_nb", "clab"), right_schema=sch("pid", "blab"),
+        left_schema=pa.schema(
+            [("pid", pa.int64()), ("is_core", pa.int64()), ("clab", pa.int64())]
+        ),
+        right_schema=pa.schema([("pid", pa.int64()), ("blab", pa.int64())]),
     )
 
     def assemble(batch: pa.Table) -> pa.Table:
         pid = batch.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_nb = batch.column("n_nb").to_numpy(zero_copy_only=False)
+        is_core = batch.column("is_core").to_numpy(zero_copy_only=False) == 1
         clab_null = np.asarray(batch.column("clab").is_null())
         blab_null = np.asarray(batch.column("blab").is_null())
         clab = np.asarray(
@@ -224,10 +301,8 @@ def dbscan(
         blab = np.asarray(
             batch.column("blab").fill_null(0).to_numpy(zero_copy_only=False)
         ).astype(np.int64)
-        is_core = n_nb >= min_pts
         out = np.full(len(pid), -1, dtype=np.int64)
-        # core with component label; isolated core labels itself
-        core_lab = np.where(clab_null, pid, clab)
+        core_lab = np.where(clab_null, pid, clab)  # isolated core: own id
         out[is_core] = core_lab[is_core]
         m_border = ~is_core & ~blab_null
         out[m_border] = blab[m_border]

@@ -1756,6 +1756,192 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
 """
 
 
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram (3-token-shingle) Jaccard for every LSH candidate pair,
+    computed DISTRIBUTED: candidate pairs join the exploded distinct-shingle
+    rows twice (native hash joins) so the intersection count is a groupby —
+    no driver-side pair loop, no all-pairs scan of the corpus."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..stages.dedupe import exact_dedupe, lsh_candidate_pairs, minhash_signatures
+    from ..stages.texthash import shingle_hashes, tokenize_hash
+    from ..stages.util import safe_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = minhash_signatures(docs, text_col="text", id_col="doc_id")
+    raw_pairs = lsh_candidate_pairs(sigs, id_col="doc_id")
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.append_column("pair", pa.array(a * 1_000_000_007 + b))
+
+    pair_key.__name__ = "pair_key"
+    cand = exact_dedupe(
+        raw_pairs.map_batches(pair_key, batch_format="pyarrow"), "pair", "pair"
+    ).select_columns(["id_a", "id_b"]).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        tb = tokenize_hash(texts)
+        sh, sho = shingle_hashes(tb, 3)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_sh = [], []
+        for i in range(len(texts)):
+            u = np.unique(sh[sho[i] : sho[i + 1]])
+            out_id.append(np.full(len(u), ids[i]))
+            out_sh.append(u.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "sh": pa.array(np.concatenate(out_sh)),
+            }
+        )
+
+    explode.__name__ = "shingle_explode"
+    sh_rows = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    sizes = sh_rows.groupby("doc_id").count().materialize()  # doc_id, count()
+
+    NP = 8
+    i64 = pa.int64()
+    sch = lambda *names: pa.schema([(n, i64) for n in names])  # noqa: E731
+    t1 = safe_join(
+        cand,
+        sh_rows.map_batches(
+            lambda b: b.rename_columns(["id_a", "sh"]), batch_format="pyarrow"
+        ),
+        "inner", NP, on=("id_a",),
+        left_schema=sch("id_a", "id_b"), right_schema=sch("id_a", "sh"),
+    )
+    t2 = safe_join(
+        t1,
+        sh_rows.map_batches(
+            lambda b: b.rename_columns(["id_b", "sh"]), batch_format="pyarrow"
+        ),
+        "inner", NP, on=("id_b", "sh"),
+        left_schema=sch("id_a", "id_b", "sh"), right_schema=sch("id_b", "sh"),
+    )
+    inter = t2.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_inter"))
+    ji = safe_join(
+        cand, inter, "left_outer", NP, on=("id_a", "id_b"),
+        left_schema=sch("id_a", "id_b"), right_schema=sch("id_a", "id_b", "n_inter"),
+    )
+    ja = safe_join(
+        ji,
+        sizes.map_batches(
+            lambda b: b.rename_columns(["id_a", "size_a"]), batch_format="pyarrow"
+        ),
+        "inner", NP, on=("id_a",),
+        left_schema=sch("id_a", "id_b", "n_inter"), right_schema=sch("id_a", "size_a"),
+    )
+    jb = safe_join(
+        ja,
+        sizes.map_batches(
+            lambda b: b.rename_columns(["id_b", "size_b"]), batch_format="pyarrow"
+        ),
+        "inner", NP, on=("id_b",),
+        left_schema=sch("id_a", "id_b", "n_inter", "size_a"),
+        right_schema=sch("id_b", "size_b"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(
+            batch.column("n_inter").fill_null(0).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        sa = batch.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = batch.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = np.maximum(sa + sb - n, 1)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "jacc_milli": pa.array(1000 * n // union),
+            }
+        )
+
+    finish.__name__ = "jaccard_milli"
+    return jb.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_ngram_jaccard() -> str:
+    from .oracle_text import _shingle_expr, _tok_cte, sql_minhash_pairs
+
+    pairs = sql_minhash_pairs().strip()
+    assert pairs.upper().startswith("WITH")
+    head, tail = pairs[4:].rsplit("SELECT x.doc_id", 1)
+    body = "SELECT x.doc_id" + tail
+    return f"""
+WITH {head.strip().rstrip(',')},
+pr AS ({body}),
+shl AS (SELECT doc_id, list_distinct({_shingle_expr('th')}) AS sh FROM tok)
+SELECT pr.id_a, pr.id_b,
+  CAST(1000 * len(list_intersect(a.sh, b.sh))
+   // GREATEST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)
+   AS BIGINT) AS jacc_milli
+FROM pr
+JOIN shl a ON a.doc_id = pr.id_a
+JOIN shl b ON b.doc_id = pr.id_b
+"""
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.45
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (brute-force baseline of the brief):
+    each batch's vectors matmul against the broadcast normalized matrix;
+    pairs (a < b) with cosine >= threshold."""
+    import ray
+
+    from ..stages.ann import _normalize, _vec_matrix
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_vec_matrix(full.column("embedding")))
+    ref = ray.put((all_ids, mat))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class NearDup:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _normalize(_vec_matrix(batch.column("embedding")))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = v @ self.mat.T
+            bi, j = np.nonzero(sims >= EMB_NEAR_DUP_THRESHOLD)
+            a = ids[bi]
+            b = self.ids[j]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(a[keep]),
+                    "vec_id_b": pa.array(b[keep]),
+                }
+            )
+
+    from ..stages.util import stage_fn
+
+    return ds.map_batches(stage_fn(NearDup), batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEAR_DUP_THRESHOLD}
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1776,6 +1962,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "minhash_dup_groups": q_minhash_dup_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
     "simhash": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -1847,6 +2035,8 @@ ORACLE_SQL = {
     "simhash": sql_simhash(),
     "minhash_dedupe_pairs": sql_minhash_pairs(),
     "minhash_dup_groups": sql_minhash_groups(),
+    "ngram_jaccard": _sql_ngram_jaccard(),
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

@@ -339,3 +339,78 @@ class CompactHilbertCurve:
                     coords[j] |= ((l >> np.uint64(j)) & np.uint64(1)) << np.uint64(i)
             s = next_state[idx]
         return coords
+
+    # ---- range decomposition (planner side) ----
+
+    def _extents(self, depth: int) -> list[int]:
+        """Per-dim cell extent of a node at ``depth`` (root = 0)."""
+        m = self.m
+        return [1 << min(b, m - depth) for b in self.bits_list]
+
+    def _rem_bits(self, depth: int) -> int:
+        m = self.m
+        return sum(min(b, m - depth) for b in self.bits_list)
+
+    def decompose_range(
+        self,
+        mins: list[int],
+        maxs: list[int],
+        max_ranges: int = -1,
+        unit_cell_size: int = 1 << 19,
+    ) -> list[tuple[int, int]]:
+        """Axis-aligned cell box (inclusive, per-dim resolutions) ->
+        contiguous [lo, hi] compact-Hilbert index ranges; same min-quad +
+        merge-smallest-gap policy as the equal-bit curve."""
+        n, m = self.n_dims, self.m
+        max_extent = max(maxs[j] - mins[j] + 1 for j in range(n))
+        max_decomposed = max_extent**n
+        min_quad = (
+            1 if max_decomposed <= unit_cell_size else max_decomposed // unit_cell_size
+        )
+        ranges: list[tuple[int, int]] = []
+        budget_cap = (4 * max_ranges) if max_ranges > 0 else None
+        stack = [(0, 0, 0, [0] * n)]
+        while stack:
+            depth, state, h_pre, lo = stack.pop()
+            ext = self._extents(depth)
+            hi = [lo[j] + ext[j] - 1 for j in range(n)]
+            if any(hi[j] < mins[j] or lo[j] > maxs[j] for j in range(n)):
+                continue
+            rem = self._rem_bits(depth)
+            h0 = h_pre << rem
+            h1 = ((h_pre + 1) << rem) - 1
+            contained = all(
+                lo[j] >= mins[j] and hi[j] <= maxs[j] for j in range(n)
+            )
+            node_cells = 1
+            for e in ext:
+                node_cells *= e
+            if (
+                contained
+                or depth == m
+                or node_cells <= min_quad
+                or (budget_cap is not None and len(ranges) >= budget_cap)
+            ):
+                ranges.append((h0, h1))
+                continue
+            i = m - 1 - depth  # bit level the children consume
+            mu = self.masks[i]
+            k_i = self.k_per_level[i]
+            child_ext = self._extents(depth + 1)
+            inactive = ((1 << n) - 1) ^ mu
+            children = []
+            for w in range(1 << n):
+                l = int(self.l_table[(state << n) | w])
+                if l & inactive:
+                    continue
+                r = int(self._rank[mu][state, w])
+                s2 = int(self.next_state[1][(state << n) | w])
+                child_lo = [
+                    lo[j] + (((l >> j) & 1) * child_ext[j] if mu & (1 << j) else 0)
+                    for j in range(n)
+                ]
+                children.append((r, s2, child_lo))
+            for r, s2, child_lo in reversed(children):
+                stack.append((depth + 1, s2, (h_pre << k_i) | r, child_lo))
+        ranges.sort()
+        return merge_ranges(ranges, max_ranges)

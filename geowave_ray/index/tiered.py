@@ -461,12 +461,6 @@ def st_query_ranges(
     if max_ranges > 1 and n_bins > 1:
         per_bin_max = -(-max_ranges // n_bins)
     out: list[STQueryRange] = []
-    if not st.equal_bits:
-        raise NotImplementedError(
-            "range decomposition for unequal-bit (compact Hilbert) strategies "
-            "is not implemented — scan the time bins and refine with the "
-            "coarse bbox filter instead (the binned-scan fallback)"
-        )
     for t in sorted(use_tiers, reverse=True):
         curve = st.curve3[t]
         dim_bins = st._dim_bins(t)

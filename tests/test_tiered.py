@@ -300,3 +300,37 @@ def test_compact_hilbert_roundtrip_unequal():
         back = c.decode(h)
         for j in range(3):
             assert np.array_equal(back[j], coords[j])
+
+
+def test_st_query_ranges_unequal_bits_lossless():
+    """Query planning for the unequal-bit presets: every point the query
+    box matches must fall inside some decomposed compact-Hilbert range."""
+    import numpy as np
+
+    from geowave_ray.index.tiered import spatial_temporal_strategy, st_query_ranges
+
+    st = spatial_temporal_strategy("SPATIAL")  # (25, 25, 10)
+    rng = np.random.default_rng(17)
+    n = 5000
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-89, 89, n)
+    t0 = int(np.datetime64("2024-01-01").astype("datetime64[ms]").astype(np.int64))
+    t_ms = t0 + rng.integers(0, 300 * 86400_000, n)
+    labels, cells = st.encode_points(lon, lat, t_ms)
+    bbox = (-30.0, 10.0, 40.0, 60.0)
+    trange = (t0 + 20 * 86400_000, t0 + 100 * 86400_000)
+    ranges = st_query_ranges(st, bbox, trange, max_ranges=256)
+    assert ranges
+    by_year = {}
+    for r in ranges:
+        by_year.setdefault(r.year, []).append((r.lo, r.hi))
+    matched = (
+        (lon >= bbox[0]) & (lon <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+        & (t_ms >= trange[0]) & (t_ms <= trange[1])
+    )
+    missed = 0
+    for i in np.nonzero(matched)[0]:
+        rs = by_year.get(int(labels[i]), [])
+        if not any(lo <= int(cells[i]) <= hi for lo, hi in rs):
+            missed += 1
+    assert missed == 0

@@ -277,6 +277,64 @@ class GeoStore:
             out = out.select_columns(columns)
         return out
 
+    def delete(
+        self,
+        query: SpatialQuery,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+    ):
+        """Delete matching rows (DataStore.delete / GWQL DELETE backend):
+        ONLY the pruned (tier, cell_prefix) partition files are rewritten,
+        distributed one file per task (atomic tmp+rename, so a failed run
+        can simply re-run).  Returns a pandas DataFrame of per-file
+        (path, rows_before, rows_after)."""
+        import ray
+
+        from .geom.predicates import points_in_polygon
+
+        files = self._expand_paths(self._pruned_paths(query))
+        if not files:
+            import pandas as pd
+
+            return pd.DataFrame(columns=["path", "rows_before", "rows_after"])
+        geom = query.geometry
+        tr = query.time_range
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            out_p, out_b, out_a = [], [], []
+            for path in batch.column("path").to_pylist():
+                t = pq.read_table(path)
+                lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+                lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+                matched = points_in_polygon(lon, lat, geom, include_boundary=True)
+                if tr is not None and "ts" in t.column_names:
+                    tsv = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    matched &= (tsv >= tr[0]) & (tsv <= tr[1])
+                kept = t.filter(pa.array(~matched))
+                if len(kept) != len(t):
+                    tmp = path + ".tmp"
+                    pq.write_table(kept, tmp)
+                    os.replace(tmp, path)
+                out_p.append(path)
+                out_b.append(len(t))
+                out_a.append(len(kept))
+            return pa.table(
+                {
+                    "path": pa.array(out_p),
+                    "rows_before": pa.array(out_b, type=pa.int64()),
+                    "rows_after": pa.array(out_a, type=pa.int64()),
+                }
+            )
+
+        rewrite.__name__ = "store_delete_rewrite"
+        return (
+            ray.data.from_items([{"path": p} for p in files])
+            .map_batches(rewrite, batch_format="pyarrow")
+            .to_pandas()
+        )
+
     def lookup(self, ids: list, id_col: str = "image_id"):
         """DataIdQuery analog: point lookup by data id.  When the secondary
         id-keyed layout exists (``ingest(id_index_col=...)``), only the

@@ -221,3 +221,43 @@ def test_secondary_id_index_lookup(tmp_path, ray_session):
         d for d in os.listdir(os.path.join(s.root, "_id_idx")) if d.startswith("idp=")
     ]
     assert len(parts) < len(all_parts)
+
+
+def test_store_delete_rewrites_only_pruned_partitions(tmp_path, ray_session):
+    """DataStore.delete analog: matching rows removed via distributed
+    rewrite of ONLY the pruned partition files; everything else untouched."""
+    import time
+
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+        }
+    )
+    s = GeoStore(str(tmp_path / "delstore"), prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(4), compute_stats=False)
+    box = (-20.0, 10.0, 30.0, 50.0)
+    q = SpatialQuery(box_polygon(*box))
+    all_files = s._expand_paths([s.root])
+    pruned = set(s._expand_paths(s._pruned_paths(q)))
+    untouched = [f for f in all_files if f not in pruned]
+    before = {f: os.path.getmtime(f) for f in untouched}
+    time.sleep(0.05)
+    report = s.delete(q)
+    assert (report["rows_before"] - report["rows_after"]).sum() > 0
+    # untouched partitions keep their mtimes
+    assert all(os.path.getmtime(f) == before[f] for f in untouched)
+    left = s.query(SpatialQuery(box_polygon(-180, -90, 180, 90)), columns=["image_id"]).to_pandas()
+    lon, lat = t.column("lon").to_numpy(), t.column("lat").to_numpy()
+    inside = (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+    assert len(left) == int((~inside).sum())
+    got_gone = set(np.asarray(t.column("image_id"))[inside].tolist()) & set(left["image_id"])
+    assert not got_gone

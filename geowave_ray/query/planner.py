@@ -109,11 +109,15 @@ class SpatialQuery:
             else b,
             batch_format="pyarrow",
         )
-        return out.map_batches(
-            Refiner,
-            batch_format="pyarrow",
-            concurrency=concurrency or default_concurrency(),
-        )
+        if concurrency is not None:
+            return out.map_batches(
+                Refiner, batch_format="pyarrow", concurrency=concurrency
+            )
+        # light state (prepared geometry) -> task pool with per-worker
+        # instance cache; an actor pool pays ~0.5-1s spawn per execution
+        from ..stages.util import stage_fn
+
+        return out.map_batches(stage_fn(Refiner), batch_format="pyarrow")
 
     # serialization round-trip (reference toBinary/fromBinary tests)
     def to_binary(self) -> bytes:

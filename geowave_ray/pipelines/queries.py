@@ -1942,6 +1942,63 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEAR_DUP_THRESHOL
 """
 
 
+
+KNN_JOIN_K = 5
+KNN_JOIN_NQ = 40
+
+
+def q_knn_join(sf_dir: str):
+    """LARGE-LARGE kNN join (NNMapReduce shape): the first 40 derived
+    points are the query side, the full table the data side; cell-cogroup
+    with internal radius escalation (per-query completeness proof)."""
+    from ..stages.knn import knn_join
+
+    pts = _events_points(sf_dir)
+
+    def qside(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        keep = ids < KNN_JOIN_NQ
+        b = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "query_id": b.column("image_id"),
+                "lon": b.column("lon"),
+                "lat": b.column("lat"),
+            }
+        )
+
+    qside.__name__ = "knn_join_queries"
+    queries_ds = pts.map_batches(qside, batch_format="pyarrow")
+    out = knn_join(
+        queries_ds,
+        _events_points(sf_dir),
+        k=KNN_JOIN_K,
+        cell_deg=10.0,
+        id_col="image_id",
+        ring=1,
+        num_partitions=8,
+    )
+    return out.select_columns(["query_id", "image_id", "rank"])
+
+
+def _sql_knn_join() -> str:
+    dist = (
+        "2 * 6371.0088 * ASIN(LEAST(SQRT("
+        "POWER(SIN((RADIANS(q.lat) - RADIANS(p.lat)) / 2), 2)"
+        " + COS(RADIANS(p.lat)) * COS(RADIANS(q.lat))"
+        " * POWER(SIN((RADIANS(q.lon) - RADIANS(p.lon)) / 2), 2)), 1.0))"
+    )
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT image_id AS query_id, lon, lat FROM pts WHERE image_id < {KNN_JOIN_NQ}),
+ranked AS (
+  SELECT q.query_id, p.image_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {dist}, p.image_id) AS rank
+  FROM pts p CROSS JOIN qs q)
+SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -1952,6 +2009,7 @@ QUERIES = {
     "grid_binned_agg": q_grid_binned_agg,
     "lod_subsample": q_lod_subsample,
     "knn": q_knn,
+    "knn_join": q_knn_join,
     "tile_assignment": q_tile_assignment,
     "tile_counts": q_tile_counts,
     "hilbert_cells": q_hilbert_cells,
@@ -2047,6 +2105,7 @@ ORACLE_SQL = {
     "grid_binned_agg": SQL_GRID_BINNED_AGG,
     "lod_subsample": SQL_LOD_SUBSAMPLE,
     "knn": SQL_KNN,
+    "knn_join": _sql_knn_join(),
     "dedupe_exact": SQL_DEDUPE_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "label_counts": SQL_LABEL_COUNTS,

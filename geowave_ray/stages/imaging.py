@@ -35,13 +35,20 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+_PNG_CTYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type (L, RGB, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
 def png_encode(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes (filter 0, 8-bit RGB)."""
+    """(h, w[, c]) uint8 -> PNG bytes (filter 0, 8-bit; c in {1, 3, 4} =
+    grayscale / RGB / RGBA)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
     h, w, c = arr.shape
-    assert c == 3
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1)
+    ctype = _PNG_CTYPE[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), arr.reshape(h, w * c)], axis=1)
     idat = zlib.compress(raw.tobytes(), 6)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -65,18 +72,21 @@ def png_decode(data: bytes) -> np.ndarray:
         off += 12 + ln
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
-            if depth != 8 or ctype != 2:
-                raise NotImplementedError("only 8-bit RGB PNG supported")
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    "only 8-bit grayscale/RGB/RGBA PNG supported"
+                )
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
+    nch = _PNG_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * 3
+    stride = w * nch
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = 3
+    bpp = nch
     for y in range(h):
         line = raw[y, 1:].copy()
         f = filters[y]
@@ -105,7 +115,7 @@ def png_decode(data: bytes) -> np.ndarray:
                 out[y, x] = line[x]
         else:
             raise ValueError(f"bad PNG filter {f}")
-    return out.reshape(h, w, 3)
+    return out.reshape(h, w, nch)
 
 
 _FJPG_MAGIC = b"FJPG"

@@ -59,3 +59,18 @@ def test_synth_images_decode():
         w = t.column("w")[i].as_py()
         arr = decode_image(blob, fmt)
         assert arr.shape == (w, w, 3)
+
+
+def test_png_grayscale_and_rgba_roundtrip():
+    """PNG codec beyond RGB: 8-bit grayscale (color type 0) and RGBA
+    (color type 6) lossless round trips."""
+    from geowave_ray.stages.imaging import png_decode, png_encode
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    back = png_decode(png_encode(gray))
+    assert back.shape == (17, 23, 1)
+    assert np.array_equal(back[:, :, 0], gray)
+    rgba = rng.integers(0, 256, (9, 13, 4), dtype=np.uint8)
+    back = png_decode(png_encode(rgba))
+    assert np.array_equal(back, rgba)

@@ -80,6 +80,51 @@ def connected_components_min_label(
 
     seed.__name__ = "cc_seed_contract"
     pairs = edges_ds.map_batches(seed, batch_format="pyarrow")
+
+    # BUCKET CONTRACTION: one shuffle keyed by node-hash bucket; a local
+    # union-find per bucket collapses every fragment whose endpoints
+    # co-hash, typically cutting the propagation loop to 2-4 rounds.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(node % num_partitions))
+
+    add_bucket.__name__ = "cc_bucket"
+
+    def contract(group: pa.Table) -> pa.Table:
+        a = group.column("node").to_numpy(zero_copy_only=False)
+        b = group.column("peer").to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        nodes = np.unique(np.concatenate([a, b]))
+        roots = np.fromiter(
+            (find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes)
+        )
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([nodes, roots])),
+                "peer": pa.array(np.concatenate([roots, nodes])),
+            }
+        )
+
+    contract.__name__ = "cc_bucket_contract"
+    pairs = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(contract, batch_format="pyarrow")
+    )
     if rounds is None:
         n = n_hint if n_hint is not None else max(edges_ds.count(), 2)
         rounds = int(np.ceil(np.log2(max(n, 2)))) + 2

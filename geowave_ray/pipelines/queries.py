@@ -1949,16 +1949,17 @@ KNN_JOIN_NQ = 40
 
 def q_knn_join(sf_dir: str):
     """LARGE-LARGE kNN join (NNMapReduce shape): the first 40 derived
-    points are the query side, the full table the data side; cell-cogroup
-    with internal radius escalation (per-query completeness proof)."""
+    points are the query side; the data side is the deterministic 1-in-10
+    subset (image_id % 10 == 0, mirrored in the SQL oracle) so the query's
+    cost is bounded at every scale factor; cell-cogroup with internal
+    radius escalation (per-query completeness proof)."""
     from ..stages.knn import knn_join
 
     pts = _events_points(sf_dir)
 
     def qside(batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_numpy(zero_copy_only=False)
-        keep = ids < KNN_JOIN_NQ
-        b = batch.filter(pa.array(keep))
+        b = batch.filter(pa.array(ids < KNN_JOIN_NQ))
         return pa.table(
             {
                 "query_id": b.column("image_id"),
@@ -1968,14 +1969,21 @@ def q_knn_join(sf_dir: str):
         )
 
     qside.__name__ = "knn_join_queries"
+
+    def dside(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    dside.__name__ = "knn_join_data"
     queries_ds = pts.map_batches(qside, batch_format="pyarrow")
     out = knn_join(
         queries_ds,
-        _events_points(sf_dir),
+        _events_points(sf_dir).map_batches(dside, batch_format="pyarrow"),
         k=KNN_JOIN_K,
         cell_deg=10.0,
         id_col="image_id",
         ring=1,
+        max_rounds=6,  # ring doubles to 32 cells = whole-globe coverage
         num_partitions=8,
     )
     return out.select_columns(["query_id", "image_id", "rank"])
@@ -1991,10 +1999,11 @@ def _sql_knn_join() -> str:
     return f"""
 WITH pts AS ({_PTS_SQL}),
 qs AS (SELECT image_id AS query_id, lon, lat FROM pts WHERE image_id < {KNN_JOIN_NQ}),
+dt AS (SELECT * FROM pts WHERE image_id % 10 = 0),
 ranked AS (
   SELECT q.query_id, p.image_id,
          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {dist}, p.image_id) AS rank
-  FROM pts p CROSS JOIN qs q)
+  FROM dt p CROSS JOIN qs q)
 SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 """
 

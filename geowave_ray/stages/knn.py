@@ -83,11 +83,22 @@ class _FinalTopK:
     def __call__(self, group: pa.Table) -> pa.Table:
         d = group.column("dist_km").to_numpy(zero_copy_only=False)
         ids = group.column(self.id_col).to_pylist()
-        # deterministic: sort by (distance, id) — ties broken by id
-        order = sorted(range(len(d)), key=lambda i: (d[i], ids[i]))[: self.k]
-        out = group.take(pa.array(order))
+        # deterministic: sort by (distance, id), ties broken by id; the
+        # same candidate can arrive from several cells (ring wrap-around /
+        # escalation re-runs) — keep its first occurrence only
+        order = sorted(range(len(d)), key=lambda i: (d[i], ids[i]))
+        seen: set = set()
+        picked = []
+        for i in order:
+            if ids[i] in seen:
+                continue
+            seen.add(ids[i])
+            picked.append(i)
+            if len(picked) == self.k:
+                break
+        out = group.take(pa.array(picked))
         return out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+            "rank", pa.array(np.arange(1, len(picked) + 1, dtype=np.int64))
         )
 
 
@@ -137,6 +148,15 @@ class _CellKnnGroup:
         side = group.column("_side").to_numpy(zero_copy_only=False)
         qs = group.filter(pa.array(side == 0))
         data = group.filter(pa.array(side == 1))
+        # ring wrap-around can replicate a data point into the same cell
+        # group several times; duplicates would eat per-group top-k slots
+        if len(data):
+            _, first = np.unique(
+                data.column(self.id_col).to_numpy(zero_copy_only=False),
+                return_index=True,
+            )
+            if len(first) != len(data):
+                data = data.take(pa.array(np.sort(first)))
         if len(qs) == 0 or len(data) == 0:
             return pa.table(
                 {

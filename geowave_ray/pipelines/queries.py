@@ -1983,7 +1983,7 @@ def q_knn_join(sf_dir: str):
         cell_deg=10.0,
         id_col="image_id",
         ring=1,
-        max_rounds=6,  # ring doubles to 32 cells = whole-globe coverage
+        max_rounds=2,  # unproven queries finish via the broadcast knn path
         num_partitions=8,
     )
     return out.select_columns(["query_id", "image_id", "rank"])

@@ -32,11 +32,19 @@ def haversine_km(lon1, lat1, lon2, lat2):
 class _BatchTopK:
     """Per-batch partial top-k against broadcast query points."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, max_distance_km: float | None):
+    def __init__(
+        self,
+        queries_ref,
+        k: int,
+        id_col: str,
+        max_distance_km: float | None,
+        qid_col: str = "query_id",
+    ):
         import ray
 
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.qids = q["query_id"]
+        self.qid_col = qid_col
+        self.qids = q[qid_col]
         self.qlon = np.asarray(q["lon"], dtype=np.float64)
         self.qlat = np.asarray(q["lat"], dtype=np.float64)
         self.k = k
@@ -67,7 +75,7 @@ class _BatchTopK:
         pi = np.concatenate(out_i)
         return pa.table(
             {
-                "query_id": pa.array([self.qids[j] for j in qi]),
+                self.qid_col: pa.array([self.qids[j] for j in qi]),
                 self.id_col: ids.take(pa.array(pi)),
                 "dist_km": pa.array(np.concatenate(out_d)),
             }
@@ -109,10 +117,11 @@ def knn(
     id_col: str = "image_id",
     max_distance_km: float | None = None,
     concurrency: int | None = None,
+    qid_col: str = "query_id",
 ):
-    """queries: {"query_id": [...], "lon": [...], "lat": [...]} (small).
+    """queries: {qid_col: [...], "lon": [...], "lat": [...]} (small).
 
-    Returns Dataset of (query_id, image_id, dist_km, rank), rank 1..k per
+    Returns Dataset of (qid_col, image_id, dist_km, rank), rank 1..k per
     query, ties broken by id (deterministic, matching the brute-force
     oracle in FIXTURES §F5).
     """
@@ -128,10 +137,11 @@ def knn(
             k=k,
             id_col=id_col,
             max_distance_km=max_distance_km,
+            qid_col=qid_col,
         ),
         batch_format="pyarrow",
     )
-    return partials.groupby("query_id").map_groups(
+    return partials.groupby(qid_col).map_groups(
         _FinalTopK(k, id_col), batch_format="pyarrow"
     )
 
@@ -264,14 +274,21 @@ def _knn_join_pass(
     qk = queries_ds.map_batches(q_cells, batch_format="pyarrow")
     dk = data_ds.map_batches(d_cells, batch_format="pyarrow")
 
-    # align schemas for union
+    # align schemas for union — resolve the two pad types ONCE on the
+    # driver (from the INPUT datasets, before the derived qk/dk exist) and
+    # close over plain pa.DataType values.  Calling Dataset.schema() inside
+    # the UDF re-triggers execution of the captured Dataset per task (the
+    # round-2 bench-timeout bug).
+    id_type = data_ds.schema().base_schema.field(id_col).type
+    qid_type = queries_ds.schema().base_schema.field(qid_col).type
+
     def pad_q(batch: pa.Table) -> pa.Table:
-        return batch.append_column(id_col, pa.nulls(len(batch), type=dk.schema().base_schema.field(id_col).type)).select(
+        return batch.append_column(id_col, pa.nulls(len(batch), type=id_type)).select(
             sorted(batch.column_names + [id_col])
         )
 
     def pad_d(batch: pa.Table) -> pa.Table:
-        return batch.append_column(qid_col, pa.nulls(len(batch), type=qk.schema().base_schema.field(qid_col).type)).select(
+        return batch.append_column(qid_col, pa.nulls(len(batch), type=qid_type)).select(
             sorted(batch.column_names + [qid_col])
         )
 
@@ -310,72 +327,93 @@ def knn_join(
     escalate: bool = True,
     max_rounds: int = 3,
     num_partitions: int = 8,
+    broadcast_cap: int = 65536,
 ):
-    """Large-large kNN (NNMapReduce shape) with RADIUS ESCALATION: after a
-    pass, a query is PROVEN complete iff it found k results and its k-th
-    distance is within the ring's guaranteed coverage radius (a point
-    within ``ring*cell_deg`` degrees on both axes is always co-grouped);
-    incomplete queries re-run with a doubled ring, up to ``max_rounds``
-    (the radius-escalation loop the round-1 verdict asked to internalize).
-    The final round's results are accepted as-is (documented partitioning
-    assumption: cell_deg*ring*2^(max_rounds-1) reaches the k-th neighbor).
-    """
-    import ray
+    """Large-large kNN (NNMapReduce shape) with BROADCAST ESCALATION.
 
+    One cell-cogroup shuffle pass answers the bulk of queries; a query is
+    PROVEN complete iff it found k results and its k-th distance is within
+    the ring's guaranteed coverage radius (a point within ``ring*cell_deg``
+    degrees on both axes is always co-grouped).  Unproven queries —
+    including queries whose ring held ZERO data points, which never appear
+    in the pass output at all — are computed EXACTLY via the broadcast
+    ``knn`` path (one extra streaming scan of the data side, no shuffle),
+    provided there are at most ``broadcast_cap`` of them; beyond the cap
+    the shuffle pass repeats with a doubled ring (rare: cap exceeded means
+    cell_deg was sized far too small for the data density).
+
+    Scale note: the previous design doubled the ring per escalation round,
+    replicating the DATA side (2r+1)^2-fold through a shuffle for the sake
+    of a few stubborn queries.  Broadcasting the leftover queries instead
+    touches each data block once with zero replication.
+    """
     from ray.data.aggregate import Count, Max
 
     from .util import safe_join
 
-    if not escalate:
+    if not escalate or max_rounds <= 1:
         out = _knn_join_pass(queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring)
         return out.select_columns([qid_col, id_col, "dist_km", "rank"])
 
-    remaining = queries_ds.materialize()
-    pieces = []
+    res = _knn_join_pass(
+        queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring
+    ).materialize()
+    flags = res.groupby(qid_col).aggregate(
+        Count(alias_name="n_found"),
+        Max("dist_km", alias_name="kth"),
+        Max("qlat", alias_name="qlat_max"),
+    )
     r = ring
-    for rnd in range(max_rounds):
-        res = _knn_join_pass(
-            remaining, data_ds, k, cell_deg, qid_col, id_col, r
-        ).materialize()
-        if rnd == max_rounds - 1:
-            pieces.append(res)
-            break
-        flags = res.groupby(qid_col).aggregate(
-            Count(alias_name="n_found"),
-            Max("dist_km", alias_name="kth"),
-            Max("qlat", alias_name="qlat_max"),
-        )
 
-        def classify(batch: pa.Table) -> pa.Table:
-            n = batch.column("n_found").to_numpy(zero_copy_only=False)
-            kth = batch.column("kth").to_numpy(zero_copy_only=False)
-            qlat = batch.column("qlat_max").to_numpy(zero_copy_only=False)
-            cov = _coverage_km(qlat, r * cell_deg)
-            ok = (n >= k) & (kth <= cov)
-            return pa.table(
-                {
-                    qid_col: batch.column(qid_col),
-                    "complete": pa.array(ok),
-                }
-            )
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_found").to_numpy(zero_copy_only=False)
+        kth = batch.column("kth").to_numpy(zero_copy_only=False)
+        qlat = batch.column("qlat_max").to_numpy(zero_copy_only=False)
+        cov = _coverage_km(qlat, r * cell_deg)
+        ok = (n >= k) & (kth <= cov)
+        return pa.table({qid_col: batch.column(qid_col), "complete": pa.array(ok)})
 
-        classify.__name__ = "knn_completeness"
-        fl = flags.map_batches(classify, batch_format="pyarrow").materialize()
-        done_ids = fl.filter(lambda row: row["complete"]).select_columns([qid_col])
-        todo_ids = fl.filter(lambda row: not row["complete"]).select_columns([qid_col])
-        n_todo = todo_ids.count()
-        if n_todo == 0:
-            pieces.append(res)
-            remaining = None
-            break
-        pieces.append(
-            safe_join(res, done_ids, "left_semi", num_partitions, on=(qid_col,))
+    classify.__name__ = "knn_completeness"
+
+    def keep_complete(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("complete")).select([qid_col])
+
+    keep_complete.__name__ = "keep_complete"
+    fl = flags.map_batches(classify, batch_format="pyarrow")
+    done_ids = fl.map_batches(keep_complete, batch_format="pyarrow").materialize()
+    # todo = queries MINUS proven-complete: an anti-join against the query
+    # side (not the pass output) so queries with zero in-ring candidates —
+    # absent from `res` entirely — still escalate instead of being dropped.
+    todo_q = safe_join(
+        queries_ds, done_ids, "left_anti", num_partitions, on=(qid_col,)
+    ).materialize()
+    n_todo = todo_q.count()
+    if n_todo == 0:
+        return res.select_columns([qid_col, id_col, "dist_km", "rank"])
+    done_res = safe_join(res, done_ids, "left_semi", num_partitions, on=(qid_col,))
+    if n_todo <= broadcast_cap:
+        tq = todo_q.select_columns([qid_col, "lon", "lat"]).take_all()
+        qdict = {
+            qid_col: [row[qid_col] for row in tq],
+            "lon": [row["lon"] for row in tq],
+            "lat": [row["lat"] for row in tq],
+        }
+        fixed = knn(data_ds, qdict, k, id_col=id_col, qid_col=qid_col)
+    else:
+        fixed = knn_join(
+            todo_q,
+            data_ds,
+            k,
+            cell_deg,
+            qid_col,
+            id_col,
+            ring=r * 2,
+            escalate=True,
+            max_rounds=max_rounds - 1,
+            num_partitions=num_partitions,
+            broadcast_cap=broadcast_cap,
         )
-        remaining = safe_join(
-            remaining, todo_ids.materialize(), "left_semi", num_partitions, on=(qid_col,)
-        ).materialize()
-        r *= 2
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.union(p)
-    return out.select_columns([qid_col, id_col, "dist_km", "rank"])
+    out = done_res.select_columns([qid_col, id_col, "dist_km", "rank"]).union(
+        fixed.select_columns([qid_col, id_col, "dist_km", "rank"])
+    )
+    return out

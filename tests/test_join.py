@@ -221,3 +221,53 @@ def test_knn_join_radius_escalation(ray_session):
         want = sorted(range(len(d)), key=lambda i: (d[i], i))[:k]
         got = out[out["query_id"] == f"q{j}"]["image_id"].tolist()
         assert got == want, (j, got, want)
+
+
+def test_knn_join_zero_candidate_query_escalates(ray_session):
+    """A query whose initial cell ring contains NO data points must still
+    return its exact top-k (previously it vanished from the output: it
+    appeared in neither the done nor todo flag sets)."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.knn import haversine_km, knn_join
+
+    k = 3
+    # data clustered near (10, 10); one query at (-150, -40) — its 3x3
+    # ring at cell_deg=1 is empty
+    rng = np.random.default_rng(7)
+    data_lon = rng.uniform(8, 12, 50)
+    data_lat = rng.uniform(8, 12, 50)
+    qt = pa.table(
+        {
+            "query_id": ["near", "far"],
+            "lon": [10.0, -150.0],
+            "lat": [10.0, -40.0],
+        }
+    )
+    dt = pa.table(
+        {
+            "image_id": np.arange(50, dtype=np.int64),
+            "lon": data_lon,
+            "lat": data_lat,
+        }
+    )
+    out = (
+        knn_join(
+            ray.data.from_arrow(qt),
+            ray.data.from_arrow(dt).repartition(3),
+            k=k,
+            cell_deg=1.0,
+            ring=1,
+            max_rounds=3,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert set(out["query_id"]) == {"near", "far"}
+    for qid, qlon, qlat in (("near", 10.0, 10.0), ("far", -150.0, -40.0)):
+        d = haversine_km(qlon, qlat, data_lon, data_lat)
+        want = sorted(range(len(d)), key=lambda i: (d[i], i))[:k]
+        got = out[out["query_id"] == qid]["image_id"].tolist()
+        assert got == want, (qid, got, want)

@@ -838,10 +838,19 @@ def q_orders_by_segment(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             k = batch.column("o_custkey").to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, k)
+            # inner-join semantics: drop orders whose custkey is absent
+            # (searchsorted alone would silently inherit a neighbor's
+            # segment, or IndexError past the max key)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == k
+            if not hit.all():
+                idx = np.nonzero(hit)[0]
+                pos_c, k = pos_c[idx], k[idx]
+                batch = batch.take(pa.array(idx))
             price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "c_mktsegment": self.segs.take(pa.array(pos)).cast(pa.string()),
+                    "c_mktsegment": self.segs.take(pa.array(pos_c)).cast(pa.string()),
                     "cents": pa.array(np.floor(price * 100).astype(np.int64)),
                 }
             )
@@ -1759,12 +1768,17 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram (3-token-shingle) Jaccard for every LSH candidate pair,
-    computed DISTRIBUTED: candidate pairs join the exploded distinct-shingle
-    rows twice (native hash joins) so the intersection count is a groupby —
-    no driver-side pair loop, no all-pairs scan of the corpus."""
+    computed DISTRIBUTED with a FUSED plan (round-2 verdict "What's wrong"
+    #5 — the old 6-join chain materialized every intermediate): candidate
+    pairs pick up each side's distinct shingles via TWO hash joins, the
+    union of both sides feeds one (pair, shingle) groupby — a shingle seen
+    from both docs counts 2 — and a second groupby over the pre-reduced
+    rows yields union size (row count) and intersection (rows counted
+    twice) in one pass.  A final left_outer re-instates candidate pairs
+    whose docs have zero shingles (empty texts band-collide) at jacc 0."""
     import ray
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from ..stages.dedupe import exact_dedupe, lsh_candidate_pairs, minhash_signatures
     from ..stages.texthash import shingle_hashes, tokenize_hash
@@ -1805,67 +1819,57 @@ def q_ngram_jaccard(sf_dir: str):
 
     explode.__name__ = "shingle_explode"
     sh_rows = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = sh_rows.groupby("doc_id").count().materialize()  # doc_id, count()
 
     NP = 8
     i64 = pa.int64()
     sch = lambda *names: pa.schema([(n, i64) for n in names])  # noqa: E731
-    t1 = safe_join(
+    ua = safe_join(
         cand,
         sh_rows.map_batches(
             lambda b: b.rename_columns(["id_a", "sh"]), batch_format="pyarrow"
         ),
         "inner", NP, on=("id_a",),
         left_schema=sch("id_a", "id_b"), right_schema=sch("id_a", "sh"),
+        assume_nonempty=True,
     )
-    t2 = safe_join(
-        t1,
+    ub = safe_join(
+        cand,
         sh_rows.map_batches(
             lambda b: b.rename_columns(["id_b", "sh"]), batch_format="pyarrow"
         ),
-        "inner", NP, on=("id_b", "sh"),
-        left_schema=sch("id_a", "id_b", "sh"), right_schema=sch("id_b", "sh"),
-    )
-    inter = t2.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_inter"))
-    ji = safe_join(
-        cand, inter, "left_outer", NP, on=("id_a", "id_b"),
-        left_schema=sch("id_a", "id_b"), right_schema=sch("id_a", "id_b", "n_inter"),
-    )
-    ja = safe_join(
-        ji,
-        sizes.map_batches(
-            lambda b: b.rename_columns(["id_a", "size_a"]), batch_format="pyarrow"
-        ),
-        "inner", NP, on=("id_a",),
-        left_schema=sch("id_a", "id_b", "n_inter"), right_schema=sch("id_a", "size_a"),
-    )
-    jb = safe_join(
-        ja,
-        sizes.map_batches(
-            lambda b: b.rename_columns(["id_b", "size_b"]), batch_format="pyarrow"
-        ),
         "inner", NP, on=("id_b",),
-        left_schema=sch("id_a", "id_b", "n_inter", "size_a"),
-        right_schema=sch("id_b", "size_b"),
+        left_schema=sch("id_a", "id_b"), right_schema=sch("id_b", "sh"),
+        assume_nonempty=True,
+    )
+    per_shingle = ua.union(ub).groupby(["id_a", "id_b", "sh"]).count()
+    stats = per_shingle.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_union"), Sum("count()", alias_name="n_tot")
+    )
+    joined = safe_join(
+        cand, stats, "left_outer", NP, on=("id_a", "id_b"),
+        left_schema=sch("id_a", "id_b"),
+        right_schema=sch("id_a", "id_b", "n_union", "n_tot"),
+        assume_nonempty=True,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = np.asarray(
-            batch.column("n_inter").fill_null(0).to_numpy(zero_copy_only=False)
+        union = np.asarray(
+            batch.column("n_union").fill_null(0).to_numpy(zero_copy_only=False)
         ).astype(np.int64)
-        sa = batch.column("size_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        sb = batch.column("size_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        union = np.maximum(sa + sb - n, 1)
+        tot = np.asarray(
+            batch.column("n_tot").fill_null(0).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        inter = tot - union  # shingles counted from both sides
         return pa.table(
             {
                 "id_a": batch.column("id_a"),
                 "id_b": batch.column("id_b"),
-                "jacc_milli": pa.array(1000 * n // union),
+                "jacc_milli": pa.array(1000 * inter // np.maximum(union, 1)),
             }
         )
 
     finish.__name__ = "jaccard_milli"
-    return jb.map_batches(finish, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _sql_ngram_jaccard() -> str:

@@ -1,16 +1,21 @@
-"""Distributed connected components by iterated min-label propagation
-(hash-to-min, Rastogi et al. 2013) — the scale path for DBSCAN cluster
-merging and LSH duplicate-group assembly (round-1 verdict "What's wrong"
-#2: no driver-side union-find over edge sets).
+"""Distributed connected components by ITERATED STAR CONTRACTION — the
+scale path for DBSCAN cluster merging and LSH duplicate-group assembly.
 
-Shape: state is a (node, peer) pair Dataset.  Each round is fully
-vectorized Ray Data — a native ``groupby(node).min(peer)`` label
-aggregate, a hash ``Dataset.join`` of labels back onto pairs, a
-``map_batches`` emission of (member, min)+(min, member), and a native
-two-column groupby dedupe.  No per-group Python callables anywhere.
-Seeding runs a per-batch LOCAL union-find contraction so the pair count
-entering the loop is O(distinct nodes per batch), not O(edges).  The
-driver only sequences rounds and checks a scalar convergence signature.
+State is a (node, peer) star-edge Dataset (member -> fragment root, plus
+the reverse direction).  Key invariant that makes a join-free loop
+possible: every row for a given ``node`` value lands in the same hash
+bucket, so a per-bucket LOCAL union-find merges *every* pair of star
+fragments that share a node — the information a hash-to-min label join
+would propagate is already co-located.  Each round is therefore ONE
+shuffle (``groupby(bucket).map_groups``) instead of the two (groupby.min
++ hash join) a label-propagation round costs, the working set never
+grows (output is exactly the star edges over the bucket's nodes), and no
+dedupe pass is ever needed.  Roots shrink monotonically toward the
+component min; the sum-of-peer signature is stable iff no bucket merged
+anything, i.e. no two fragments share a node, i.e. converged.
+
+Round bound: star diameter roughly halves per round (cf. Rastogi et al.
+2013 hash-to-min / star-contraction analysis) -> O(log n) rounds.
 
 Reference analog: the cluster-union iteration of
 analytics/mapreduce/.../dbscan/DBScanMapReduce.java (iterative NN union).
@@ -21,15 +26,45 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .util import drop_empty_blocks, safe_join
-
 __all__ = ["connected_components_min_label"]
 
 
-def _dedupe_pairs(pairs, num_partitions: int):
-    """Distinct (node, peer) rows via a native two-column groupby count."""
-    out = pairs.groupby(["node", "peer"]).count()
-    return out.select_columns(["node", "peer"])
+def _star(a: np.ndarray, b: np.ndarray):
+    """Local union-find over edge arrays -> (nodes, root_per_node), root =
+    min node id of the local component.  Nodes come out of ``np.unique``
+    sorted, so index order == value order and union-by-smaller-index
+    keeps the root at the component min."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes)
+    )
+    return nodes, nodes[roots]
+
+
+def _star_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    nodes, rootvals = _star(a, b)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([nodes, rootvals])),
+            "peer": pa.array(np.concatenate([rootvals, nodes])),
+        }
+    )
 
 
 def connected_components_min_label(
@@ -42,92 +77,58 @@ def connected_components_min_label(
 ):
     """Undirected int64 edge Dataset -> (node, label) Dataset, label = min
     node id of the component.  ``rounds`` caps the iteration (default
-    ceil(log2(n)) + 2, the hash-to-min bound); convergence usually stops
-    the loop earlier via the label-sum signature."""
+    ceil(log2(n)) + 3); the sum-of-roots signature stops the loop as soon
+    as a round merges nothing (exact convergence test — see module doc)."""
 
     def seed(batch: pa.Table) -> pa.Table:
-        """LOCAL CONTRACTION: a union-find over just this batch's edges
-        collapses each batch-local component to a star (node <-> local
-        min).  Connectivity is preserved; pair count drops from O(edges)
-        to O(distinct nodes per batch) before any shuffle."""
+        """LOCAL CONTRACTION: union-find over just this batch's edges
+        collapses each batch-local component to a star before any
+        shuffle; pair count drops from O(edges) to O(distinct nodes)."""
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for x, y in zip(a.tolist(), b.tolist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                lo, hi = (rx, ry) if rx < ry else (ry, rx)
-                parent[hi] = lo
-        nodes = np.unique(np.concatenate([a, b]))
-        roots = np.fromiter(
-            (find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes)
-        )
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([nodes, roots])),
-                "peer": pa.array(np.concatenate([roots, nodes])),
-            }
-        )
+        if len(a) == 0:
+            i64 = pa.int64()
+            return pa.table({"node": pa.array([], i64), "peer": pa.array([], i64)})
+        return _star_table(a, b)
 
     seed.__name__ = "cc_seed_contract"
     pairs = edges_ds.map_batches(seed, batch_format="pyarrow")
 
-    # BUCKET CONTRACTION: one shuffle keyed by node-hash bucket; a local
-    # union-find per bucket collapses every fragment whose endpoints
-    # co-hash, typically cutting the propagation loop to 2-4 rounds.
     def add_bucket(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket", pa.array(node % num_partitions))
+        # multiplicative (Fibonacci) hash in uint64 so sequential ids spread
+        h = (node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
 
     add_bucket.__name__ = "cc_bucket"
 
     def contract(group: pa.Table) -> pa.Table:
         a = group.column("node").to_numpy(zero_copy_only=False)
         b = group.column("peer").to_numpy(zero_copy_only=False)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for x, y in zip(a.tolist(), b.tolist()):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                lo, hi = (rx, ry) if rx < ry else (ry, rx)
-                parent[hi] = lo
-        nodes = np.unique(np.concatenate([a, b]))
-        roots = np.fromiter(
-            (find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes)
-        )
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([nodes, roots])),
-                "peer": pa.array(np.concatenate([roots, nodes])),
-            }
-        )
+        return _star_table(a, b)
 
     contract.__name__ = "cc_bucket_contract"
-    pairs = (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(contract, batch_format="pyarrow")
-    )
+
     if rounds is None:
         n = n_hint if n_hint is not None else max(edges_ds.count(), 2)
-        rounds = int(np.ceil(np.log2(max(n, 2)))) + 2
+        rounds = int(np.ceil(np.log2(max(n, 2)))) + 3
+
+    prev_sig = None
+    for _ in range(rounds):
+        pairs = (
+            pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(contract, batch_format="pyarrow")
+            .materialize()
+        )
+        sig_raw = pairs.sum("peer")
+        if sig_raw is None:  # empty edge set
+            break
+        if int(sig_raw) == prev_sig:
+            break
+        prev_sig = int(sig_raw)
 
     def label_min(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)
@@ -137,59 +138,6 @@ def connected_components_min_label(
         )
 
     label_min.__name__ = "cc_label_min"
-
-    def emit(batch: pa.Table) -> pa.Table:
-        """(node, peer, label) -> hash-to-min emission: (peer, label) and
-        (label, peer); the (node, label)+(label, node) pairs are implied by
-        the self-peer rows each dedupe keeps."""
-        peer = batch.column("peer").to_numpy(zero_copy_only=False)
-        lab = batch.column("label").to_numpy(zero_copy_only=False)
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        out_n = np.concatenate([peer, lab, node])
-        out_p = np.concatenate([lab, peer, lab])
-        return pa.table({"node": pa.array(out_n), "peer": pa.array(out_p)})
-
-    emit.__name__ = "cc_emit"
-
-    prev_sig = None
-    base_count = None
-    for _ in range(rounds):
-        labels = drop_empty_blocks(
-            pairs.groupby("node").min("peer").map_batches(
-                label_min, batch_format="pyarrow"
-            ),
-            schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-        )
-        sig_raw = labels.sum("label")
-        if sig_raw is not None and int(sig_raw) == prev_sig:
-            break
-        prev_sig = int(sig_raw) if sig_raw is not None else None
-        if sig_raw is None:
-            break
-        _i64 = pa.int64()
-        joined = safe_join(
-            pairs, labels, "inner", num_partitions, on=("node",),
-            left_schema=pa.schema([("node", _i64), ("peer", _i64)]),
-            right_schema=pa.schema([("node", _i64), ("label", _i64)]),
-        )
-        pairs = drop_empty_blocks(
-            joined.map_batches(emit, batch_format="pyarrow"),
-            schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
-        )
-        # dedupe (an extra shuffle) only when the pair list actually grows —
-        # emission triples rows per round, but duplicates collapse for free
-        # in the next round's min; only sustained growth needs the groupby
-        cnt = pairs.count()
-        if base_count is None:
-            base_count = max(cnt, 1)
-        elif cnt > 6 * base_count:
-            pairs = drop_empty_blocks(
-                _dedupe_pairs(pairs, num_partitions),
-                schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
-            )
-            base_count = max(pairs.count(), 1)
-
-    final = pairs.groupby("node").min("peer").map_batches(
+    return pairs.groupby("node").min("peer").map_batches(
         label_min, batch_format="pyarrow"
     )
-    return final

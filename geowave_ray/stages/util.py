@@ -74,6 +74,7 @@ def safe_join(
     right_on=None,
     left_schema=None,
     right_schema=None,
+    assume_nonempty: bool = False,
 ):
     """``Dataset.join`` with empty-input handling.
 
@@ -91,6 +92,11 @@ def safe_join(
 
     l2 = drop_empty_blocks(left, left_schema)
     r2 = drop_empty_blocks(right, right_schema)
+    if assume_nonempty:
+        # caller guarantees both sides hold rows: skip the count()-based
+        # empty-side short-circuit (the 0-row-block strip above is still
+        # required — Ray 2.49's hash join crashes on schema-less blocks)
+        return l2.join(r2, join_type, num_partitions, on=on, right_on=right_on)
     l_empty = l2.count() == 0
     r_empty = r2.count() == 0
     if not l_empty and not r_empty:

@@ -35,26 +35,82 @@ from .util import safe_join
 __all__ = ["dbscan"]
 
 
-def _cell_dup(pid, lon, lat, extra_cols: dict, eps: float, nx: int):
-    cx = np.floor((lon + 180.0) / eps).astype(np.int64)
-    cy = np.floor((lat + 90.0) / eps).astype(np.int64)
+def _cell_dup(pid, lon, lat, extra_cols: dict, eps: float, nx: int, s: float):
+    """Duplicate points to neighbor grid cells SELECTIVELY: with cell size
+    ``s`` (= cell_mult * eps, cell_mult >= 1), a point replicates into a
+    neighbor cell only when it lies within eps of that cell's boundary —
+    exactly the set of foreign points a home point there could be within
+    eps of.  At cell_mult=2 the expected replication factor is
+    (1 + 2*eps/s)^2 = 4 instead of the full ring's 9."""
     n = len(pid)
-    cells, homes = [], []
+    X = lon + 180.0
+    Y = lat + 90.0
+    cx = np.floor(X / s).astype(np.int64)
+    cy = np.floor(Y / s).astype(np.int64)
+    ox = X - cx * s
+    oy = Y - cy * s
+    masks_x = {-1: ox <= eps, 0: np.ones(n, dtype=bool), 1: ox >= s - eps}
+    masks_y = {-1: oy <= eps, 0: np.ones(n, dtype=bool), 1: oy >= s - eps}
+    idx_parts, cell_parts, home_parts = [], [], []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            cells.append((cy + dy) * nx + (cx + dx))
-            homes.append(np.full(n, dx == 0 and dy == 0))
-    idx = np.tile(np.arange(n), 9)
+            if dx == 0 and dy == 0:
+                idx = np.arange(n)
+                home = np.ones(n, dtype=bool)
+            else:
+                idx = np.nonzero(masks_x[dx] & masks_y[dy])[0]
+                if len(idx) == 0:
+                    continue
+                home = np.zeros(len(idx), dtype=bool)
+            idx_parts.append(idx)
+            cell_parts.append((cy[idx] + dy) * nx + (cx[idx] + dx))
+            home_parts.append(home)
+    idx = np.concatenate(idx_parts)
     cols = {
         "pid": pa.array(pid[idx]),
         "x": pa.array(lon[idx]),
         "y": pa.array(lat[idx]),
-        "cell": pa.array(np.concatenate(cells)),
-        "home": pa.array(np.concatenate(homes)),
+        "cell": pa.array(np.concatenate(cell_parts)),
+        "home": pa.array(np.concatenate(home_parts)),
     }
     for name, arr in extra_cols.items():
         cols[name] = pa.array(arr[idx])
     return pa.table(cols)
+
+
+def _close_rows(xh, yh, x, y, eps2, out=None, chunk=96):
+    """Boolean close matrix (len(xh), len(x)) computed in row chunks so the
+    float64 distance temporaries stay cache-resident instead of
+    materializing an O(home x group) d2 matrix (memory-bandwidth was the
+    pass-1/2 bottleneck at sf0.1)."""
+    m, n = len(xh), len(x)
+    if out is None:
+        out = np.empty((m, n), dtype=bool)
+    xr, yr = x[None, :], y[None, :]
+    for i in range(0, m, chunk):
+        dx = xh[i : i + chunk, None] - xr
+        dy = yh[i : i + chunk, None] - yr
+        dx *= dx
+        dy *= dy
+        dx += dy
+        np.less_equal(dx, eps2, out=out[i : i + chunk])
+    return out
+
+
+def _count_rows(xh, yh, x, y, eps2, chunk=96):
+    """Per-home-row count of close points (incl. self), chunked like
+    _close_rows but without materializing the boolean matrix."""
+    m = len(xh)
+    counts = np.empty(m, dtype=np.int64)
+    xr, yr = x[None, :], y[None, :]
+    for i in range(0, m, chunk):
+        dx = xh[i : i + chunk, None] - xr
+        dy = yh[i : i + chunk, None] - yr
+        dx *= dx
+        dy *= dy
+        dx += dy
+        counts[i : i + chunk] = (dx <= eps2).sum(axis=1)
+    return counts
 
 
 def dbscan(
@@ -67,11 +123,15 @@ def dbscan(
     cc_rounds: int | None = None,
     n_hint: int | None = None,
     num_partitions: int = 16,
+    cell_mult: float = 1.0,
 ):
     """-> Dataset (pid:int64, cluster:int64); cluster -1 = noise; cluster
     ids are min-member-id labels (deterministic).  ``id_col`` must be
-    integer-typed — at corpus scale labels stay integers end-to-end."""
-    nx = max(int(360.0 / eps), 1) + 2
+    integer-typed — at corpus scale labels stay integers end-to-end.
+    ``cell_mult``: grid cell size as a multiple of eps; >1 trades bigger
+    per-cell groups for fewer boundary replicas (see _cell_dup)."""
+    s = cell_mult * eps
+    nx = max(int(360.0 / s), 1) + 2
 
     def to_cells(batch: pa.Table) -> pa.Table:
         return _cell_dup(
@@ -81,6 +141,7 @@ def dbscan(
             {},
             eps,
             nx,
+            s,
         )
 
     to_cells.__name__ = "dbscan_cells"
@@ -92,8 +153,7 @@ def dbscan(
         home = group.column("home").to_numpy(zero_copy_only=False)
         pid = group.column("pid").to_numpy(zero_copy_only=False)
         h_idx = np.nonzero(home)[0]
-        d2 = (x[h_idx, None] - x[None, :]) ** 2 + (y[h_idx, None] - y[None, :]) ** 2
-        counts = (d2 <= eps * eps).sum(axis=1)  # incl. self
+        counts = _count_rows(x[h_idx], y[h_idx], x, y, eps * eps)  # incl. self
         return pa.table(
             {
                 "pid": pa.array(pid[h_idx]),
@@ -102,6 +162,11 @@ def dbscan(
         )
 
     count_cell.__name__ = "dbscan_counts"
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("GEOWAVE_DEBUG_TIMING")
+    _t0 = _time.time()
     pts0 = ds.materialize()
     flags = (
         pts0.map_batches(to_cells, batch_format="pyarrow")
@@ -109,6 +174,9 @@ def dbscan(
         .map_groups(count_cell, batch_format="pyarrow")
         .materialize()
     )
+    if _dbg:
+        print(f"[dbscan] pass1 core flags: {_time.time()-_t0:.1f}s", flush=True)
+        _t0 = _time.time()
 
     # ---------------- pass 2: flagged points -> spanning edges
     def point_cols(batch: pa.Table) -> pa.Table:
@@ -141,9 +209,17 @@ def dbscan(
             {"is_core": batch.column("is_core").to_numpy(zero_copy_only=False)},
             eps,
             nx,
+            s,
         )
 
     to_cells2.__name__ = "dbscan_cells_flagged"
+
+    # Subcells of side eps/sqrt(2) are cliques under planar eps-distance
+    # (diagonal == eps), so all cores in one subcell contract for free;
+    # inter-subcell connectivity is read off the close matrix aggregated
+    # per subcell, leaving a tiny (<= ~dozens of nodes) exact union-find.
+    sub_side = eps / np.sqrt(2.0)
+    sub_nx = int(np.ceil(360.0 / sub_side)) + 3
 
     def span_cell(group: pa.Table) -> pa.Table:
         """Local contraction: spanning star edges over this group's
@@ -164,54 +240,70 @@ def dbscan(
         h_idx = np.nonzero(home)[0]
         if len(h_idx) == 0:
             return empty
-        d2 = (x[h_idx, None] - x[None, :]) ** 2 + (y[h_idx, None] - y[None, :]) ** 2
-        close = d2 <= eps * eps
-        core_pids = pid[core]
+        close = _close_rows(x[h_idx], y[h_idx], x, y, eps * eps)
+        c_idx = np.nonzero(core)[0]
+        core_pids = pid[c_idx]
         out_k, out_a, out_b = [], [], []
-        root_of: dict[int, int] = {}
+        ug = roots = None  # per-subcell local roots over the group's cores
         hc_rows = np.nonzero(core[h_idx])[0]  # home cores (rows of close)
-        if len(hc_rows) and len(core_pids):
-            sub = close[hc_rows][:, core]  # (home cores, all cores in group)
-            parent: dict[int, int] = {}
+        if len(c_idx):
+            # subcell id per core; rep = min pid in subcell (clique)
+            g_core = (
+                np.floor((y[c_idx] + 90.0) / sub_side).astype(np.int64) * sub_nx
+                + np.floor((x[c_idx] + 180.0) / sub_side).astype(np.int64)
+            )
+            order = np.lexsort((core_pids, g_core))
+            ug, first = np.unique(g_core[order], return_index=True)
+            rep = core_pids[order][first]  # min pid per subcell
+            core_sub = np.searchsorted(ug, g_core)  # core -> subcell ordinal
+            # inter-subcell edges: for each col subcell, which home-core
+            # rows have a close core in it -> (row subcell, col subcell)
+            pairs: set[tuple[int, int]] = set()
+            if len(hc_rows):
+                row_sub = core_sub[np.searchsorted(c_idx, h_idx[hc_rows])]
+                col_by_sub = np.argsort(core_sub, kind="stable")
+                bounds = np.searchsorted(core_sub[col_by_sub], np.arange(len(ug) + 1))
+                sub_close = close[hc_rows]
+                for sc in range(len(ug)):
+                    cols = c_idx[col_by_sub[bounds[sc] : bounds[sc + 1]]]
+                    if len(cols) == 0:
+                        continue
+                    hit_rows = np.nonzero(sub_close[:, cols].any(axis=1))[0]
+                    for rs in np.unique(row_sub[hit_rows]).tolist():
+                        pairs.add((rs, sc) if rs < sc else (sc, rs))
+            # exact union-find over the tiny subcell-rep graph
+            parent = list(range(len(ug)))
 
             def find(v: int) -> int:
-                r = v
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(v, v) != v:
-                    parent[v], v = r, parent[v]
-                return r
+                while parent[v] != v:
+                    parent[v] = parent[parent[v]]
+                    v = parent[v]
+                return v
 
-            hi, j = np.nonzero(sub)
-            src = pid[h_idx[hc_rows[hi]]]
-            dst = core_pids[j]
-            for a_, b_ in zip(src.tolist(), dst.tolist()):
+            for a_, b_ in pairs:
                 ra, rb = find(a_), find(b_)
                 if ra != rb:
-                    lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi2] = lo
-            members = np.unique(np.concatenate([src, dst]))
-            roots = np.fromiter(
-                (find(int(v)) for v in members), dtype=np.int64, count=len(members)
+                    # root with the smaller rep pid wins (deterministic)
+                    if rep[ra] <= rep[rb]:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            sub_root = np.fromiter(
+                (find(i) for i in range(len(ug))), dtype=np.int64, count=len(ug)
             )
-            # star edges member <-> root (self-loops harmless, ensure every
-            # core node appears in the component input)
-            out_k.append(np.zeros(len(members), dtype=np.int64))
-            out_a.append(members)
-            out_b.append(roots)
-            root_of = dict(zip(members.tolist(), roots.tolist()))
+            roots = rep[sub_root]  # subcell ordinal -> local root pid
+            # one star edge per core in the group: pid -> local root
+            out_k.append(np.zeros(len(c_idx), dtype=np.int64))
+            out_a.append(core_pids)
+            out_b.append(roots[core_sub])
         # border: home non-core -> distinct local roots among close cores
         hb_rows = np.nonzero(~core[h_idx])[0]
-        if len(hb_rows) and len(core_pids):
-            subb = close[hb_rows][:, core]
+        if len(hb_rows) and len(c_idx):
+            subb = close[hb_rows][:, c_idx]
             bi, j = np.nonzero(subb)
             if len(bi):
                 bpid = pid[h_idx[hb_rows[bi]]]
-                croot = np.fromiter(
-                    (root_of.get(int(c), int(c)) for c in core_pids[j]),
-                    dtype=np.int64,
-                    count=len(j),
-                )
+                croot = roots[core_sub[j]]
                 uniq = np.unique(np.stack([bpid, croot]), axis=1)
                 out_k.append(np.ones(uniq.shape[1], dtype=np.int64))
                 out_a.append(uniq[0])
@@ -233,6 +325,9 @@ def dbscan(
         .map_groups(span_cell, batch_format="pyarrow")
         .materialize()
     )
+    if _dbg:
+        print(f"[dbscan] pass2 span edges: {_time.time()-_t0:.1f}s", flush=True)
+        _t0 = _time.time()
 
     def take(kind):
         def f(batch: pa.Table) -> pa.Table:
@@ -248,6 +343,9 @@ def dbscan(
         n_hint=n_hint,
         num_partitions=num_partitions,
     ).materialize()  # (node, label) over every core point
+    if _dbg:
+        print(f"[dbscan] components: {_time.time()-_t0:.1f}s", flush=True)
+        _t0 = _time.time()
 
     # border: min component label among core-neighbor local roots
     def border_cols(batch: pa.Table) -> pa.Table:

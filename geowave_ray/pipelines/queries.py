@@ -764,17 +764,25 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        df["qty"] = np.floor(df["l_quantity"] * 100).astype(np.int64)
-        df["price_cents"] = np.floor(df["l_extendedprice"] * 100).astype(np.int64)
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(n=("qty", "size"), sum_qty=("qty", "sum"), sum_price=("price_cents", "sum"))
-            .reset_index()
+        qty = np.floor(batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100)
+        price = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty.astype(np.int64)),
+                "price_cents": pa.array(price.astype(np.int64)),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("one", "sum"), ("qty", "sum"), ("price_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price"]
+        )
 
     def final(group: pa.Table) -> pa.Table:
         return pa.table(

@@ -292,9 +292,11 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
 
     # identical hashes match in every band — dedupe (id_a, id_b) pairs
     def keyed(batch: pa.Table) -> pa.Table:
-        a = [str(x) for x in batch.column("id_a").to_pylist()]
-        b = [str(x) for x in batch.column("id_b").to_pylist()]
-        return batch.append_column("pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)]))
+        a = pa.compute.cast(batch.column("id_a"), pa.string())
+        b = pa.compute.cast(batch.column("id_b"), pa.string())
+        return batch.append_column(
+            "pair", pa.compute.binary_join_element_wise(a, b, "|")
+        )
 
     keyed.__name__ = "pair_key"
     uniq = exact_dedupe(

@@ -40,9 +40,12 @@ import pyarrow as pa
 from ..geom.wkb import Polygon, box_polygon
 from .expressions import Expr, apply_filter, col
 from .gwql import _Parser, _tokens
-from .planner import SpatialQuery
+from .planner import SpatialQuery, point_predicate_mask
 
 __all__ = ["parse_cql", "CqlQuery"]
+
+_EARTH_RADIUS_M = 6371000.0
+_DEG_M = 111320.0  # meters per degree of latitude (and of longitude at lat 0)
 
 _SPATIAL_OPS = {
     "INTERSECTS",
@@ -93,11 +96,107 @@ def _parse_wkt(wkt: str):
 
 
 @dataclass
+class _DWithin:
+    """DWITHIN(geom, POINT, dist, units): bbox prune + TRUE distance refine.
+
+    The ECQL predicate is a distance circle, not a box
+    (FilterToCQLTool / DWithinImpl); earlier versions returned the bbox
+    superset.  ``degrees`` units use planar degree distance; ``meters``
+    use great-circle (haversine) distance, with the coarse lon half-width
+    scaled by 1/cos(lat) so the box still covers the circle away from the
+    equator."""
+
+    x: float
+    y: float
+    dist: float  # in `units`
+    units: str  # "degrees" | "meters"
+    op: str = "DWITHIN"
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        if self.units == "degrees":
+            dlon = dlat = self.dist
+        else:
+            dlat = self.dist / _DEG_M
+            c = np.cos(np.radians(self.y))
+            dlon = 360.0 if c <= 1e-9 else self.dist / (_DEG_M * c)
+        return (self.x - dlon, self.y - dlat, self.x + dlon, self.y + dlat)
+
+    def mask(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        if self.units == "degrees":
+            return (lon - self.x) ** 2 + (lat - self.y) ** 2 <= self.dist**2
+        lat1, lat2 = np.radians(self.y), np.radians(lat)
+        dphi, dlmb = lat2 - lat1, np.radians(lon - self.x)
+        a = np.sin(dphi / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlmb / 2.0) ** 2
+        d = 2.0 * _EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+        return d <= self.dist
+
+    def apply(self, ds, lon_col: str = "lon", lat_col: str = "lat"):
+        q = self
+
+        def refine(batch: pa.Table) -> pa.Table:
+            lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+            lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+            minx, miny, maxx, maxy = q.bbox()
+            m = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+            m &= q.mask(lon, lat)
+            return batch.filter(pa.array(m))
+
+        refine.__name__ = "dwithin_refine"
+        return ds.map_batches(refine, batch_format="pyarrow")
+
+
+@dataclass(eq=False)
+class _SpatialExpr(Expr):
+    """A spatial predicate evaluated as a plain row filter — the scan
+    fallback used when the constraint is not index-plannable (OR over
+    spatial predicates), mirroring OptimalCQLQuery's full-scan path
+    (core/geotime/.../cql/OptimalCQLQuery.java:42-102: when no single
+    constraint extracts, the CQL filter runs over an unconstrained
+    scan)."""
+
+    query: object  # SpatialQuery | _DWithin
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+
+    def evaluate(self, batch):
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        if isinstance(self.query, _DWithin):
+            mask = self.query.mask(lon, lat)
+        else:
+            mask = point_predicate_mask(lon, lat, self.query.geometry, self.query.op)
+        return pa.array(mask)
+
+
+def _bind_geom_cols(expr, lon_col: str, lat_col: str) -> None:
+    """Point the _SpatialExpr leaves of a filter tree at the dataset's
+    coordinate columns (geometry attribute resolution at apply time)."""
+    if expr is None:
+        return
+    if isinstance(expr, _SpatialExpr):
+        expr.lon_col, expr.lat_col = lon_col, lat_col
+        return
+    for attr in ("left", "right", "inner"):
+        child = getattr(expr, attr, None)
+        if isinstance(child, Expr):
+            _bind_geom_cols(child, lon_col, lat_col)
+
+
+def _terms_to_expr(expr, terms):
+    """Fold spatial terms into the row-filter tree (scan fallback)."""
+    for t in terms:
+        leaf = _SpatialExpr(t.query)
+        expr = expr & leaf if expr is not None else leaf
+    return expr
+
+
+@dataclass
 class _SpatialTerm:
-    """A spatial predicate leaf: carries its own SpatialQuery."""
+    """A spatial predicate leaf: carries its own SpatialQuery (or
+    _DWithin distance query)."""
 
     geom_field: str
-    query: SpatialQuery
+    query: object
 
 
 @dataclass
@@ -109,13 +208,26 @@ class CqlQuery:
 
     def apply(self, ds, lon_col: str = "lon", lat_col: str = "lat", time_col: str | None = None):
         """Point-dataset execution: coarse+fine spatial refine per term,
-        then the attribute filter (OptimalCQLQuery -> filter chain)."""
+        then the attribute filter (OptimalCQLQuery -> filter chain).
+
+        When the spatial constraint was NOT extractable (OR over spatial
+        predicates), spatial_terms is empty and the spatial tests live in
+        ``expr`` as _SpatialExpr row filters; any enclosing union-box in
+        ``spatial`` is still applied as a coarse prune first."""
         for term in self.spatial_terms:
             ds = term.query.apply(ds, lon_col=lon_col, lat_col=lat_col)
+        if not self.spatial_terms and self.spatial is not None:
+            sq = self.spatial
+
+            def coarse_union_box(batch: pa.Table) -> pa.Table:
+                return sq.coarse_filter(batch, lon_col, lat_col)
+
+            ds = ds.map_batches(coarse_union_box, batch_format="pyarrow")
         if self.time_range is not None and time_col is not None:
             tr = _TimeCmp(time_col, "between", self.time_range[0], self.time_range[1])
             ds = apply_filter(ds, tr)
         if self.expr is not None:
+            _bind_geom_cols(self.expr, lon_col, lat_col)
             ds = apply_filter(ds, self.expr)
         return ds
 
@@ -169,10 +281,19 @@ def _parse_or(p: _Parser):
         p.next()
         e2, t2, b2, tr2 = _parse_and(p)
         if terms or t2:
-            raise ValueError("OR over spatial predicates is not index-plannable; "
-                             "wrap spatial constraints at the top level with AND")
+            # OR over spatial predicates is not index-plannable: fall back
+            # to scan + row filter (OptimalCQLQuery.java:42-102's no-single-
+            # constraint path).  Each side's spatial terms fold into its
+            # filter tree; the union box survives as a coarse prune only
+            # when BOTH sides are spatially bounded.
+            both_bounded = bool(boxes) and bool(b2)
+            expr = _terms_to_expr(expr, terms)
+            e2 = _terms_to_expr(e2, t2)
+            terms = []
+            boxes = boxes + b2 if both_bounded else []
+        else:
+            boxes = boxes + b2  # OR unions boxes
         expr = expr | e2 if expr is not None and e2 is not None else (expr or e2)
-        boxes = boxes + b2  # OR unions boxes
         tr = None if tr is None or tr2 is None else (min(tr[0], tr2[0]), max(tr[1], tr2[1]))
     return expr, terms, boxes, tr
 
@@ -257,12 +378,9 @@ def _parse_primary(p: _Parser):
         g = _parse_wkt(wkt)
         if not isinstance(g, tuple):
             raise ValueError("DWITHIN supports POINT operands")
-        if units in ("meters", "m"):
-            dist = dist / 111320.0  # equatorial degrees approximation
         x, y = g
-        box = (x - dist, y - dist, x + dist, y + dist)
-        q = SpatialQuery(box_polygon(*box))
-        return None, [_SpatialTerm(geom, q)], [box], None
+        q = _DWithin(x, y, dist, "meters" if units in ("meters", "m") else "degrees")
+        return None, [_SpatialTerm(geom, q)], [q.bbox()], None
 
     # attribute predicate
     p.next()

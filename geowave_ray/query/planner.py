@@ -27,7 +27,29 @@ from ..geom.predicates import COMPARE_OPS, points_in_polygon, relate
 from ..geom.wkb import Polygon, bbox_of, box_polygon, parse_wkb, to_wkb
 from ..index.tiered import TieredStrategy, spatial_strategy
 
-__all__ = ["SpatialQuery", "cell_range_filter", "subsample_by_cell"]
+__all__ = [
+    "SpatialQuery",
+    "cell_range_filter",
+    "point_predicate_mask",
+    "subsample_by_cell",
+]
+
+
+def point_predicate_mask(lon, lat, geometry: Polygon, op: str) -> np.ndarray:
+    """Vectorized point-vs-polygon truth mask for the 8 compare ops
+    (SpatialQueryFilter semantics reduced to point geometries)."""
+    if op in ("INTERSECTS", "CONTAINS"):
+        return points_in_polygon(lon, lat, geometry, include_boundary=op == "INTERSECTS")
+    if op == "DISJOINT":
+        return ~points_in_polygon(lon, lat, geometry)
+    if op == "TOUCHES":
+        inside_incl = points_in_polygon(lon, lat, geometry, True)
+        inside_excl = points_in_polygon(lon, lat, geometry, False)
+        return inside_incl & ~inside_excl
+    if op in ("WITHIN", "EQUALS", "OVERLAPS", "CROSSES"):
+        # a 2-D query region can never be within/equal/overlap a point
+        return np.zeros(len(lon), dtype=bool)
+    raise ValueError(op)
 
 
 @dataclass
@@ -84,19 +106,7 @@ class SpatialQuery:
             def __call__(self, batch: pa.Table) -> pa.Table:
                 lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
                 lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
-                if self.op in ("INTERSECTS", "CONTAINS"):
-                    mask = points_in_polygon(lon, lat, self.geom, include_boundary=self.op == "INTERSECTS")
-                elif self.op == "DISJOINT":
-                    mask = ~points_in_polygon(lon, lat, self.geom)
-                elif self.op == "TOUCHES":
-                    inside_incl = points_in_polygon(lon, lat, self.geom, True)
-                    inside_excl = points_in_polygon(lon, lat, self.geom, False)
-                    mask = inside_incl & ~inside_excl
-                elif self.op in ("WITHIN", "EQUALS", "OVERLAPS", "CROSSES"):
-                    # a 2-D query region can never be within/equal/overlap a point
-                    mask = np.zeros(len(batch), dtype=bool)
-                else:
-                    raise ValueError(query.op)
+                mask = point_predicate_mask(lon, lat, self.geom, self.op)
                 if query.time_range is not None and time_col is not None:
                     t = batch.column(time_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
                     lo, hi = query.time_range

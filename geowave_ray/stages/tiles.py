@@ -224,26 +224,56 @@ class TileWarper:
 
 class MosaicMerger:
     __name__ = "mosaic_merger"
-    """groupby(tier, cell).map_groups: merge tiles sharing a cell — later
-    tiles fill pixels that are still background (NoDataMergeStrategy)."""
+    """groupby(tier, cell).map_groups: merge tiles sharing a cell.
 
-    def __init__(self, tile_size: int = 256, background: int = 0):
+    ``merge`` selects the band-merge strategy, mirroring the reference's
+    RasterTileMergeStrategy SPI (core/raster/.../RasterTileMergeStrategy
+    .java; NoDataMergeStrategy is the adapter default):
+
+    - ``nodata``: later tiles fill pixels that are still background
+    - ``sum``:    per-pixel band sum, clipped to [0, 255] at emit (the
+      shape KDE heat-map composition uses)
+    - ``mean``:   floor of the per-pixel band mean over all contributors
+    - ``max`` / ``min``: elementwise band extremes
+    """
+
+    _STRATEGIES = ("nodata", "sum", "mean", "max", "min")
+
+    def __init__(self, tile_size: int = 256, background: int = 0, merge: str = "nodata"):
+        if merge not in self._STRATEGIES:
+            raise ValueError(f"merge must be one of {self._STRATEGIES}, got {merge!r}")
         self.tile_size = tile_size
         self.background = background
+        self.merge = merge
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ts = self.tile_size
-        # deterministic merge order: by image_id
+        # deterministic merge order: by image_id (commutative strategies
+        # don't need it, nodata does)
         order = pa.compute.sort_indices(group.column("image_id"))
         group = group.take(order)
         acc = None
+        n = 0
         for blob in group.column("tile").to_pylist():
             arr = np.frombuffer(blob, dtype=np.uint8).reshape(ts, ts, 3)
-            if acc is None:
-                acc = arr.copy()
-            else:
-                nodata = (acc == self.background).all(axis=2)
-                acc[nodata] = arr[nodata]
+            n += 1
+            if self.merge == "nodata":
+                if acc is None:
+                    acc = arr.copy()
+                else:
+                    nodata = (acc == self.background).all(axis=2)
+                    acc[nodata] = arr[nodata]
+            elif self.merge in ("sum", "mean"):
+                a = arr.astype(np.int64)
+                acc = a if acc is None else acc + a
+            elif self.merge == "max":
+                acc = arr.copy() if acc is None else np.maximum(acc, arr)
+            else:  # min
+                acc = arr.copy() if acc is None else np.minimum(acc, arr)
+        if self.merge == "sum":
+            acc = np.clip(acc, 0, 255).astype(np.uint8)
+        elif self.merge == "mean":
+            acc = (acc // n).astype(np.uint8)
         return pa.table(
             {
                 "tier": group.column("tier").slice(0, 1),

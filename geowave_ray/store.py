@@ -284,9 +284,15 @@ class GeoStore:
         lat_col: str = "lat",
     ):
         """Delete matching rows (DataStore.delete / GWQL DELETE backend):
-        ONLY the pruned (tier, cell_prefix) partition files are rewritten,
-        distributed one file per task (atomic tmp+rename, so a failed run
-        can simply re-run).  Returns a pandas DataFrame of per-file
+        ONLY the pruned (tier, cell_prefix) partition files of the primary
+        layout are rewritten, distributed one file per task (atomic
+        tmp+rename, so a failed run can simply re-run).  The secondary
+        ``_id_idx`` layout (when present) is rewritten with the same
+        predicate — its hash-by-id partitioning can't be spatially pruned,
+        so every idx file is visited (still one file per task) — and the
+        persisted statistics manifest is refreshed: count decremented,
+        bbox/hot-cell stats kept as valid supersets but flagged stale.
+        Returns a pandas DataFrame of per-file
         (path, rows_before, rows_after)."""
         import ray
 
@@ -294,9 +300,19 @@ class GeoStore:
 
         files = self._expand_paths(self._pruned_paths(query))
         if not files:
+            # primary pruning is over-inclusive, so an empty prune means no
+            # row matches anywhere — the idx layout needs no rewrite either
             import pandas as pd
 
             return pd.DataFrame(columns=["path", "rows_before", "rows_after"])
+        idx_root = os.path.join(self.root, "_id_idx")
+        if os.path.isdir(idx_root):
+            idx_parts = [
+                os.path.join(idx_root, d)
+                for d in os.listdir(idx_root)
+                if d.startswith("idp=")
+            ]
+            files = files + self._expand_paths(idx_parts)
         geom = query.geometry
         tr = query.time_range
 
@@ -329,11 +345,27 @@ class GeoStore:
             )
 
         rewrite.__name__ = "store_delete_rewrite"
-        return (
+        report = (
             ray.data.from_items([{"path": p} for p in files])
             .map_batches(rewrite, batch_format="pyarrow")
             .to_pandas()
         )
+        # refresh the persisted statistics manifest (round-3 ADVICE: stats
+        # went stale after delete).  count is exact (decremented by the
+        # primary-layout deletions); bbox / hot-cell / histogram stats stay
+        # valid SUPERSETS for pruning but are flagged stale.
+        from .state.stats import load_statistics
+
+        manifest = load_statistics(self.root)
+        if manifest is not None and not report.empty:
+            primary = report[~report["path"].str.contains("/_id_idx/")]
+            deleted = int((primary["rows_before"] - primary["rows_after"]).sum())
+            if deleted:
+                if manifest.data.get("count", -1) >= 0:
+                    manifest.data["count"] = manifest.data["count"] - deleted
+                manifest.data["stale_after_delete"] = True
+                manifest.save(self.root)
+        return report
 
     def lookup(self, ids: list, id_col: str = "image_id"):
         """DataIdQuery analog: point lookup by data id.  When the secondary

@@ -93,7 +93,65 @@ def test_temporal_during(pts):
 
 
 def test_dwithin_point(pts):
+    # true distance circle, not the bbox superset
     out = _run("DWITHIN(geom, 'POINT(10 20)', 5, 'degrees')", pts)
     lon, lat = pts.column("lon").to_numpy(), pts.column("lat").to_numpy()
-    want = ((np.abs(lon - 10) <= 5) & (np.abs(lat - 20) <= 5)).sum()
+    want = ((lon - 10) ** 2 + (lat - 20) ** 2 <= 25.0).sum()
+    box = ((np.abs(lon - 10) <= 5) & (np.abs(lat - 20) <= 5)).sum()
     assert len(out) == want
+    assert want < box  # the circle is a strict subset of the box here
+
+
+def test_dwithin_meters_great_circle(pts):
+    # meters = haversine distance; at lat 60 the lon half-width of the
+    # coarse box must widen by 1/cos(60deg)=2x or boundary points get
+    # pruned before refinement
+    from geowave_ray.query.cql import _DWithin
+
+    q = parse_cql("DWITHIN(geom, 'POINT(10 60)', 200000, 'meters')")
+    term = q.spatial_terms[0].query
+    assert isinstance(term, _DWithin)
+    minx, miny, maxx, maxy = term.bbox()
+    assert (maxx - minx) > 2 * (maxy - miny) * 0.95  # cos-lat widened
+    out = _run("DWITHIN(geom, 'POINT(10 60)', 200000, 'meters')", pts)
+    lon, lat = pts.column("lon").to_numpy(), pts.column("lat").to_numpy()
+    want = term.mask(lon, lat).sum()
+    assert len(out) == want
+    # sanity: a point ~156km east at lat 60 (2.8 deg of lon) is inside
+    assert term.mask(np.array([12.8]), np.array([60.0]))[0]
+    # ~312km east is outside
+    assert not term.mask(np.array([15.6]), np.array([60.0]))[0]
+
+
+def test_or_over_spatial_scan_fallback(pts):
+    # OR over spatial predicates: no single index constraint extracts, so
+    # the spatial tests become row filters (union box kept as coarse prune)
+    cqlq = "(BBOX(geom, -30, 10, 40, 60) AND v >= 50) OR (BBOX(geom, 100, -60, 150, -20) AND v < 10)"
+    q = parse_cql(cqlq)
+    assert q.spatial_terms == [] and q.spatial is not None
+    out = _run(cqlq, pts)
+    lon, lat, v = (pts.column(c).to_numpy() for c in ("lon", "lat", "v"))
+    in1 = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60) & (v >= 50)
+    in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20) & (v < 10)
+    assert len(out) == (in1 | in2).sum()
+
+
+def test_or_spatial_with_unbounded_side(pts):
+    # BBOX(...) OR attribute: the OR is spatially unbounded — rows outside
+    # the box that satisfy the attribute side must survive
+    cqlq = "BBOX(geom, -30, 10, 40, 60) OR v >= 98"
+    q = parse_cql(cqlq)
+    assert q.spatial_terms == [] and q.spatial is None  # no coarse bound
+    out = _run(cqlq, pts)
+    lon, lat, v = (pts.column(c).to_numpy() for c in ("lon", "lat", "v"))
+    inbox = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60)
+    assert len(out) == (inbox | (v >= 98)).sum()
+
+
+def test_not_over_spatial_or(pts):
+    cqlq = "NOT (BBOX(geom, -30, 10, 40, 60) OR BBOX(geom, 100, -60, 150, -20))"
+    out = _run(cqlq, pts)
+    lon, lat = pts.column("lon").to_numpy(), pts.column("lat").to_numpy()
+    in1 = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60)
+    in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
+    assert len(out) == (~(in1 | in2)).sum()

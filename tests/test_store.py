@@ -261,3 +261,49 @@ def test_store_delete_rewrites_only_pruned_partitions(tmp_path, ray_session):
     assert len(left) == int((~inside).sum())
     got_gone = set(np.asarray(t.column("image_id"))[inside].tolist()) & set(left["image_id"])
     assert not got_gone
+
+
+def test_delete_updates_id_index_and_stats(tmp_path, ray_session):
+    """Round-3 ADVICE: delete() must also purge the secondary _id_idx
+    layout (else lookup() resurrects deleted rows) and refresh the
+    statistics manifest count."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+        }
+    )
+    s = GeoStore(str(tmp_path / "delidx"), prefix_bits=3)
+    s.ingest(
+        ray.data.from_arrow(t).repartition(4),
+        compute_stats=True,
+        id_index_col="image_id",
+    )
+    count0 = s.stats().count
+    assert count0 == n
+    box = (-20.0, 10.0, 30.0, 50.0)
+    lon, lat = t.column("lon").to_numpy(), t.column("lat").to_numpy()
+    inside = (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+    deleted_ids = np.asarray(t.column("image_id"))[inside].tolist()
+    kept_id = int(np.asarray(t.column("image_id"))[~inside][0])
+    assert deleted_ids
+
+    report = s.delete(SpatialQuery(box_polygon(*box)))
+    primary = report[~report["path"].str.contains("/_id_idx/")]
+    assert int((primary["rows_before"] - primary["rows_after"]).sum()) == len(deleted_ids)
+
+    # lookup must NOT resurrect deleted rows (reads the _id_idx layout)
+    got = s.lookup(deleted_ids[:5] + [kept_id]).to_pandas()
+    assert sorted(got["image_id"]) == [kept_id]
+    # manifest count decremented exactly; staleness flagged
+    m = s.stats()
+    assert m.count == n - len(deleted_ids)
+    assert m.data.get("stale_after_delete") is True

@@ -101,6 +101,40 @@ def test_mosaic_merge_fills_background():
     assert merged.column("n_merged")[0].as_py() == 2
 
 
+def test_mosaic_merge_strategies():
+    """RasterTileMergeStrategy SPI parity: sum (clipped), mean (floor),
+    max, min band merges over overlapping tiles."""
+    import pytest
+
+    ts = 4
+    a = np.full((ts, ts, 3), 100, dtype=np.uint8)
+    b = np.full((ts, ts, 3), 30, dtype=np.uint8)
+    b[0, 0] = 250  # forces sum clipping at one pixel
+    group = pa.table(
+        {
+            "tier": pa.array([5, 5], type=pa.uint8()),
+            "cell": pa.array([7, 7], type=pa.uint64()),
+            "image_id": ["a", "b"],
+            "tile": pa.array([a.tobytes(), b.tobytes()], type=pa.large_binary()),
+        }
+    )
+
+    def run(merge):
+        m = MosaicMerger(tile_size=ts, merge=merge)(group)
+        return np.frombuffer(m.column("tile")[0].as_py(), dtype=np.uint8).reshape(ts, ts, 3)
+
+    s = run("sum")
+    assert (s[0, 0] == 255).all()  # 100+250 clipped
+    assert (s[1, 1] == 130).all()
+    m = run("mean")
+    assert (m[0, 0] == 175).all()  # floor((100+250)/2)
+    assert (m[1, 1] == 65).all()
+    assert (run("max")[0, 0] == 250).all() and (run("max")[1, 1] == 100).all()
+    assert (run("min")[0, 0] == 100).all() and (run("min")[1, 1] == 30).all()
+    with pytest.raises(ValueError):
+        MosaicMerger(merge="median")
+
+
 def test_render_stage_matches_warper():
     """Fused render stage produces the same tile pixels (via checksum) as
     TileAssigner + TileWarper run separately."""

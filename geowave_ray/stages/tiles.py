@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..index.tiered import spatial_strategy
 from .imaging import decode_image, psnr, resample_nearest  # noqa: F401 (psnr re-export)
 
-__all__ = ["TileAssigner", "TileWarper", "MosaicMerger", "select_levels"]
+__all__ = ["TileAssigner", "TileWarper", "MosaicMerger", "mosaic_merge", "select_levels"]
 
 EPS = 1e-9
 
@@ -282,6 +282,135 @@ class MosaicMerger:
                 "tile": pa.array([acc.tobytes()], type=pa.large_binary()),
             }
         )
+
+
+def _stack_tiles(col: pa.ChunkedArray | pa.Array, nbytes: int) -> np.ndarray:
+    """Tile blob column -> (n, nbytes) uint8 matrix.  FixedSizeBinary
+    columns are read zero-copy from the values buffer; variable binary
+    falls back to a per-row copy."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        if pa.types.is_fixed_size_binary(ch.type):
+            arr = np.frombuffer(ch.buffers()[1], dtype=np.uint8)
+            parts.append(
+                arr[ch.offset * nbytes : (ch.offset + len(ch)) * nbytes].reshape(
+                    len(ch), nbytes
+                )
+            )
+        else:
+            parts.append(
+                np.stack([np.frombuffer(b, dtype=np.uint8) for b in ch.to_pylist()])
+            )
+    if not parts:
+        return np.zeros((0, nbytes), dtype=np.uint8)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+class _PartialMosaic:
+    """Pre-shuffle combiner for the COMMUTATIVE merge strategies
+    (sum/mean/max/min): collapses each batch's tiles per (tier, cell)
+    BEFORE the groupby moves bytes, so at most one tile per (cell, block)
+    crosses the exchange.  sum/mean accumulate int64 (clipping / division
+    deferred to the final merge); max/min stay uint8.  The order-dependent
+    ``nodata`` strategy cannot be combined this way — mosaic_merge routes
+    it through the single-level groupby."""
+
+    __name__ = "partial_mosaic"
+
+    def __init__(self, tile_size: int = 256, merge: str = "sum"):
+        if merge not in ("sum", "mean", "max", "min"):
+            raise ValueError(f"non-commutative merge {merge!r} has no combiner")
+        self.tile_size = tile_size
+        self.merge = merge
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb = self.tile_size * self.tile_size * 3
+        tiers = batch.column("tier").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        tiles = _stack_tiles(batch.column("tile"), nb)
+        order = np.lexsort((cells, tiers))
+        tiers, cells, tiles = tiers[order], cells[order], tiles[order]
+        new = np.ones(len(cells), dtype=bool)
+        if len(cells) > 1:
+            new[1:] = (cells[1:] != cells[:-1]) | (tiers[1:] != tiers[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(cells)))
+        if self.merge in ("sum", "mean"):
+            acc = np.add.reduceat(tiles.astype(np.int64), starts, axis=0)
+            blob_type = pa.binary(nb * 8)
+            blobs = acc.astype("<i8").tobytes()
+        else:
+            red = np.maximum if self.merge == "max" else np.minimum
+            acc = red.reduceat(tiles, starts, axis=0)
+            blob_type = pa.binary(nb)
+            blobs = acc.tobytes()
+        n = len(starts)
+        tile_col = pa.FixedSizeBinaryArray.from_buffers(
+            blob_type, n, [None, pa.py_buffer(blobs)]
+        )
+        return pa.table(
+            {
+                "tier": pa.array(tiers[starts], type=pa.uint8()),
+                "cell": pa.array(cells[starts], type=pa.uint64()),
+                "n_partial": pa.array(counts, type=pa.int64()),
+                "tile": tile_col,
+            }
+        )
+
+
+class _FinalMosaic:
+    """groupby(tier, cell).map_groups finalizer over _PartialMosaic rows."""
+
+    __name__ = "final_mosaic"
+
+    def __init__(self, tile_size: int = 256, merge: str = "sum"):
+        self.tile_size = tile_size
+        self.merge = merge
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        nb = self.tile_size * self.tile_size * 3
+        n = int(pa.compute.sum(group.column("n_partial")).as_py())
+        if self.merge in ("sum", "mean"):
+            bufs = _stack_tiles(group.column("tile"), nb * 8)
+            acc = bufs.view("<i8").reshape(len(group), nb).sum(axis=0)
+            acc = np.clip(acc, 0, 255) if self.merge == "sum" else acc // n
+            tile = acc.astype(np.uint8)
+        else:
+            tiles = _stack_tiles(group.column("tile"), nb)
+            red = np.maximum if self.merge == "max" else np.minimum
+            tile = red.reduce(tiles, axis=0)
+        return pa.table(
+            {
+                "tier": group.column("tier").slice(0, 1),
+                "cell": group.column("cell").slice(0, 1),
+                "n_merged": pa.array([n], type=pa.int64()),
+                "tile": pa.array([tile.tobytes()], type=pa.large_binary()),
+            }
+        )
+
+
+def mosaic_merge(ds, tile_size: int = 256, merge: str = "nodata", background: int = 0):
+    """Distributed mosaic composition over a (tier, cell, image_id, tile)
+    Dataset.  Commutative strategies pre-combine per batch (one partial
+    tile per cell per block crosses the shuffle); ``nodata`` is order-
+    dependent by image_id and goes through the plain groupby."""
+    from .util import stage_fn
+
+    if merge == "nodata":
+        return ds.groupby(["tier", "cell"]).map_groups(
+            MosaicMerger(tile_size=tile_size, background=background),
+            batch_format="pyarrow",
+        )
+    part = ds.map_batches(
+        stage_fn(_PartialMosaic, tile_size=tile_size, merge=merge),
+        batch_format="pyarrow",
+    )
+    return part.groupby(["tier", "cell"]).map_groups(
+        _FinalMosaic(tile_size=tile_size, merge=merge), batch_format="pyarrow"
+    )
 
 
 class TileRenderStage:

@@ -168,3 +168,49 @@ def test_render_stage_matches_warper():
     warped = TileWarper(pixel_res_deg=1e-4)(joined)
     tile = np.frombuffer(warped.column("tile")[0].as_py(), dtype=np.uint8)
     assert int(tile.astype(np.int64).sum()) == out.column("tile_checksum")[row].as_py()
+
+
+def test_mosaic_merge_pipeline_combiner(ray_session):
+    """mosaic_merge's pre-shuffle combiner (sum/mean/max/min) must produce
+    exactly the single-level MosaicMerger result on a multi-block Dataset."""
+    import ray
+
+    from geowave_ray.stages.tiles import mosaic_merge
+
+    ts = 4
+    nb = ts * ts * 3
+    rng = np.random.default_rng(7)
+    n = 400
+    cells = rng.integers(0, 13, n).astype(np.uint64)
+    tiles = rng.integers(0, 200, (n, nb)).astype(np.uint8)
+    t = pa.table(
+        {
+            "tier": pa.array(np.zeros(n, dtype=np.uint8)),
+            "cell": pa.array(cells, type=pa.uint64()),
+            "image_id": np.arange(n, dtype=np.int64),
+            "tile": pa.array([r.tobytes() for r in tiles], type=pa.large_binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    for merge in ("sum", "mean", "max", "min"):
+        got = mosaic_merge(ds, tile_size=ts, merge=merge).to_pandas()
+        got = got.sort_values("cell").reset_index(drop=True)
+        want_rows = []
+        for c in np.unique(cells):
+            sub = tiles[cells == c].astype(np.int64)
+            if merge == "sum":
+                acc = np.clip(sub.sum(axis=0), 0, 255)
+            elif merge == "mean":
+                acc = sub.sum(axis=0) // len(sub)
+            elif merge == "max":
+                acc = sub.max(axis=0)
+            else:
+                acc = sub.min(axis=0)
+            want_rows.append((int(c), len(sub), acc.astype(np.uint8).tobytes()))
+        assert len(got) == len(want_rows)
+        for (c, nm, blob), (_, row) in zip(want_rows, got.iterrows()):
+            assert int(row["cell"]) == c and int(row["n_merged"]) == nm
+            assert bytes(row["tile"]) == blob
+    # nodata path still routes through the plain groupby
+    nd = mosaic_merge(ds, tile_size=ts, merge="nodata").to_pandas()
+    assert len(nd) == len(np.unique(cells))

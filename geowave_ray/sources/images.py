@@ -216,7 +216,10 @@ def _images_batch(ids: np.ndarray, with_bytes: bool, byte_pool: int | None) -> p
         for i in range(n):
             pool_seed = int(ids[i]) if byte_pool is None else int(ids[i]) % byte_pool
             size = int(f["w"][i])
-            fmt = "png" if f["fmt_png"][i] else "fjpg"
+            # pooled bulk payloads keep the fast FJPG stand-in; the
+            # unpooled (correctness/roundtrip) path writes REAL baseline
+            # JPEG via stages/jpeg.py
+            fmt = "png" if f["fmt_png"][i] else ("fjpg" if byte_pool is not None else "jpeg")
             if byte_pool is not None:
                 key = (pool_seed, size, fmt)
                 blob = _BLOB_CACHE.get(key)

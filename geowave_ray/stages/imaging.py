@@ -5,10 +5,11 @@ The container has no PIL/cv2/rasterio, so:
 - PNG encode/decode is implemented for real against the public PNG spec
   (IHDR/IDAT/IEND, filters 0-4, 8-bit RGB) using stdlib zlib — lossless
   round-trip, used by the tiling tests' PSNR checks.
-- JPEG is NOT available; ``FJPG`` is a clearly-marked deterministic
-  stand-in (quantized raw pixels, zlib-compressed) whose decode loss is
-  bounded so PSNR >= 40 dB holds, mirroring the lossy-tolerance contract in
-  BASELINE.json.  Swap with a real JPEG codec when the library exists.
+- JPEG is implemented for real in ``stages/jpeg.py`` (baseline sequential
+  DCT, Annex K tables, 4:4:4 / 4:2:0, restart intervals) — pure NumPy.
+  ``FJPG`` remains as a clearly-marked deterministic HIGH-THROUGHPUT
+  stand-in (quantized raw pixels, zlib) used for pooled bulk payloads in
+  benches, where the Python entropy coder would dominate wall time.
 - ``resample_nearest`` is the warp kernel for raster->tile assignment
   (reference: RasterDataAdapter.java:596-810 resamples coverage pixels
   into fixed 256x256 SFC-cell tiles).
@@ -142,7 +143,11 @@ def fjpg_decode(data: bytes) -> np.ndarray:
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(arr)
-    if fmt in ("jpeg", "fjpg"):
+    if fmt == "jpeg":
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
+    if fmt == "fjpg":
         return fjpg_encode(arr)
     raise ValueError(fmt)
 
@@ -152,9 +157,13 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return png_decode(data)
     if data[:4] == _FJPG_MAGIC:
         return fjpg_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise NotImplementedError(
-        f"unsupported image payload (fmt={fmt}); real JPEG decode requires an "
-        "image library not present in this environment"
+        f"unsupported image payload (fmt={fmt}); PNG, baseline JPEG and FJPG "
+        "are the formats this engine writes"
     )
 
 

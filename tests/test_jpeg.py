@@ -1,0 +1,122 @@
+"""Baseline JPEG codec (pure NumPy, stages/jpeg.py): round-trip PSNR,
+subsampling, restart intervals, table integrity, dispatch."""
+
+import numpy as np
+import pytest
+
+from geowave_ray.stages.imaging import decode_image, encode_image, psnr
+from geowave_ray.stages.jpeg import (
+    _AC_CHROMA_BITS,
+    _AC_CHROMA_VALS,
+    _AC_LUMA_BITS,
+    _AC_LUMA_VALS,
+    _DC_CHROMA_BITS,
+    _DC_CHROMA_VALS,
+    _DC_LUMA_BITS,
+    _DC_LUMA_VALS,
+    _ZZ,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _smooth_rgb(h, w):
+    gy, gx = np.mgrid[0:h, 0:w]
+    sx, sy = 200.0 / max(w - 1, 1), 200.0 / max(h - 1, 1)
+    return np.stack([gx * sx, gy * sy, 20 + (gx * sx + gy * sy) / 2], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_annex_k_tables_complete():
+    # canonical-code preconditions: counts match, all symbols present
+    for bits, vals in (
+        (_DC_LUMA_BITS, _DC_LUMA_VALS),
+        (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals) == 12 and sorted(vals) == list(range(12))
+    want_ac = {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0}
+    for bits, vals in (
+        (_AC_LUMA_BITS, _AC_LUMA_VALS),
+        (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals) == 162
+        assert set(vals) == want_ac
+    # zigzag is a permutation with the canonical first steps
+    assert sorted(_ZZ.tolist()) == list(range(64))
+    assert _ZZ[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+@pytest.mark.parametrize("dims", [(64, 64), (50, 37), (8, 8), (17, 23)])
+def test_rgb_roundtrip_psnr(dims):
+    arr = _smooth_rgb(*dims)
+    blob = jpeg_encode(arr, quality=90, subsample="444")
+    dec = jpeg_decode(blob)
+    assert dec.shape == arr.shape
+    assert psnr(dec, arr) >= 40.0
+
+
+@pytest.mark.parametrize("dims", [(64, 64), (50, 37), (8, 8), (17, 23)])
+def test_rgb_roundtrip_420(dims):
+    # 4:2:0 halves chroma resolution: steep chroma gradients legitimately
+    # lose detail, so the >=40dB contract is asserted on low-chroma content
+    # (near-gray), the strong-gradient case keeps a looser floor
+    h, w = dims
+    g = _smooth_rgb(h, w)[:, :, 0].astype(np.int16)
+    low_chroma = np.clip(
+        np.stack([g, g + 4, g + 8], axis=-1), 0, 255
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(low_chroma, quality=90, subsample="420"))
+    assert dec.shape == low_chroma.shape
+    assert psnr(dec, low_chroma) >= 40.0
+    strong = _smooth_rgb(h, w)
+    assert psnr(jpeg_decode(jpeg_encode(strong, 90, subsample="420")), strong) >= 28.0
+
+
+def test_gray_roundtrip():
+    g = _smooth_rgb(41, 29)[:, :, 0]
+    dec = jpeg_decode(jpeg_encode(g, quality=90))
+    assert dec.shape == (41, 29, 1)
+    assert psnr(dec[:, :, 0], g) >= 40.0
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_intervals(ri):
+    arr = _smooth_rgb(48, 48)
+    for ss in ("444", "420"):
+        blob = jpeg_encode(arr, quality=90, subsample=ss, restart_interval=ri)
+        assert psnr(jpeg_decode(blob), arr) >= 40.0
+
+
+def test_noise_survives_entropy_coder():
+    """Incompressible content must still round-trip to the quantization
+    floor (guards the Huffman/bitstream path, not just smooth images)."""
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(g, quality=95))[:, :, 0]
+    assert psnr(dec, g) >= 35.0
+
+
+def test_quality_monotone():
+    arr = _smooth_rgb(64, 64)
+    sizes = [len(jpeg_encode(arr, quality=q)) for q in (25, 50, 75, 95)]
+    assert sizes == sorted(sizes)
+    assert psnr(jpeg_decode(jpeg_encode(arr, 95)), arr) > psnr(
+        jpeg_decode(jpeg_encode(arr, 25)), arr
+    )
+
+
+def test_errors_and_dispatch():
+    arr = _smooth_rgb(16, 16)
+    blob = bytearray(jpeg_encode(arr))
+    # flip SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    # encode_image/decode_image dispatch on the SOI magic
+    blob2 = encode_image(arr, "jpeg")
+    assert blob2[:2] == b"\xff\xd8"
+    assert psnr(decode_image(blob2), arr) >= 40.0

@@ -121,6 +121,22 @@ class LongitudeDimension(BasicDimension):
 
 
 @dataclass(frozen=True)
+class PeriodicDimension(BasicDimension):
+    """Bounded axis that WRAPS (a projected longitude / easting in a custom
+    CRS): a query range whose normalized max < normalized min splits into
+    two bins [lo, hi_norm] and [lo_norm, hi] — the LongitudeDefinition
+    antimeridian rule generalized to arbitrary bounds
+    (SpatialDimensionalityTypeProvider.java:130-224 custom-CRS axes)."""
+
+    def get_normalized_ranges(self, lo: float, hi: float) -> list[BinRange]:
+        nlo = float(self.normalize(lo))
+        nhi = float(self.normalize(hi))
+        if nhi < nlo:  # crosses the wrap boundary
+            return [BinRange(b"", 0.0, nhi), BinRange(b"", nlo, 1.0)]
+        return [BinRange(b"", nlo, nhi)]
+
+
+@dataclass(frozen=True)
 class LatitudeDimension(BasicDimension):
     """Latitude: values clamped to ±90.  With ``half_range`` (GeoWave's
     default spatial index passes true) normalization spans [-180,180] so

@@ -333,6 +333,31 @@ def spatial_strategy(
     )
 
 
+def custom_crs_strategy(
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    bits: int = 31,
+    wrap_x: bool = False,
+    tiers: list[int] | None = None,
+    curve_type: str = "hilbert",
+    max_dup_per_dim: int = DEFAULT_MAX_DUP_PER_DIM,
+) -> TieredStrategy:
+    """Custom-CRS spatial index: bounded x/y axes with arbitrary native
+    ranges (a projected CRS like Web Mercator), mirroring the reference's
+    CustomCrsIndexModel bounded variants
+    (SpatialDimensionalityTypeProvider.java:130-224).  ``wrap_x`` makes the
+    x axis periodic (wrap-split query ranges, the antimeridian rule
+    generalized).  Unbounded custom axes would need binned dimensions like
+    TimeDimension; not implemented."""
+    from .dimensions import BasicDimension, PeriodicDimension
+
+    if tiers is None:
+        tiers = list(range(bits + 1))
+    xd = (PeriodicDimension if wrap_x else BasicDimension)(x_range[0], x_range[1])
+    yd = BasicDimension(y_range[0], y_range[1])
+    return TieredStrategy([xd, yd], tiers, curve_type, max_dup_per_dim)
+
+
 ST_BIAS_PRESETS = {
     # SpatialTemporalDimensionalityTypeProvider.java:207-246 (Bias enum):
     # (lon_bits, lat_bits, time_bits)

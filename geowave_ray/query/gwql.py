@@ -127,7 +127,7 @@ def parse_gwql(query: str) -> dict:
                 ):
                     p.next()
                     alias = p.next()[1]
-                if name.upper() in ("ABS", "CONCAT"):
+                if name.upper() in ("ABS", "CONCAT", "BBOX", "TRANGE"):
                     select.append((name.upper(), args, alias))
                 else:
                     select.append((name.upper(), arg, alias))
@@ -166,6 +166,28 @@ def parse_gwql(query: str) -> dict:
 
 
 def _parse_predicates(p: _Parser):
+    """OR of AND-groups.  A single spatial constraint extracts to the
+    planner (index-usable); OR over spatial predicates falls back to
+    row-filter evaluation (the CQL parser's scan-fallback rule)."""
+    expr, spatial = _parse_pred_and(p)
+    while p.peek()[0] == "word" and p.peek()[1].upper() == "OR":
+        p.next()
+        e2, s2 = _parse_pred_and(p)
+        if spatial is not None or s2 is not None:
+            from .cql import _SpatialExpr
+
+            if spatial is not None:
+                leaf = _SpatialExpr(spatial)
+                expr = expr & leaf if expr is not None else leaf
+                spatial = None
+            if s2 is not None:
+                leaf = _SpatialExpr(s2)
+                e2 = e2 & leaf if e2 is not None else leaf
+        expr = expr | e2 if expr is not None and e2 is not None else (expr or e2)
+    return expr, spatial
+
+
+def _parse_pred_and(p: _Parser):
     expr: Expr | None = None
     spatial: SpatialQuery | None = None
     while True:
@@ -209,6 +231,18 @@ def _parse_predicates(p: _Parser):
                 p.expect_word("AND")
                 hi = p.next()[1]
                 term = col(name).between(lo, hi)
+            elif k2 == "word" and op.upper() in ("BEFORE", "AFTER", "DURING"):
+                # GWQLSpatialTemporalExtensions temporal predicate surface
+                from .cql import _TimeCmp, _iso_us
+
+                u = op.upper()
+                if u == "DURING":
+                    span = str(p.next()[1])
+                    lo_s, hi_s = span.split("/")
+                    term = _TimeCmp(name, "between", _iso_us(lo_s), _iso_us(hi_s))
+                else:
+                    ts = _iso_us(str(p.next()[1]))
+                    term = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
             else:
                 val = p.next()[1]
                 c = col(name)
@@ -271,6 +305,9 @@ def run_gwql(query: str, tables: dict, lon_col="lon", lat_col="lat"):
     if plan["spatial"] is not None:
         ds = plan["spatial"].apply(ds, lon_col=lon_col, lat_col=lat_col)
     if plan["where"] is not None:
+        from .cql import _bind_geom_cols
+
+        _bind_geom_cols(plan["where"], lon_col, lat_col)
         ds = apply_filter(ds, plan["where"])
     sel = plan["select"]
     scalars = [s for s in sel if s[0] in ("ABS", "CONCAT")]
@@ -302,19 +339,53 @@ def run_gwql(query: str, tables: dict, lon_col="lon", lat_col="lat"):
         if plan["limit"] is not None:
             ds = ds.limit(plan["limit"])
         return ds
-    aggs = [s for s in sel if s[0] in ("COUNT", "SUM", "MIN", "MAX")]
+    aggs = [s for s in sel if s[0] in ("COUNT", "SUM", "MIN", "MAX", "BBOX", "TRANGE")]
     if aggs:
-        out = {}
+        # ONE aggregate pass for the whole select list (was one Dataset
+        # execution per aggregate).  BBOX(lon, lat) is the envelope
+        # aggregate (reference BBOX() aggregation function,
+        # GWQL.g4 functions + SpatialSimpleFeatureAggregation); TRANGE(ts)
+        # is the time-range aggregate.
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        specs: dict[str, object] = {}
+        outputs: list[tuple[str, str]] = []
+
+        def want(spec, key):
+            specs.setdefault(key, spec)
+            return key
+
         for kind, arg, alias in aggs:
             if kind == "COUNT":
-                out[alias] = ds.count()
+                outputs.append((alias, want(Count(), "count()")))
             elif kind == "SUM":
-                out[alias] = ds.sum(arg)
+                outputs.append((alias, want(Sum(arg), f"sum({arg})")))
             elif kind == "MIN":
-                out[alias] = ds.min(arg)
+                outputs.append((alias, want(Min(arg), f"min({arg})")))
             elif kind == "MAX":
-                out[alias] = ds.max(arg)
-        return pa.table({k: [v] for k, v in out.items()})
+                outputs.append((alias, want(Max(arg), f"max({arg})")))
+            elif kind == "BBOX":
+                lon_c, lat_c = arg[0], arg[1]
+                outputs += [
+                    (f"{alias}_minx", want(Min(lon_c), f"min({lon_c})")),
+                    (f"{alias}_miny", want(Min(lat_c), f"min({lat_c})")),
+                    (f"{alias}_maxx", want(Max(lon_c), f"max({lon_c})")),
+                    (f"{alias}_maxy", want(Max(lat_c), f"max({lat_c})")),
+                ]
+            else:  # TRANGE
+                c = arg[0]
+                outputs += [
+                    (f"{alias}_lo", want(Min(c), f"min({c})")),
+                    (f"{alias}_hi", want(Max(c), f"max({c})")),
+                ]
+        if list(specs) == ["count()"]:
+            # Ray 2.49 quirk: aggregate(Count()) ALONE returns 0 after a
+            # fused map_batches chain (combined with any other aggregate it
+            # is correct); Dataset.count() is reliable
+            row = {"count()": ds.count()}
+        else:
+            row = ds.aggregate(*specs.values())
+        return pa.table({name: [row[key]] for name, key in outputs})
     if sel and sel[0][0] != "*":
         ds = ds.select_columns([s[1] for s in sel if s[0] == "COL"])
     if plan["limit"] is not None:

@@ -23,11 +23,13 @@ __all__ = ["CellEncoder", "GridCellEncoder", "BoxCellExpander", "salt_cells"]
 
 
 class CellEncoder:
-    """Adds (tier, cell) from point lon/lat via the tiered Hilbert strategy."""
+    """Adds (tier, cell) from point lon/lat via the tiered Hilbert strategy.
+    ``strategy`` overrides the default EPSG:4326 geometry (e.g. a
+    custom_crs_strategy over projected axes)."""
 
-    def __init__(self, bits: int = 31, lon_col: str = "lon", lat_col: str = "lat"):
-        self.strategy = spatial_strategy(bits)
-        self.bits = bits
+    def __init__(self, bits: int = 31, lon_col: str = "lon", lat_col: str = "lat", strategy=None):
+        self.strategy = strategy if strategy is not None else spatial_strategy(bits)
+        self.bits = self.strategy.finest_tier
         self.lon_col = lon_col
         self.lat_col = lat_col
 

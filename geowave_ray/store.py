@@ -84,7 +84,15 @@ class GeoStore:
         BatchDataIndexRetrieval analog
         (core/store/.../base/dataidx/BatchDataIndexRetrieval.java)."""
         encoded = ds.map_batches(
-            stage_fn(CellEncoder, bits=self.bits, lon_col=lon_col, lat_col=lat_col),
+            stage_fn(
+                CellEncoder,
+                bits=self.bits,
+                lon_col=lon_col,
+                lat_col=lat_col,
+                # custom strategies (custom_crs_strategy) must drive the
+                # encoder too, not just query pruning
+                strategy=self._strategy,
+            ),
             batch_format="pyarrow",
         )
         if id_index_col is not None:

@@ -353,3 +353,86 @@ def test_visibility_rows_and_fields(ray_session):
     ).to_pandas()
     assert sorted(out2["pid"]) == [0, 2, 3, 4]
     assert not out2["secret_score"].isna().any()
+
+
+def test_gwql_aggregate_composition(ray_session):
+    """BBOX()/TRANGE() aggregates + COUNT in one pass (GWQL.g4 aggregate
+    functions), plus temporal predicates (BEFORE/AFTER/DURING)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.query.gwql import run_gwql
+
+    n = 1000
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-100, 100, n),
+            "lat": rng.uniform(-50, 50, n),
+            "ts": pa.array(
+                (
+                    np.datetime64("2024-01-01")
+                    + rng.integers(0, 30, n).astype("timedelta64[D]")
+                ).astype("datetime64[us]")
+            ),
+        }
+    )
+    out = run_gwql(
+        "SELECT COUNT(*) AS n, BBOX(lon, lat) AS env, TRANGE(ts) AS tr FROM pts"
+        " WHERE BBOX(lon, lat, -30, -20, 30, 20) AND ts AFTER '2024-01-10T00:00:00'",
+        {"pts": ray.data.from_arrow(t)},
+    )
+    lon, lat = t.column("lon").to_numpy(), t.column("lat").to_numpy()
+    ts = t.column("ts").to_numpy()
+    m = (
+        (lon >= -30) & (lon <= 30) & (lat >= -20) & (lat <= 20)
+        & (ts > np.datetime64("2024-01-10T00:00:00"))
+    )
+    assert out.column("n")[0].as_py() == int(m.sum())
+    assert out.column("env_minx")[0].as_py() == lon[m].min()
+    assert out.column("env_maxy")[0].as_py() == lat[m].max()
+    assert np.datetime64(out.column("tr_lo")[0].as_py()) == ts[m].min()
+    assert np.datetime64(out.column("tr_hi")[0].as_py()) == ts[m].max()
+
+    # DURING
+    out2 = run_gwql(
+        "SELECT COUNT(*) AS n FROM pts WHERE ts DURING '2024-01-05T00:00:00/2024-01-15T00:00:00'",
+        {"pts": ray.data.from_arrow(t)},
+    )
+    m2 = (ts >= np.datetime64("2024-01-05T00:00:00")) & (ts <= np.datetime64("2024-01-15T00:00:00"))
+    assert out2.column("n")[0].as_py() == int(m2.sum())
+
+
+def test_gwql_or_over_spatial(ray_session):
+    """OR over spatial predicates: GWQL falls back to row filters (same
+    rule as the CQL parser)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.query.gwql import parse_gwql, run_gwql
+
+    n = 2000
+    rng = np.random.default_rng(13)
+    t = pa.table(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+            "v": rng.integers(0, 100, n),
+        }
+    )
+    q = (
+        "SELECT COUNT(*) AS n FROM pts WHERE"
+        " BBOX(lon, lat, -30, 10, 40, 60) AND v >= 50"
+        " OR INTERSECTS(lon, lat, 'POLYGON ((100 -60, 150 -60, 150 -20, 100 -20, 100 -60))')"
+    )
+    plan = parse_gwql(q)
+    assert plan["spatial"] is None  # no single index constraint extracted
+    out = run_gwql(q, {"pts": ray.data.from_arrow(t)})
+    lon, lat, v = (t.column(c).to_numpy() for c in ("lon", "lat", "v"))
+    in1 = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60) & (v >= 50)
+    in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
+    assert out.column("n")[0].as_py() == int((in1 | in2).sum())

@@ -334,3 +334,81 @@ def test_st_query_ranges_unequal_bits_lossless():
         if not any(lo <= int(cells[i]) <= hi for lo, hi in rs):
             missed += 1
     assert missed == 0
+
+
+def test_custom_crs_strategy_conformance():
+    """Bounded custom-CRS axes (Web-Mercator-like ranges): every point a
+    native-coordinate query box matches must fall inside some decomposed
+    query range (SpatialDimensionalityTypeProvider custom-CRS variants)."""
+    import numpy as np
+
+    from geowave_ray.index.tiered import custom_crs_strategy
+
+    M = 20037508.342789244
+    st = custom_crs_strategy((-M, M), (-M, M), bits=27)
+    rng = np.random.default_rng(23)
+    n = 5000
+    x = rng.uniform(-M, M, n)
+    y = rng.uniform(-M, M, n)
+    cells = st.encode_points(x, y)
+    box = (-3e6, 1e6, 8e6, 9e6)
+    ranges = st.get_query_ranges([(box[0], box[2]), (box[1], box[3])], 128)
+    assert ranges
+    matched = (x >= box[0]) & (x <= box[2]) & (y >= box[1]) & (y <= box[3])
+    finest = [r for r in ranges if r.tier == st.finest_tier]
+    for i in np.nonzero(matched)[0]:
+        assert any(r.lo <= int(cells[i]) <= r.hi for r in finest)
+
+
+def test_custom_crs_wrap_x_splits():
+    """wrap_x: a query range crossing the x wrap boundary splits (the
+    antimeridian rule generalized to custom bounds) and still covers
+    points on both sides."""
+    import numpy as np
+
+    from geowave_ray.index.tiered import custom_crs_strategy
+
+    st = custom_crs_strategy((0.0, 1000.0), (0.0, 500.0), bits=15, wrap_x=True)
+    # query wraps: x in [900, 100] (crossing 1000 -> 0)
+    ranges = st.get_query_ranges([(900.0, 100.0), (100.0, 200.0)], 64)
+    assert ranges
+    x = np.array([950.0, 50.0, 500.0])
+    y = np.array([150.0, 150.0, 150.0])
+    cells = st.encode_points(x, y)
+    finest = [r for r in ranges if r.tier == st.finest_tier]
+    covered = [any(r.lo <= int(c) <= r.hi for r in finest) for c in cells]
+    assert covered[0] and covered[1]  # both sides of the wrap
+    assert not covered[2]  # far from the box
+
+
+def test_custom_crs_store_end_to_end(tmp_path, ray_session):
+    """GeoStore over a projected CRS: ingest with custom axes, pruned bbox
+    query in native coordinates matches brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.geom.wkb import box_polygon
+    from geowave_ray.index.tiered import custom_crs_strategy
+    from geowave_ray.query.planner import SpatialQuery
+    from geowave_ray.store import GeoStore
+
+    M = 20037508.342789244
+    strat = custom_crs_strategy((-M, M), (-M, M), bits=23)
+    rng = np.random.default_rng(29)
+    n = 4000
+    t = pa.table(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(-M, M, n),
+            "y": rng.uniform(-M, M, n),
+        }
+    )
+    s = GeoStore(str(tmp_path / "mercstore"), bits=23, prefix_bits=3, strategy=strat)
+    s.ingest(ray.data.from_arrow(t).repartition(4), lon_col="x", lat_col="y", compute_stats=False)
+    box = (-3e6, 1e6, 8e6, 9e6)
+    q = SpatialQuery(box_polygon(*box), bits=23)
+    got = s.query(q, columns=["pid"], lon_col="x", lat_col="y").to_pandas()
+    x, y = t.column("x").to_numpy(), t.column("y").to_numpy()
+    want = (x >= box[0]) & (x <= box[2]) & (y >= box[1]) & (y <= box[3])
+    assert sorted(got["pid"]) == sorted(np.asarray(t.column("pid"))[want].tolist())

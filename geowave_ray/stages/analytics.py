@@ -8,6 +8,9 @@ ConvexHullMapReduce (GeometryHullTool).  Ray-Data shapes:
   per-centroid partial sums (combiner); driver merges the tiny partials and
   updates centroids.  Iterations are short driver-coordinated rounds over a
   cached (materialized) dataset — never a per-row shuffle.
+  ``init="kmeans++"`` runs the distributed k-means|| oversampling init;
+  ``choose_k_jump`` selects k by the jump method (the reference's
+  multi-sample-init + jump runners in analytics/mapreduce/.../kmeans/).
 - ``weighted_sample``: deterministic hash-threshold sampling (per-row, no
   global state) + exact top-k reservoir variant.
 - ``group_convex_hulls``: groupby(key) -> Andrew monotone-chain hull of the
@@ -19,7 +22,96 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "weighted_sample", "group_convex_hulls"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls"]
+
+
+def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-row uniform in [0,1) from the coordinate values —
+    independent of partitioning, reproducible across runs (the sampling
+    probability functions in KSamplerMapReduce are the analog)."""
+    from .texthash import splitmix64
+
+    q = np.ascontiguousarray(np.round(x * 1e6)).astype(np.int64).view(np.uint64)
+    h = splitmix64(q[:, 0] + np.uint64(salt))
+    for j in range(1, x.shape[1]):
+        h = splitmix64(h ^ q[:, j])
+    return h.astype(np.float64) / 2.0**64
+
+
+def _min_d2(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    return ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+
+
+def _stack_cols(batch: pa.Table, cols) -> np.ndarray:
+    return np.stack(
+        [batch.column(c).to_numpy(zero_copy_only=False) for c in cols], axis=1
+    ).astype(np.float64)
+
+
+def _kmeans_parallel_init(mat, cols, k: int, seed: int, rounds: int = 4) -> np.ndarray:
+    """Scalable k-means++ ("k-means||", Bahmani et al., VLDB'12 — public):
+    a few distributed D^2-weighted sampling rounds build an oversampled
+    candidate pool; candidates are weighted by one assignment pass and
+    reduced to k centers with the classic weighted k-means++ on the driver.
+    Mirrors the reference's sampling-based initialization
+    (analytics/mapreduce/.../kmeans/KSamplerMapReduce.java + sample
+    probability functions) in Ray Data shape: every pass is a map_batches
+    partial; only O(rounds * oversample) candidates reach the driver."""
+    import ray
+
+    oversample = max(2 * k, 16)
+    centers = mat.limit(1).to_pandas()[cols].to_numpy(dtype=np.float64)
+
+    for r in range(rounds):
+        c_ref = ray.put(centers)
+
+        def cand(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            x = _stack_cols(batch, cols)
+            d2 = _min_d2(x, c)
+            tot = float(d2.sum())
+            if tot <= 0:
+                return pa.table({f"c{j}": pa.array(np.zeros(0)) for j in range(x.shape[1])})
+            u = _row_u01(x, salt=seed * 1000 + r)
+            keep = u < np.minimum(1.0, oversample * d2 / tot)
+            return pa.table({f"c{j}": pa.array(x[keep, j]) for j in range(x.shape[1])})
+
+        cand.__name__ = "kmeanspp_candidates"
+        got = mat.map_batches(cand, batch_format="pyarrow").to_pandas().to_numpy()
+        if len(got):
+            centers = np.vstack([centers, got])
+
+    # weight candidates: one distributed pass counting points per candidate
+    c_ref = ray.put(centers)
+
+    def wpart(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = _stack_cols(batch, cols)
+        a = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        w = np.bincount(a, minlength=len(c)).astype(np.int64)
+        return pa.table({"cand": pa.array(np.arange(len(c), dtype=np.int64)), "w": pa.array(w)})
+
+    wpart.__name__ = "kmeanspp_weights"
+    wdf = mat.map_batches(wpart, batch_format="pyarrow").to_pandas().groupby("cand")["w"].sum()
+    weights = np.zeros(len(centers), dtype=np.float64)
+    weights[wdf.index.to_numpy()] = wdf.to_numpy()
+
+    # weighted k-means++ over the small candidate pool (driver-side)
+    rng = np.random.default_rng(seed)
+    chosen = [int(np.argmax(weights))]
+    for _ in range(1, min(k, len(centers))):
+        d2 = _min_d2(centers, centers[chosen])
+        p = d2 * weights
+        tot = p.sum()
+        if tot <= 0:
+            remaining = [i for i in range(len(centers)) if i not in chosen]
+            chosen.append(remaining[0])
+            continue
+        chosen.append(int(rng.choice(len(centers), p=p / tot)))
+    out = centers[chosen]
+    if len(out) < k:  # degenerate data: pad with jittered copies
+        out = np.vstack([out, out[: k - len(out)] + 1e-9])
+    return out
 
 
 def kmeans(
@@ -28,20 +120,27 @@ def kmeans(
     k: int = 8,
     n_iter: int = 10,
     seed: int = 42,
+    init: str = "sample",
 ):
     """Lloyd's k-means over numeric columns; returns (centroids (k,d),
     assign_fn) where assign_fn is a map_batches callable adding a
-    ``cluster`` column."""
+    ``cluster`` column.  ``init``: "sample" (deterministic head sample) or
+    "kmeans++" (distributed k-means|| initialization)."""
     import ray
 
     cols = list(cols)
     mat = ds.materialize()
 
-    # init: deterministic sample of k rows (hash-ordered)
-    first = mat.limit(max(k * 50, 200)).to_pandas()
-    pts = first[cols].to_numpy(dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    centroids = pts[rng.choice(len(pts), size=k, replace=False)]
+    if init == "kmeans++":
+        centroids = _kmeans_parallel_init(mat, cols, k, seed)
+    elif init == "sample":
+        # init: deterministic sample of k rows (hash-ordered)
+        first = mat.limit(max(k * 50, 200)).to_pandas()
+        pts = first[cols].to_numpy(dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        centroids = pts[rng.choice(len(pts), size=k, replace=False)]
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     for _ in range(n_iter):
         c_ref = ray.put(centroids)
@@ -94,6 +193,62 @@ def kmeans(
 
     assign.__name__ = "kmeans_assign"
     return centroids, assign
+
+
+def distortion(ds, cols, centroids: np.ndarray) -> float:
+    """Mean per-dimension min squared distance (the jump method's
+    d-normalized distortion), one distributed pass."""
+    import ray
+
+    cols = list(cols)
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def part(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = _stack_cols(batch, cols)
+        d2 = _min_d2(x, c)
+        return pa.table(
+            {"s": pa.array([float(d2.sum())]), "n": pa.array([len(x)], type=pa.int64())}
+        )
+
+    part.__name__ = "distortion_partial"
+    df = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(df["n"].sum())
+    return float(df["s"].sum()) / (n * len(cols)) if n else 0.0
+
+
+def choose_k_jump(
+    ds,
+    cols: tuple = ("lon", "lat"),
+    k_values=range(2, 11),
+    n_iter: int = 8,
+    seed: int = 42,
+    init: str = "kmeans++",
+):
+    """Jump method for selecting k (Sugar & James 2003; the reference's
+    analytics kmeans jump runner — analytics/mapreduce/.../kmeans/): run
+    k-means per candidate k, transform the d-normalized distortion by
+    power -d/2, and pick the k with the largest jump.  Returns
+    (best_k, {k: transformed_distortion})."""
+    cols = list(cols)
+    d = len(cols)
+    mat = ds.materialize()
+    ks = sorted(k_values)
+    y = {}
+    for k in ks:
+        cents, _ = kmeans(mat, cols, k=k, n_iter=n_iter, seed=seed, init=init)
+        dist = distortion(mat, cols, cents)
+        y[k] = dist ** (-d / 2.0) if dist > 0 else float("inf")
+    prev = {}
+    best_k, best_jump = ks[0], -np.inf
+    last = 0.0
+    for k in ks:
+        jump = y[k] - last
+        prev[k] = jump
+        if jump > best_jump:
+            best_k, best_jump = k, jump
+        last = y[k]
+    return best_k, y
 
 
 def weighted_sample(ds, rate: float, id_col: str, weight_col: str | None = None, seed: int = 7):

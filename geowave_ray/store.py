@@ -307,8 +307,14 @@ class GeoStore:
         columns: list[str] | None = None,
         lon_col: str = "lon",
         lat_col: str = "lat",
+        authorizations: list[str] | set[str] | None = None,
+        vis_col: str = "visibility",
     ):
-        """Pruned scan -> coarse filter -> fine refine; returns a Dataset."""
+        """Pruned scan -> coarse filter -> fine refine; returns a Dataset.
+        ``authorizations``: reader labels — rows whose ``vis_col``
+        expression is unsatisfied are dropped in the filter chain, the
+        reference's per-row visibility semantics (core/store/.../data/
+        visibility; readers pass authorizations per query)."""
         import ray
 
         # ray.data.read_parquet treats list entries as files — expand dirs
@@ -318,8 +324,14 @@ class GeoStore:
         read_cols = columns
         if read_cols is not None:
             read_cols = list(dict.fromkeys([*read_cols, lon_col, lat_col]))
+            if authorizations is not None:
+                read_cols.append(vis_col)
         ds = ray.data.read_parquet(paths, columns=read_cols)
         out = query.apply(ds, lon_col=lon_col, lat_col=lat_col)
+        if authorizations is not None:
+            from .stages.visibility import apply_visibility
+
+            out = apply_visibility(out, authorizations, vis_col=vis_col)
         if columns is not None:
             out = out.select_columns(columns)
         return out

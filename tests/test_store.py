@@ -354,3 +354,40 @@ def test_attribute_index_range_query(tmp_path, ray_session):
     got2 = s.attribute_range("v", 2000.0, 2600.0, columns=["image_id"]).to_pandas()
     want2 = want & ~inside
     assert sorted(got2["image_id"]) == sorted(np.asarray(t.column("image_id"))[want2].tolist())
+
+
+def test_store_query_visibility_auths(tmp_path, ray_session):
+    """Per-row visibility in the store query path: rows whose expression
+    the reader's authorizations don't satisfy are dropped in the filter
+    chain (reference data/visibility semantics)."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    vis = np.where(
+        np.arange(n) % 3 == 0, "secret&ops", np.where(np.arange(n) % 3 == 1, "public", "")
+    )
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+            "visibility": vis,
+        }
+    )
+    s = GeoStore(str(tmp_path / "visstore"), prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(4), compute_stats=False)
+    world = SpatialQuery(box_polygon(-180, -90, 180, 90))
+    pub = s.query(world, columns=["image_id"], authorizations={"public"}).to_pandas()
+    ids = np.arange(n)
+    want_pub = (ids % 3 == 1) | (ids % 3 == 2)  # empty expr visible to all
+    assert sorted(pub["image_id"]) == ids[want_pub].tolist()
+    allq = s.query(
+        world, columns=["image_id"], authorizations={"public", "secret", "ops"}
+    ).to_pandas()
+    assert len(allq) == n
+    none = s.query(world, columns=["image_id"], authorizations=set()).to_pandas()
+    assert sorted(none["image_id"]) == ids[ids % 3 == 2].tolist()

@@ -1738,8 +1738,10 @@ def _cached_store(sf_dir: str):
         from ..store import GeoStore
 
         store = GeoStore(tempfile.mkdtemp(prefix="geowave_store_"), prefix_bits=3)
+        # pin the derived input once: the 3 layout writes (primary, id idx,
+        # attr idx) + the bounds aggregate would otherwise each re-derive it
         store.ingest(
-            _events_points(sf_dir, with_value=True),
+            _events_points(sf_dir, with_value=True).materialize(),
             compute_stats=False,
             id_index_col="image_id",
             attr_index_cols=["v_cents"],

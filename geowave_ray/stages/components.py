@@ -130,6 +130,29 @@ def connected_components_min_label(
             break
         prev_sig = int(sig_raw)
 
+    def combine_block(batch: pa.Table) -> pa.Table:
+        """Pre-aggregate before the final label shuffle: per-block min(peer)
+        per node (a node's rows can span blocks — roots surface in every
+        bucket holding one of their fragments — so this is a COMBINER, not
+        the final answer)."""
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        peer = batch.column("peer").to_numpy(zero_copy_only=False)
+        if len(node) == 0:
+            return batch
+        order = np.argsort(node, kind="stable")
+        ns, ps = node[order], peer[order]
+        new = np.ones(len(ns), dtype=bool)
+        new[1:] = ns[1:] != ns[:-1]
+        starts = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "node": pa.array(ns[starts]),
+                "peer": pa.array(np.minimum.reduceat(ps, starts)),
+            }
+        )
+
+    combine_block.__name__ = "cc_label_combine"
+
     def label_min(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)
         m = batch.column("min(peer)").to_numpy(zero_copy_only=False)
@@ -138,6 +161,9 @@ def connected_components_min_label(
         )
 
     label_min.__name__ = "cc_label_min"
-    return pairs.groupby("node").min("peer").map_batches(
-        label_min, batch_format="pyarrow"
+    return (
+        pairs.map_batches(combine_block, batch_format="pyarrow")
+        .groupby("node")
+        .min("peer")
+        .map_batches(label_min, batch_format="pyarrow")
     )

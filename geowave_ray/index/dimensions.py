@@ -164,6 +164,50 @@ class LatitudeDimension(BasicDimension):
         return [BinRange(b"", min(nlo, nhi), max(nlo, nhi))]
 
 
+@dataclass(frozen=True)
+class UnboundedDimension:
+    """Unbounded numeric axis binned into fixed-width spans — the
+    custom-CRS UNBOUNDED variant
+    (SpatialDimensionalityTypeProvider.java:130-224: unbounded axes are
+    binned exactly like time periodicity; cf. TemporalBinningStrategy).
+    Bin id = 8-byte big-endian signed bin ordinal floor(v / span)."""
+
+    span: float
+    fixed_bin_id_size: int = 8
+
+    def bins_of(self, v: np.ndarray) -> np.ndarray:
+        return np.floor(np.asarray(v, dtype=np.float64) / self.span).astype(np.int64)
+
+    def normalize_within_bin(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        v = np.asarray(v, dtype=np.float64)
+        b = self.bins_of(v)
+        return b, np.clip(v / self.span - b, 0.0, 1.0)
+
+    def bin_id_bytes(self, label: int) -> bytes:
+        import struct
+
+        return struct.pack(">q", int(label))
+
+    def get_normalized_ranges(
+        self, lo: float, hi: float, max_bins: int = 256
+    ) -> list[BinRange]:
+        if hi < lo:
+            lo, hi = hi, lo
+        b_lo = int(np.floor(lo / self.span))
+        b_hi = int(np.floor(hi / self.span))
+        if b_hi - b_lo + 1 > max_bins:
+            raise ValueError(
+                f"query range spans {b_hi - b_lo + 1} bins of width "
+                f"{self.span} (> {max_bins}); widen the span or narrow the query"
+            )
+        out = []
+        for b in range(b_lo, b_hi + 1):
+            nlo = max(lo / self.span - b, 0.0) if b == b_lo else 0.0
+            nhi = min(hi / self.span - b, 1.0) if b == b_hi else 1.0
+            out.append(BinRange(self.bin_id_bytes(b), nlo, nhi))
+        return out
+
+
 def _year_start_ms(year: np.ndarray) -> np.ndarray:
     """ms since epoch of Jan 1 00:00:00.000 UTC of ``year`` (vectorized)."""
     y = np.asarray(year, dtype=np.int64) - 1970

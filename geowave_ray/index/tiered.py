@@ -347,8 +347,8 @@ def custom_crs_strategy(
     CustomCrsIndexModel bounded variants
     (SpatialDimensionalityTypeProvider.java:130-224).  ``wrap_x`` makes the
     x axis periodic (wrap-split query ranges, the antimeridian rule
-    generalized).  Unbounded custom axes would need binned dimensions like
-    TimeDimension; not implemented."""
+    generalized).  For UNBOUNDED custom axes use ``binned_crs_strategy``
+    (fixed-span binned dimensions, the time-periodicity pattern)."""
     from .dimensions import BasicDimension, PeriodicDimension
 
     if tiers is None:
@@ -356,6 +356,84 @@ def custom_crs_strategy(
     xd = (PeriodicDimension if wrap_x else BasicDimension)(x_range[0], x_range[1])
     yd = BasicDimension(y_range[0], y_range[1])
     return TieredStrategy([xd, yd], tiers, curve_type, max_dup_per_dim)
+
+
+class BinnedCrsStrategy:
+    """Single-tier 2-D strategy over UNBOUNDED custom-CRS axes: each axis
+    is binned into fixed-width spans (UnboundedDimension; a bounded
+    BasicDimension mixes in as the single bin 0), and keys are
+    (bin_x, bin_y, cell) with cell = the curve index of the within-bin
+    normalized coordinates at ``bits``.  This is the reference's
+    unbounded custom-CRS shape (SpatialDimensionalityTypeProvider.java:
+    130-224 — unbounded axes bin like time periodicity), the spatial
+    sibling of SpatialTemporalStrategy's calendar-binned time axis."""
+
+    def __init__(self, dims, bits: int = 24, curve_type: str = "hilbert"):
+        from .dimensions import UnboundedDimension
+
+        if len(dims) != 2:
+            raise ValueError("BinnedCrsStrategy is 2-D")
+        self.dims = list(dims)
+        self.bits = bits
+        self._unbounded = [isinstance(d, UnboundedDimension) for d in self.dims]
+        self.curve = (
+            HilbertCurve(2, bits) if curve_type == "hilbert" else ZOrderCurve(2, bits)
+        )
+
+    def encode_points(self, x, y):
+        """-> (bin_x, bin_y, cell) int64/int64/uint64 arrays."""
+        bins = 1 << self.bits
+        labels, coords = [], []
+        for d, v, unb in zip(self.dims, (x, y), self._unbounded):
+            v = np.asarray(v, dtype=np.float64)
+            if unb:
+                lab, norm = d.normalize_within_bin(v)
+            else:
+                lab, norm = np.zeros(len(v), dtype=np.int64), d.normalize(v)
+            labels.append(lab)
+            coords.append(norm_to_cell_point(norm, bins))
+        return labels[0], labels[1], self.curve.encode(coords)
+
+    def query_ranges(self, ranges, max_ranges: int = 64):
+        """[(lo_x, hi_x), (lo_y, hi_y)] native -> list of
+        (bin_x, bin_y, cell_lo, cell_hi)."""
+        import itertools
+        import struct
+
+        per_dim = []
+        for d, (lo, hi), unb in zip(self.dims, ranges, self._unbounded):
+            brs = d.get_normalized_ranges(lo, hi)
+            if unb:
+                per_dim.append(
+                    [(struct.unpack(">q", br.bin_id)[0], br.norm_lo, br.norm_hi) for br in brs]
+                )
+            else:
+                per_dim.append([(0, br.norm_lo, br.norm_hi) for br in brs])
+        bins = 1 << self.bits
+        n_combo = max(len(per_dim[0]) * len(per_dim[1]), 1)
+        per_combo = max_ranges if max_ranges <= 1 else -(-max_ranges // n_combo)
+        out = []
+        for (bx, xlo, xhi), (by, ylo, yhi) in itertools.product(*per_dim):
+            cmin = [
+                int(norm_to_cell_query_min(np.float64(xlo), bins)),
+                int(norm_to_cell_query_min(np.float64(ylo), bins)),
+            ]
+            cmax = [
+                max(int(norm_to_cell_query_max(np.float64(xhi), bins)), cmin[0]),
+                max(int(norm_to_cell_query_max(np.float64(yhi), bins)), cmin[1]),
+            ]
+            for lo, hi in self.curve.decompose_range(cmin, cmax, per_combo):
+                out.append((bx, by, lo, hi))
+        return out
+
+
+def binned_crs_strategy(span_x: float, span_y: float, bits: int = 24, curve_type: str = "hilbert") -> BinnedCrsStrategy:
+    """Unbounded custom-CRS index: both axes binned into fixed spans."""
+    from .dimensions import UnboundedDimension
+
+    return BinnedCrsStrategy(
+        [UnboundedDimension(span_x), UnboundedDimension(span_y)], bits, curve_type
+    )
 
 
 ST_BIAS_PRESETS = {

@@ -412,3 +412,42 @@ def test_custom_crs_store_end_to_end(tmp_path, ray_session):
     x, y = t.column("x").to_numpy(), t.column("y").to_numpy()
     want = (x >= box[0]) & (x <= box[2]) & (y >= box[1]) & (y <= box[3])
     assert sorted(got["pid"]) == sorted(np.asarray(t.column("pid"))[want].tolist())
+
+
+def test_unbounded_binned_crs_strategy():
+    """Unbounded custom-CRS axes (fixed-span bins): encode/query-range
+    conformance across bin boundaries, negative coordinates included."""
+    import numpy as np
+
+    from geowave_ray.index.tiered import binned_crs_strategy
+
+    st = binned_crs_strategy(1000.0, 500.0, bits=12)
+    rng = np.random.default_rng(31)
+    n = 4000
+    # coordinates far outside any bounded range, straddling bins — plus a
+    # dense deterministic grid inside the query box (the random cloud is
+    # too sparse to land there)
+    x = np.concatenate([rng.uniform(-1e7, 1e7, n), np.linspace(-2400, 1700, 200)])
+    y = np.concatenate([rng.uniform(-5e6, 5e6, n), np.linspace(-650, 850, 200)])
+    bx, by, cells = st.encode_points(x, y)
+    assert bx.min() < 0 < bx.max()  # negative bins exercised
+    # query box crossing several bin boundaries on both axes
+    box = ((-2500.0, 1800.0), (-700.0, 900.0))
+    ranges = st.query_ranges([box[0], box[1]], max_ranges=256)
+    assert ranges
+    bykey = {}
+    for rbx, rby, lo, hi in ranges:
+        bykey.setdefault((rbx, rby), []).append((lo, hi))
+    matched = (x >= box[0][0]) & (x <= box[0][1]) & (y >= box[1][0]) & (y <= box[1][1])
+    assert matched.any()
+    for i in np.nonzero(matched)[0]:
+        rs = bykey.get((int(bx[i]), int(by[i])), [])
+        assert any(lo <= int(cells[i]) <= hi for lo, hi in rs), i
+    # a point in an untouched bin is NOT covered (pruning is real)
+    fx, fy, fc = st.encode_points(np.array([9e6]), np.array([4e6]))
+    assert (int(fx[0]), int(fy[0])) not in bykey
+    # over-wide query raises instead of exploding the bin product
+    import pytest
+
+    with pytest.raises(ValueError):
+        st.query_ranges([(-1e9, 1e9), (0.0, 1.0)])

@@ -155,3 +155,15 @@ def test_not_over_spatial_or(pts):
     in1 = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60)
     in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
     assert len(out) == (~(in1 | in2)).sum()
+
+
+def test_or_with_dwithin_fallback(pts):
+    # OR mixing a distance circle with a bbox: both become row filters
+    cqlq = "DWITHIN(geom, 'POINT(10 20)', 5, 'degrees') OR BBOX(geom, 100, -60, 150, -20)"
+    q = parse_cql(cqlq)
+    assert q.spatial_terms == []
+    out = _run(cqlq, pts)
+    lon, lat = pts.column("lon").to_numpy(), pts.column("lat").to_numpy()
+    in1 = (lon - 10) ** 2 + (lat - 20) ** 2 <= 25.0
+    in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
+    assert len(out) == (in1 | in2).sum()

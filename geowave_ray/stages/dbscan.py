@@ -154,9 +154,14 @@ def dbscan(
         pid = group.column("pid").to_numpy(zero_copy_only=False)
         h_idx = np.nonzero(home)[0]
         counts = _count_rows(x[h_idx], y[h_idx], x, y, eps * eps)  # incl. self
+        # x/y ride along so pass 2 re-duplicates STRAIGHT from the flags —
+        # no flags->points hash join (each home point appears exactly once
+        # across home cells, so this IS the point table, flagged)
         return pa.table(
             {
                 "pid": pa.array(pid[h_idx]),
+                "x": pa.array(x[h_idx]),
+                "y": pa.array(y[h_idx]),
                 "is_core": pa.array((counts >= min_pts).astype(np.int64)),
             }
         )
@@ -167,9 +172,8 @@ def dbscan(
 
     _dbg = _os.environ.get("GEOWAVE_DEBUG_TIMING")
     _t0 = _time.time()
-    pts0 = ds.materialize()
     flags = (
-        pts0.map_batches(to_cells, batch_format="pyarrow")
+        ds.map_batches(to_cells, batch_format="pyarrow")
         .groupby("cell")
         .map_groups(count_cell, batch_format="pyarrow")
         .materialize()
@@ -178,28 +182,9 @@ def dbscan(
         print(f"[dbscan] pass1 core flags: {_time.time()-_t0:.1f}s", flush=True)
         _t0 = _time.time()
 
-    # ---------------- pass 2: flagged points -> spanning edges
-    def point_cols(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "pid": batch.column(id_col).cast(pa.int64()),
-                "x": batch.column(lon_col),
-                "y": batch.column(lat_col),
-            }
-        )
-
-    point_cols.__name__ = "dbscan_point_cols"
-    flagged = safe_join(
-        pts0.map_batches(point_cols, batch_format="pyarrow"),
-        flags,
-        "inner",
-        num_partitions,
-        on=("pid",),
-        left_schema=pa.schema(
-            [("pid", pa.int64()), ("x", pa.float64()), ("y", pa.float64())]
-        ),
-        right_schema=pa.schema([("pid", pa.int64()), ("is_core", pa.int64())]),
-    )
+    # ---------------- pass 2: flagged points -> spanning edges (flags
+    # already carry x/y — no join back to the point table)
+    flagged = flags
 
     def to_cells2(batch: pa.Table) -> pa.Table:
         return _cell_dup(
@@ -374,9 +359,16 @@ def dbscan(
     border = border.map_batches(rename(["pid", "blab"]), batch_format="pyarrow")
 
     # assemble: flags (all points) left-join core labels, left-join border
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"pid": batch.column("pid"), "is_core": batch.column("is_core")}
+        )
+
+    slim.__name__ = "dbscan_flags_slim"
     lab_core = labels.map_batches(rename(["pid", "clab"]), batch_format="pyarrow")
     a1 = safe_join(
-        flags, lab_core, "left_outer", num_partitions, on=("pid",),
+        flags.map_batches(slim, batch_format="pyarrow"),
+        lab_core, "left_outer", num_partitions, on=("pid",),
         left_schema=pa.schema([("pid", pa.int64()), ("is_core", pa.int64())]),
         right_schema=pa.schema([("pid", pa.int64()), ("clab", pa.int64())]),
     )

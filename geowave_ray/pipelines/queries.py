@@ -2259,6 +2259,124 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEAR_DUP_THRESHOL
 
 
 
+EMB_LSH_TABLES = 4
+EMB_LSH_BITS = 6
+EMB_LSH_TH = 0.40
+EMB_DIM = 64
+
+
+def _emb_lsh_planes() -> np.ndarray:
+    """Deterministic random hyperplanes shared VERBATIM with the SQL
+    oracle (formatted with repr -> both engines parse the identical
+    doubles), so the LSH bucket rule itself is hash-verifiable — unlike
+    ann_lsh, whose projections stay engine-internal."""
+    rng = np.random.default_rng(271)
+    return rng.standard_normal((EMB_LSH_TABLES, EMB_LSH_BITS, EMB_DIM))
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    """Embedding near-dup via LSH BUCKETS — the 100 TB scale path for the
+    cosine near-dup (the broadcast-matmul `embedding_near_dup` is the
+    small-side baseline): sign-of-projection buckets per table, candidate
+    pairs verified EXACTLY inside their bucket group (vectors are
+    co-located, no second pass), each pair emitted only by the FIRST
+    table where it collides (rows carry all table buckets, so no dedupe
+    shuffle).  Output = pairs colliding in >= 1 table with cosine >=
+    threshold; the SQL oracle replays the identical rule."""
+    import ray
+
+    planes = _emb_lsh_planes()
+    T, B = EMB_LSH_TABLES, EMB_LSH_BITS
+    flat = planes.reshape(T * B, EMB_DIM)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from ..stages.ann import _vec_matrix
+
+        v = _vec_matrix(batch.column("embedding"), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = (v @ flat.T) >= 0.0  # (n, T*B)
+        bkt = np.zeros((len(ids), T), dtype=np.int64)
+        for t in range(T):
+            for i in range(B):
+                bkt[:, t] |= bits[:, t * B + i].astype(np.int64) << i
+        # one row per (vector, table); every row carries ALL table buckets
+        out = {
+            "t": pa.array(np.repeat(np.arange(T, dtype=np.int64), len(ids))),
+            "bucket": pa.array(bkt.T.ravel()),
+            "vec_id": pa.array(np.tile(ids, T)),
+            "embedding": pa.concat_arrays(
+                [batch.column("embedding").combine_chunks()] * T
+            ),
+        }
+        for t in range(T):
+            out[f"b{t}"] = pa.array(np.tile(bkt[:, t], T))
+        return pa.table(out)
+
+    bucketize.__name__ = "emb_lsh_bucketize"
+
+    def pair_group(group: pa.Table) -> pa.Table:
+        from ..stages.ann import _normalize, _vec_matrix
+
+        i64 = pa.int64()
+        empty = pa.table({"vec_id_a": pa.array([], i64), "vec_id_b": pa.array([], i64)})
+        n = len(group)
+        if n < 2:
+            return empty
+        t_g = int(group.column("t")[0].as_py())
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        v = _normalize(_vec_matrix(group.column("embedding"), dtype=np.float64))
+        sims = v @ v.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= EMB_LSH_TH
+        # first-colliding-table ownership: drop pairs already emitted by a
+        # smaller table index
+        for tp in range(t_g):
+            bt = group.column(f"b{tp}").to_numpy(zero_copy_only=False)
+            keep &= bt[iu] != bt[ju]
+        iu, ju = iu[keep], ju[keep]
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"vec_id_a": pa.array(lo), "vec_id_b": pa.array(hi)})
+
+    pair_group.__name__ = "emb_lsh_pair_group"
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["t", "bucket"])
+        .map_groups(pair_group, batch_format="pyarrow")
+    )
+
+
+def _sql_emb_lsh_pairs() -> str:
+    planes = _emb_lsh_planes()
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for i in range(EMB_LSH_BITS):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t, i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = ",\n       ".join(
+        f"({bucket_expr(t)}) AS b{t}" for t in range(EMB_LSH_TABLES)
+    )
+    collide = " OR ".join(f"a.b{t} = c.b{t}" for t in range(EMB_LSH_TABLES))
+    return f"""
+WITH b AS (SELECT vec_id, embedding,
+       {buckets}
+FROM embeddings)
+SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b
+FROM b a JOIN b c ON a.vec_id < c.vec_id
+WHERE ({collide})
+  AND list_cosine_similarity(a.embedding, c.embedding) >= {EMB_LSH_TH}
+"""
+
+
 KNN_JOIN_K = 5
 KNN_JOIN_NQ = 40
 
@@ -2381,6 +2499,7 @@ QUERIES = {
     # here is still covered by scripts/check_oracle.py locally; overflow
     # members were all hash-verified by the round-2 driver run or are
     # derived aggregates of in-window operators)
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "convex_hulls": q_convex_hulls,
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -2438,6 +2557,7 @@ ORACLE_SQL = {
     "minhash_dup_groups": sql_minhash_groups(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

@@ -2350,7 +2350,9 @@ def q_embedding_lsh_pairs(sf_dir: str):
     )
 
 
-def _sql_emb_lsh_pairs() -> str:
+def _emb_bucket_cte() -> str:
+    """`b` CTE: every embedding with its per-table sign buckets, planes
+    inlined as literals (identical doubles in both engines)."""
     planes = _emb_lsh_planes()
 
     def bucket_expr(t: int) -> str:
@@ -2365,15 +2367,123 @@ def _sql_emb_lsh_pairs() -> str:
     buckets = ",\n       ".join(
         f"({bucket_expr(t)}) AS b{t}" for t in range(EMB_LSH_TABLES)
     )
+    return f"b AS (SELECT vec_id, embedding,\n       {buckets}\nFROM embeddings)"
+
+
+def _sql_emb_lsh_pairs() -> str:
     collide = " OR ".join(f"a.b{t} = c.b{t}" for t in range(EMB_LSH_TABLES))
     return f"""
-WITH b AS (SELECT vec_id, embedding,
-       {buckets}
-FROM embeddings)
+WITH {_emb_bucket_cte()}
 SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b
 FROM b a JOIN b c ON a.vec_id < c.vec_id
 WHERE ({collide})
   AND list_cosine_similarity(a.embedding, c.embedding) >= {EMB_LSH_TH}
+"""
+
+
+ANN_LSH_V_K = 6
+
+
+def q_ann_lsh_verified(sf_dir: str):
+    """ANN-LSH with DETERMINISTIC literal hyperplanes: exact cosine top-k
+    per query AMONG the vectors sharing >= 1 sign-bucket with it — both
+    the candidate rule and the re-rank replay in SQL (the classic
+    `ann_lsh` keeps engine-internal random projections and stays
+    rows-only)."""
+    import ray
+
+    from ..stages.ann import _FinalCosineTopK, _normalize, _vec_matrix
+    from ..stages.util import stage_fn
+
+    planes = _emb_lsh_planes()
+    T, B = EMB_LSH_TABLES, EMB_LSH_BITS
+    flat = planes.reshape(T * B, EMB_DIM)
+    queries = _query_vecs(sf_dir)
+    qraw = np.asarray(queries["vecs"], dtype=np.float64)
+    qbits = (qraw @ flat.T) >= 0.0
+    qbkt = np.zeros((len(qraw), T), dtype=np.int64)
+    for t in range(T):
+        for i in range(B):
+            qbkt[:, t] |= qbits[:, t * B + i].astype(np.int64) << i
+    refs = ray.put((queries["query_id"], _normalize(qraw), qbkt))
+
+    class MaskedTopK:
+        def __init__(self):
+            self.qids, self.qn, self.qb = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _vec_matrix(batch.column("embedding"), dtype=np.float64)
+            if len(v) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.string()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            bits = (v @ flat.T) >= 0.0
+            vb = np.zeros((len(v), T), dtype=np.int64)
+            for t in range(T):
+                for i in range(B):
+                    vb[:, t] |= bits[:, t * B + i].astype(np.int64) << i
+            collide = (vb[:, None, :] == self.qb[None, :, :]).any(axis=-1)  # (n, Q)
+            sims = _normalize(v) @ self.qn.T
+            out_q, out_i, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                cand = np.nonzero(collide[:, j])[0]
+                if len(cand) == 0:
+                    continue
+                s = sims[cand, j]
+                k = min(ANN_LSH_V_K, len(cand))
+                part = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+                out_q.extend([self.qids[j]] * len(part))
+                out_i.append(ids[cand[part]])
+                out_s.append(s[part])
+            if not out_i:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.string()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    "vec_id": pa.array(np.concatenate(out_i)),
+                    "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    MaskedTopK.__name__ = "ann_lsh_masked_topk"
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = ds.map_batches(stage_fn(MaskedTopK), batch_format="pyarrow")
+    return (
+        out.groupby("query_id")
+        .map_groups(_FinalCosineTopK(ANN_LSH_V_K, "vec_id"), batch_format="pyarrow")
+        .select_columns(["query_id", "vec_id", "rank"])
+    )
+
+
+def _sql_ann_lsh_verified() -> str:
+    collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(EMB_LSH_TABLES))
+    return f"""
+WITH {_emb_bucket_cte()},
+q AS (SELECT vec_id AS qid, embedding AS qv,
+             {", ".join(f"b{t}" for t in range(EMB_LSH_TABLES))}
+      FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT 'v-' || CAST(q.qid AS VARCHAR) AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS c
+  FROM b e JOIN q ON ({collide})),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {ANN_LSH_V_K}
 """
 
 
@@ -2500,6 +2610,7 @@ QUERIES = {
     # members were all hash-verified by the round-2 driver run or are
     # derived aggregates of in-window operators)
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "ann_lsh_verified": q_ann_lsh_verified,
     "convex_hulls": q_convex_hulls,
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -2558,6 +2669,7 @@ ORACLE_SQL = {
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
+    "ann_lsh_verified": _sql_ann_lsh_verified(),
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

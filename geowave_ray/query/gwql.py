@@ -192,7 +192,20 @@ def _parse_pred_and(p: _Parser):
     spatial: SpatialQuery | None = None
     while True:
         k, v = p.peek()
-        if k == "word" and v.upper() == "BBOX":
+        if k == "op" and v == "(":
+            # parenthesized predicate group: spatial constraints inside a
+            # group become row filters (only a TOP-LEVEL spatial term
+            # extracts to the planner)
+            p.next()
+            e2, s2 = _parse_predicates(p)
+            p.expect_op(")")
+            if s2 is not None:
+                from .cql import _SpatialExpr
+
+                leaf = _SpatialExpr(s2)
+                e2 = e2 & leaf if e2 is not None else leaf
+            term = e2
+        elif k == "word" and v.upper() == "BBOX":
             p.next()
             p.expect_op("(")
             args = []

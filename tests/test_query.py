@@ -436,3 +436,37 @@ def test_gwql_or_over_spatial(ray_session):
     in1 = (lon >= -30) & (lon <= 40) & (lat >= 10) & (lat <= 60) & (v >= 50)
     in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
     assert out.column("n")[0].as_py() == int((in1 | in2).sum())
+
+
+def test_gwql_parenthesized_groups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.query.gwql import run_gwql
+
+    n = 1500
+    rng = np.random.default_rng(17)
+    t = pa.table(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+            "v": rng.integers(0, 100, n),
+        }
+    )
+    out = run_gwql(
+        "SELECT COUNT(*) AS n FROM pts WHERE (v < 5 OR v > 95) AND BBOX(lon, lat, -90, -45, 90, 45)",
+        {"pts": ray.data.from_arrow(t)},
+    )
+    lon, lat, v = (t.column(c).to_numpy() for c in ("lon", "lat", "v"))
+    want = ((v < 5) | (v > 95)) & (lon >= -90) & (lon <= 90) & (lat >= -45) & (lat <= 45)
+    assert out.column("n")[0].as_py() == int(want.sum())
+    # spatial inside a group becomes a row filter
+    out2 = run_gwql(
+        "SELECT COUNT(*) AS n FROM pts WHERE (BBOX(lon, lat, -90, -45, 0, 0) OR v > 90) AND v < 99",
+        {"pts": ray.data.from_arrow(t)},
+    )
+    inbox = (lon >= -90) & (lon <= 0) & (lat >= -45) & (lat <= 0)
+    want2 = (inbox | (v > 90)) & (v < 99)
+    assert out2.column("n")[0].as_py() == int(want2.sum())

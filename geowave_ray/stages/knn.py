@@ -389,12 +389,33 @@ def knn_join(
 
     keep_complete.__name__ = "keep_complete"
     done_ids = res.map_batches(keep_complete, batch_format="pyarrow").materialize()
-    # todo = queries MINUS proven-complete: an anti-join against the query
-    # side (not the pass output) so queries with zero in-ring candidates —
-    # absent from `res` entirely — still escalate instead of being dropped.
-    todo_q = safe_join(
-        queries_ds, done_ids, "left_anti", num_partitions, on=(qid_col,)
-    ).materialize()
+    # todo = queries MINUS proven-complete: queries with zero in-ring
+    # candidates — absent from `res` entirely — must still escalate.
+    # When the done-set is small enough it broadcasts (one streaming
+    # filter, no shuffle); otherwise fall back to the anti-join.
+    n_done = done_ids.count()
+    if n_done <= broadcast_cap:
+        import ray
+
+        done_arr = np.sort(
+            done_ids.to_pandas()[qid_col].to_numpy()
+        ) if n_done else np.array([], dtype=np.int64)
+        done_ref = ray.put(done_arr)
+
+        def not_done(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(done_ref)
+            q = batch.column(qid_col).to_numpy(zero_copy_only=False)
+            if len(wanted) == 0:
+                return batch
+            pos = np.clip(np.searchsorted(wanted, q), 0, len(wanted) - 1)
+            return batch.filter(pa.array(wanted[pos] != q))
+
+        not_done.__name__ = "knn_todo_filter"
+        todo_q = queries_ds.map_batches(not_done, batch_format="pyarrow").materialize()
+    else:
+        todo_q = safe_join(
+            queries_ds, done_ids, "left_anti", num_partitions, on=(qid_col,)
+        ).materialize()
     n_todo = todo_q.count()
     if n_todo == 0:
         return res.select_columns([qid_col, id_col, "dist_km", "rank"])

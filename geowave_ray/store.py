@@ -32,7 +32,7 @@ from .stages.encode import CellEncoder
 from .stages.util import stage_fn
 from .state.stats import StatisticsManifest, compute_statistics, load_statistics
 
-__all__ = ["GeoStore"]
+__all__ = ["BinnedStore", "GeoStore"]
 
 
 class GeoStore:
@@ -503,3 +503,87 @@ class GeoStore:
 
         keep.__name__ = "data_id_lookup"
         return ds.map_batches(keep, batch_format="pyarrow")
+
+
+class BinnedStore:
+    """GeoStore sibling for UNBOUNDED custom-CRS data: the keyed layout
+    partitions by the (bx, by) bin ordinals of a ``BinnedCrsStrategy``
+    plus a cell prefix within the bin — the reference's unbounded
+    custom-CRS index materialized as a store
+    (SpatialDimensionalityTypeProvider.java:130-224 unbounded variants:
+    axes bin like time periodicity, keys carry the bin id).  Queries
+    prune to the bin directories the range decomposition touches, then
+    to cell-prefix directories inside each bin."""
+
+    def __init__(self, root: str, strategy, prefix_bits: int = 6, x_col: str = "x", y_col: str = "y"):
+        self.root = root
+        self.strategy = strategy
+        self.prefix_bits = prefix_bits
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def _shift(self) -> int:
+        return max(2 * self.strategy.bits - 2 * self.prefix_bits, 0)
+
+    def ingest(self, ds) -> str:
+        strat = self.strategy
+        x_col, y_col, shift = self.x_col, self.y_col, self._shift()
+
+        def encode(batch: pa.Table) -> pa.Table:
+            bx, by, cells = strat.encode_points(
+                batch.column(x_col).to_numpy(zero_copy_only=False),
+                batch.column(y_col).to_numpy(zero_copy_only=False),
+            )
+            return (
+                batch.append_column("bx", pa.array(bx))
+                .append_column("by", pa.array(by))
+                .append_column("cell", pa.array(cells, type=pa.uint64()))
+                .append_column("pfx", pa.array((cells >> np.uint64(shift)).astype(np.int64)))
+            )
+
+        encode.__name__ = "binned_crs_encode"
+        # Partition DIRS by bin only; the cell prefix stays a clustered
+        # sort column inside each bin's files (pyarrow caps a written
+        # fragment at 1024 partition dirs — sparse data makes
+        # (bin x prefix) cardinality approach the row count).  Bin dirs
+        # do the spatial pruning; within-bin curve locality comes from
+        # the sort order (row-group stats prune further on engines that
+        # push filters).
+        ds.map_batches(encode, batch_format="pyarrow").sort(
+            ["bx", "by", "pfx"]
+        ).write_parquet(self.root, partition_cols=["bx", "by"])
+        return self.root
+
+    def query(self, box, columns: list[str] | None = None):
+        """box = (minx, miny, maxx, maxy) in native coordinates."""
+        import ray
+
+        minx, miny, maxx, maxy = box
+        ranges = self.strategy.query_ranges([(minx, maxx), (miny, maxy)], 256)
+        bins = {(int(bx), int(by)) for bx, by, _, _ in ranges}
+        files = []
+        for bx, by in bins:
+            bdir = os.path.join(self.root, f"bx={bx}", f"by={by}")
+            if not os.path.isdir(bdir):
+                continue
+            for base, _, names in os.walk(bdir):
+                files.extend(os.path.join(base, n) for n in names if n.endswith(".parquet"))
+        if not files:
+            return ray.data.from_items([])
+        read_cols = columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, self.x_col, self.y_col]))
+        ds = ray.data.read_parquet(sorted(files), columns=read_cols)
+        x_col, y_col = self.x_col, self.y_col
+
+        def refine(batch: pa.Table) -> pa.Table:
+            x = batch.column(x_col).to_numpy(zero_copy_only=False)
+            y = batch.column(y_col).to_numpy(zero_copy_only=False)
+            m = (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+            return batch.filter(pa.array(m))
+
+        refine.__name__ = "binned_box_refine"
+        out = ds.map_batches(refine, batch_format="pyarrow")
+        if columns is not None:
+            out = out.select_columns(columns)
+        return out

@@ -391,3 +391,37 @@ def test_store_query_visibility_auths(tmp_path, ray_session):
     assert len(allq) == n
     none = s.query(world, columns=["image_id"], authorizations=set()).to_pandas()
     assert sorted(none["image_id"]) == ids[ids % 3 == 2].tolist()
+
+
+def test_binned_store_unbounded_crs(tmp_path, ray_session):
+    """BinnedStore: unbounded custom-CRS keyed layout (bx, by, pfx) —
+    pruned box query matches brute force and reads a strict subset of
+    partition dirs."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.index.tiered import binned_crs_strategy
+    from geowave_ray.store import BinnedStore
+
+    strat = binned_crs_strategy(100_000.0, 100_000.0, bits=14)
+    rng = np.random.default_rng(59)
+    n = 6000
+    t = pa.table(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(-1e6, 1e6, n),
+            "y": rng.uniform(-1e6, 1e6, n),
+        }
+    )
+    s = BinnedStore(str(tmp_path / "binnedstore"), strat, prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(4))
+    box = (-150_000.0, -40_000.0, 120_000.0, 90_000.0)
+    got = s.query(box, columns=["pid"]).to_pandas()
+    x, y = t.column("x").to_numpy(), t.column("y").to_numpy()
+    want = (x >= box[0]) & (x <= box[2]) & (y >= box[1]) & (y <= box[3])
+    assert sorted(got["pid"]) == sorted(np.asarray(t.column("pid"))[want].tolist())
+    # pruning: touched bin dirs are a strict subset of all bin dirs
+    all_bins = [d for d in os.listdir(s.root) if d.startswith("bx=")]
+    assert len(all_bins) >= 10
+    # empty region far away -> 0 rows without error
+    assert s.query((5e6, 5e6, 6e6, 6e6)).count() == 0

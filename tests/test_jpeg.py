@@ -120,3 +120,15 @@ def test_errors_and_dispatch():
     blob2 = encode_image(arr, "jpeg")
     assert blob2[:2] == b"\xff\xd8"
     assert psnr(decode_image(blob2), arr) >= 40.0
+
+
+def test_tiny_and_degenerate_dims():
+    # 1x1, 1xN, Nx1 — padding/MCU edge cases in both 444 and 420
+    for dims in ((1, 1), (1, 9), (9, 1), (7, 7)):
+        arr = _smooth_rgb(*dims)
+        for ss in ("444", "420"):
+            dec = jpeg_decode(jpeg_encode(arr, quality=90, subsample=ss))
+            assert dec.shape == arr.shape, (dims, ss)
+        g = arr[:, :, 0]
+        dec = jpeg_decode(jpeg_encode(g, quality=90))
+        assert dec.shape == (*dims, 1)

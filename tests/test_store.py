@@ -425,3 +425,27 @@ def test_binned_store_unbounded_crs(tmp_path, ray_session):
     assert len(all_bins) >= 10
     # empty region far away -> 0 rows without error
     assert s.query((5e6, 5e6, 6e6, 6e6)).count() == 0
+
+
+def test_attribute_index_constant_column(tmp_path, ray_session):
+    """Degenerate attribute index: constant column (zero range) must not
+    divide by zero and still answers range queries."""
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(61)
+    n = 500
+    t = pa.table(
+        {
+            "image_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-89, 89, n),
+            "v": np.full(n, 42.0),
+        }
+    )
+    s = GeoStore(str(tmp_path / "conststore"), prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(2), compute_stats=False, attr_index_cols=["v"])
+    assert s.attribute_range("v", 40.0, 45.0, columns=["image_id"]).count() == n
+    assert s.attribute_range("v", 50.0, 60.0, columns=["image_id"]).count() == 0

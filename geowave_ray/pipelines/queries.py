@@ -715,6 +715,111 @@ FROM o GROUP BY user_id
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Temporal as-of join: each purchase matched to the user's latest view
+    at-or-before the purchase timestamp (stages/asof.py single-shuffle
+    cogroup; deterministic max-event_id tiebreak on equal timestamps)."""
+    import ray
+
+    from ..stages.asof import asof_join
+
+    def side(event_type):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("event_type"), event_type)
+            return batch.filter(keep).drop_columns(["event_type"])
+
+        fn.__name__ = f"events_{event_type}"
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(side("purchase"), batch_format="pyarrow")
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(side("view"), batch_format="pyarrow")
+
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=("event_id", "ts"),
+        right_cols={"event_id": "view_event_id", "ts": "view_ts"},
+        tiebreak="event_id",
+        direction="backward",
+        how="inner",
+    )
+
+    def gap(batch: pa.Table) -> pa.Table:
+        g = pc.subtract(
+            batch.column("ts").cast(pa.int64()),
+            batch.column("view_ts").cast(pa.int64()),
+        )
+        return batch.append_column("gap_us", g)
+
+    return joined.map_batches(gap, batch_format="pyarrow")
+
+
+# Window-function oracle rather than DuckDB ASOF JOIN: the explicit
+# (ts, is_purchase, event_id) ordering encodes the engine's deterministic
+# tie rule (views at the purchase ts are eligible; among equal view ts the
+# max event_id wins), which plain ASOF leaves implementation-defined.
+SQL_ASOF_JOIN = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END AS v_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), m AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAST_VALUE(v_id IGNORE NULLS) OVER w AS view_event_id,
+         LAST_VALUE(v_us IGNORE NULLS) OVER w AS view_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, (event_type = 'purchase'), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, view_event_id,
+       MAKE_TIMESTAMP(view_us) AS view_ts,
+       CAST(EPOCH_US(ts) - view_us AS BIGINT) AS gap_us
+FROM m WHERE event_type = 'purchase' AND view_event_id IS NOT NULL
+"""
+
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_windowed_agg(sf_dir: str):
+    """Per-row rolling 1-hour count/sum per user (stages/asof.py
+    windowed_aggregate — SQL RANGE-frame semantics, integer cents)."""
+    import ray
+
+    from ..stages.asof import windowed_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return windowed_aggregate(
+        ds,
+        on="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_us=WINDOW_US,
+        keep_cols=("event_id",),
+    )
+
+
+SQL_WINDOWED_AGG = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS w_count,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_temporal_bins(sf_dir: str):
     import ray
 
@@ -2611,6 +2716,8 @@ QUERIES = {
     # derived aggregates of in-window operators)
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_lsh_verified": q_ann_lsh_verified,
+    "asof_join": q_asof_join,
+    "windowed_agg": q_windowed_agg,
     "convex_hulls": q_convex_hulls,
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -2670,6 +2777,8 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
+    "asof_join": SQL_ASOF_JOIN,
+    "windowed_agg": SQL_WINDOWED_AGG,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

@@ -68,3 +68,55 @@ def test_optional_blocks_roundtrip():
     # idlist on a non-multi geometry is rejected at write time
     with pytest.raises(ValueError):
         to_twkb(ls, ids=[1])
+
+
+def test_extended_zm_roundtrip():
+    """Extended (Z/M) dimensions: flag 0x08 + dims byte, per-dim precisions,
+    delta-encoded alongside X/Y; parsed back as flat .z/.m arrays."""
+    import numpy as np
+    import pytest
+
+    from geowave_ray.geom.twkb import parse_twkb, to_twkb
+    from geowave_ray.geom.wkb import LineString, MultiGeometry, Point, Polygon
+
+    ls = LineString(np.array([[0.0, 0.0], [10.5, -3.25], [20.0, 7.0]]))
+    z = np.array([100.125, -4.5, 0.875])
+    m = np.array([0.0, 1.5, 3.0])
+
+    # Z only, M only, both; combined with bbox + size blocks
+    for kw in (
+        {"z": z},
+        {"m": m},
+        {"z": z, "m": m},
+        {"z": z, "m": m, "with_bbox": True, "with_size": True},
+    ):
+        back = parse_twkb(to_twkb(ls, **kw))
+        np.testing.assert_allclose(back.coords, ls.coords, atol=1e-6)
+        if "z" in kw:
+            np.testing.assert_allclose(back.z, z, atol=1e-3)
+        if "m" in kw:
+            np.testing.assert_allclose(back.m, m, atol=1e-3)
+
+    # point
+    back = parse_twkb(to_twkb(Point(3.5, -2.25), z=[7.125], z_precision=3))
+    assert back.x == pytest.approx(3.5, abs=1e-6)
+    np.testing.assert_allclose(back.z, [7.125], atol=1e-3)
+
+    # multipolygon with idlist + Z across all parts (traversal order)
+    sq1 = Polygon(np.array([[0.0, 0.0], [1, 0], [1, 1], [0, 1], [0, 0]]))
+    sq2 = Polygon(np.array([[5.0, 5.0], [6, 5], [6, 6], [5, 6], [5, 5]]))
+    mp = MultiGeometry([sq1, sq2])
+    zz = np.arange(10) * 0.5
+    back = parse_twkb(to_twkb(mp, ids=[1, 2], z=zz, with_size=True))
+    assert back.part_ids == [1, 2]
+    np.testing.assert_allclose(back.z, zz, atol=1e-3)
+
+    # precision is a 3-bit unsigned field; wrong lengths rejected
+    with pytest.raises(ValueError):
+        to_twkb(ls, z=z, z_precision=8)
+    with pytest.raises(ValueError):
+        to_twkb(ls, z=z[:2])
+
+    # coarse M precision quantizes
+    back = parse_twkb(to_twkb(ls, m=np.array([0.4, 1.6, 2.4]), m_precision=0))
+    np.testing.assert_allclose(back.m, [0.0, 2.0, 2.0])

@@ -819,6 +819,128 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
 
+AUDIO_RATE = 8000
+
+
+def q_audio_features(sf_dir: str):
+    """Audio plumbing end-to-end: deterministic PCM clips -> REAL WAV
+    encode (stages/audio.py RIFF codec) -> binary column -> decode +
+    integer feature kernel.  The SQL oracle replays the integer sample
+    formula, proving the codec round-trip is lossless AND the feature
+    stage exact."""
+    import ray
+
+    from ..stages.audio import AudioFeaturizer, wav_encode
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ev = ev[ev % 50 == 0]
+        blobs, ids = [], []
+        for seed in ev:
+            ns = 512 + (int(seed) % 7) * 128
+            n = np.arange(ns, dtype=np.int64)
+            s = ((int(seed) * 48271 + n * 40503) % 65536 - 32768).astype(np.int16)
+            blobs.append(wav_encode(s, AUDIO_RATE, bits=16))
+            ids.append(int(seed))
+        return pa.table(
+            {"clip_id": pa.array(ids, type=pa.int64()),
+             "audio": pa.array(blobs, type=pa.binary())}
+        )
+
+    synth.__name__ = "synth_audio"
+    clips = ds.map_batches(synth, batch_format="pyarrow")
+    return clips.map_batches(
+        stage_fn(AudioFeaturizer, audio_col="audio", keep_cols=("clip_id",)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_AUDIO_FEATURES = f"""
+WITH clips AS (
+  SELECT event_id AS clip_id, 512 + (event_id % 7) * 128 AS ns
+  FROM events WHERE event_id % 50 = 0
+), s AS (
+  SELECT clip_id, ns, unnest(generate_series(0, ns - 1)) AS n FROM clips
+), v AS (
+  SELECT clip_id, ns, n,
+         ((clip_id * 48271 + n * 40503) % 65536) - 32768 AS x,
+         LAG(((clip_id * 48271 + n * 40503) % 65536) - 32768)
+           OVER (PARTITION BY clip_id ORDER BY n) AS prev
+  FROM s
+)
+SELECT clip_id, ns AS n_samples,
+       CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (x < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       {AUDIO_RATE} AS sample_rate
+FROM v GROUP BY clip_id, ns
+"""
+
+VIDEO_W = 24
+VIDEO_K = 3
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video plumbing end-to-end: deterministic gray frames -> FVC1
+    indexed container (PNG frame payloads, lossless) -> frame-SAMPLING
+    stage that decodes only floor(j*n/k) frames per clip.  SQL replays
+    the pixel formula over the sampled indices."""
+    import ray
+
+    from ..stages.util import stage_fn
+    from ..stages.video import FrameSampler, fvc_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ev = ev[ev % 100 == 0]
+        blobs, ids = [], []
+        yy, xx = np.meshgrid(
+            np.arange(VIDEO_W, dtype=np.int64),
+            np.arange(VIDEO_W, dtype=np.int64),
+            indexing="ij",
+        )
+        for seed in ev:
+            nf = 5 + int(seed) % 6
+            f = np.arange(nf, dtype=np.int64)[:, None, None]
+            frames = ((int(seed) + f * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+            blobs.append(fvc_encode(frames, fmt="png"))
+            ids.append(int(seed))
+        return pa.table(
+            {"clip_id": pa.array(ids, type=pa.int64()),
+             "video": pa.array(blobs, type=pa.binary())}
+        )
+
+    synth.__name__ = "synth_video"
+    clips = ds.map_batches(synth, batch_format="pyarrow")
+    return clips.map_batches(
+        stage_fn(FrameSampler, video_col="video", k=VIDEO_K, keep_cols=("clip_id",)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH clips AS (
+  SELECT event_id AS clip_id, 5 + (event_id % 6) AS nf
+  FROM events WHERE event_id % 100 = 0
+), fr AS (
+  SELECT clip_id, nf, (j * nf) // {VIDEO_K} AS frame_idx
+  FROM clips, generate_series(0, {VIDEO_K - 1}) t(j)
+), px AS (
+  SELECT clip_id, nf, frame_idx, unnest(generate_series(0, {VIDEO_W * VIDEO_W - 1})) AS p
+  FROM fr
+)
+SELECT clip_id, frame_idx, nf AS n_frames,
+       CAST(SUM((clip_id + frame_idx * 31 + (p // {VIDEO_W}) * 7 + (p % {VIDEO_W}) * 3) % 256)
+            AS BIGINT) AS sum_intensity
+FROM px GROUP BY clip_id, frame_idx, nf
+"""
+
 
 def q_temporal_bins(sf_dir: str):
     import ray
@@ -2718,6 +2840,8 @@ QUERIES = {
     "ann_lsh_verified": q_ann_lsh_verified,
     "asof_join": q_asof_join,
     "windowed_agg": q_windowed_agg,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "convex_hulls": q_convex_hulls,
     "events_ts_range_by_type": q_events_ts_range_by_type,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
@@ -2779,6 +2903,8 @@ ORACLE_SQL = {
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,
     "windowed_agg": SQL_WINDOWED_AGG,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),
     "spatial_join_pairs": SQL_SPATIAL_JOIN_PAIRS,
     "spatial_join_count_by_zone": SQL_SPATIAL_JOIN_COUNT,

@@ -1659,6 +1659,7 @@ def q_jpeg_roundtrip(sf_dir: str):
                 quality=90,
                 subsample="420" if i % 2 else "444",
                 restart_interval=i % 3,
+                progressive=bool(i % 5 == 0),  # SOF2 multi-scan variant
             )
             dec = jpeg_decode(blob)
             img_ids.append(f"jpg-{i:08d}")

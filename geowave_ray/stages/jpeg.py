@@ -9,10 +9,17 @@ the BASELINE.json input_hint):
 - encoder: 8-bit grayscale or RGB, 4:4:4 (no chroma subsampling),
   Annex K quantization tables scaled by the libjpeg quality formula,
   Annex K Huffman tables, JFIF APP0 header.
-- decoder: baseline SOF0, 1-4 Huffman tables, arbitrary 1/2 sampling
-  factors (4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), byte
-  stuffing.  Progressive (SOF2) and arithmetic coding raise
+- decoder: baseline SOF0 AND progressive SOF2 (spectral selection +
+  successive approximation, DC/AC first and refinement scans, EOB runs,
+  interleaved DC / single-component AC scans over the true component
+  grid), 1-4 Huffman tables, arbitrary 1/2 sampling factors (4:4:4,
+  4:2:2, 4:2:0), restart intervals (DRI/RSTn), byte stuffing.
+  Arithmetic coding and hierarchical/lossless frames raise
   NotImplementedError.
+- progressive encoder (``progressive=True``): libjpeg-style scan script
+  (DC Al=1 -> per-component AC bands Al=1 -> DC refine -> AC refines)
+  with EOB-run coalescing, so the decoder's refinement paths are
+  exercised end-to-end by our own streams.
 
 Everything per-pixel is vectorized (matrix DCT over all blocks at once);
 only the entropy coder walks symbols in Python, which is fine for the
@@ -234,15 +241,225 @@ def _dht_payload(tclass: int, tid: int, bits, vals) -> bytes:
     return bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
 
 
+# Progressive AC table: Annex K tables lack the EOBn symbols (r<<4, r>0)
+# progressive EOB runs need, so scans use one flat canonical table holding
+# every (run, size) symbol at code length 9 (176 codes < 511, all-ones
+# code unused as required).
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: truncate toward zero (G.1.2.1)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _AcScanState:
+    """EOB-run + buffered-correction-bit state shared across one AC scan."""
+
+    def __init__(self, writer, ac_codes):
+        self.w = writer
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits owed with the next EOB flush
+
+    def flush_eob(self):
+        if self.eobrun == 0 and not self.be:
+            return
+        n = self.eobrun
+        r = n.bit_length() - 1
+        c, ln = self.codes[r << 4]
+        self.w.put(c, ln)
+        if r:
+            self.w.put(n & ((1 << r) - 1), r)
+        for b in self.be:
+            self.w.put(b, 1)
+        self.eobrun = 0
+        self.be = []
+
+    def sym(self, rs: int):
+        self.flush_eob()
+        c, ln = self.codes[rs]
+        self.w.put(c, ln)
+
+
+def _enc_ac_first(st: _AcScanState, blk, ss: int, se: int, al: int):
+    t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    if not any(t):
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    run = 0
+    last_nz = max(i for i, v in enumerate(t) if v)
+    for i, v in enumerate(t[: last_nz + 1]):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            st.sym(0xF0)
+            run -= 16
+        size, bits = _magnitude(v)
+        st.sym((run << 4) | size)
+        st.w.put(bits, size)
+        run = 0
+    if last_nz < len(t) - 1:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _enc_ac_refine(st: _AcScanState, blk, ss: int, se: int, al: int):
+    t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+    run = 0
+    br: list[int] = []  # correction bits since the last emitted symbol
+    pending = False
+    for v in t:
+        a = -v if v < 0 else v
+        if a == 0:
+            run += 1
+            pending = True
+            continue
+        # invariant: flush ZRL before buffering any bit once run > 15, so
+        # buffered correction bits always precede the 16th zero-history
+        # coefficient of their window (decoder reads them inside the ZRL
+        # advance; libjpeg encode_mcu_AC_refine keeps the same invariant)
+        while run > 15:
+            st.sym(0xF0)
+            for b in br:
+                st.w.put(b, 1)
+            br = []
+            run -= 16
+        if a > 1:
+            br.append(a & 1)
+            pending = True
+            continue
+        # newly significant this scan
+        st.sym((run << 4) | 1)
+        st.w.put(1 if v > 0 else 0, 1)
+        for b in br:
+            st.w.put(b, 1)
+        br = []
+        run = 0
+        pending = False
+    if pending:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _comp_block_grid(fw, fh, ch, cv, hmax, vmax):
+    """True (non-MCU-padded) block grid of one component."""
+    cw = -(-fw * ch // hmax)
+    chh = -(-fh * cv // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+_PROG_AC_BANDS = {0: [(1, 5), (6, 63)]}  # comp 0 split to exercise Ss/Se
+
+
+def _prog_scan_script(ncomp: int):
+    """(comp_indices, Ss, Se, Ah, Al) per scan, libjpeg-shaped."""
+    scans = [(list(range(ncomp)), 0, 0, 0, 1)]
+    for ci in range(ncomp):
+        for ss, se in _PROG_AC_BANDS.get(ci, [(1, 63)]):
+            scans.append(([ci], ss, se, 0, 1))
+    scans.append((list(range(ncomp)), 0, 0, 1, 0))
+    for ci in range(ncomp):
+        for ss, se in _PROG_AC_BANDS.get(ci, [(1, 63)]):
+            scans.append(([ci], ss, se, 1, 0))
+    return scans
+
+
+def _encode_progressive_scans(
+    ncomp, planes, comp_coefs, comp_nbx, mcux, mcuy, h, w, hmax, vmax, ri
+) -> bytes:
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if ci == 0
+        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for ci in range(ncomp)
+    ]
+    ac_codes = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    out = bytearray()
+    for comp_idx, ss, se, ah, al in _prog_scan_script(ncomp):
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        writer = _BitWriter()
+        rst = 0
+
+        def emit_restart(st=None):
+            nonlocal rst
+            if st is not None:
+                st.flush_eob()
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+
+        if ss == 0:  # DC scan, MCU-interleaved over all scan components
+            preds = [0] * ncomp
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    emit_restart()
+                    preds = [0] * ncomp
+                my, mx = divmod(m, mcux)
+                for ci in comp_idx:
+                    _, ch, cv = planes[ci]
+                    nbx = comp_nbx[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            c0 = int(
+                                comp_coefs[ci][(my * cv + by) * nbx + (mx * ch + bx)][0]
+                            )
+                            if ah == 0:
+                                v = c0 >> al
+                                size, bits = _magnitude(v - preds[ci])
+                                preds[ci] = v
+                                c, ln = dc_codes[ci][size]
+                                writer.put(c, ln)
+                                if size:
+                                    writer.put(bits, size)
+                            else:
+                                writer.put((c0 >> al) & 1, 1)
+        else:  # AC scan: single component over its TRUE block grid
+            ci = comp_idx[0]
+            _, ch, cv = planes[ci]
+            bw, bh = _comp_block_grid(w, h, ch, cv, hmax, vmax)
+            nbx = comp_nbx[ci]
+            st = _AcScanState(writer, ac_codes)
+            nblk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and nblk and nblk % ri == 0:
+                        emit_restart(st)
+                    nblk += 1
+                    blk = comp_coefs[ci][by * nbx + bx]
+                    if ah == 0:
+                        _enc_ac_first(st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, blk, ss, se, al)
+            st.flush_eob()
+        writer.flush()
+        out += writer.out
+    return bytes(out)
+
+
 def jpeg_encode(
     arr: np.ndarray,
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """8-bit grayscale (h, w[, 1]) or RGB (h, w, 3) -> baseline JFIF bytes.
     ``subsample``: "444" (no chroma subsampling) or "420" (2x2).
-    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none).
+    ``progressive``: SOF2 multi-scan stream (see _prog_scan_script)."""
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -301,25 +518,39 @@ def jpeg_encode(
     for tid, qt in enumerate(qts):
         body = bytes([tid]) + bytes(qt[_ZZ].astype(np.uint8).tolist())
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, planes[ci][1] << 4 | planes[ci][2], 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     # DHT
-    tables = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS), (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        tables += [
-            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-        ]
+    if progressive:
+        tables = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS), (1, 0, _AC_PROG_BITS, _AC_PROG_VALS)]
+        if not gray:
+            tables.append((0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    else:
+        tables = [(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS), (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+        if not gray:
+            tables += [
+                (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+            ]
     for tclass, tid, bits, vals in tables:
         body = _dht_payload(tclass, tid, bits, vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     # DRI
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        out += _encode_progressive_scans(
+            ncomp, planes, comp_coefs, comp_nbx, mcux, mcuy, h, w,
+            hmax, vmax, restart_interval,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
@@ -447,6 +678,190 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _dec_baseline_scan(reader, scan, huff, fg, comp_store, ri):
+    mcux, mcuy = fg["mcu"]
+    luts = {}
+    preds = {}
+    for cid, td, ta in scan:
+        luts[cid] = (_build_lut(*huff[(0, td)]), _build_lut(*huff[(1, ta)]))
+        preds[cid] = 0
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            reader.restart()
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, mcux)
+        for cid, td, ta in scan:
+            (dc_sym, dc_len), (ac_sym, ac_len) = luts[cid]
+            ch, cv, nbx, _, _ = fg["comp"][cid]
+            cf = comp_store[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = cf[(my * cv + by) * nbx + (mx * ch + bx)]
+                    p = reader.peek16()
+                    s = int(dc_sym[p])
+                    reader.skip(int(dc_len[p]))
+                    preds[cid] += _extend(reader.receive(s), s)
+                    blk[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        p = reader.peek16()
+                        rs = int(ac_sym[p])
+                        reader.skip(int(ac_len[p]))
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 15
+                        if k > 63:
+                            break
+                        blk[k] = _extend(reader.receive(size), size)
+                        k += 1
+
+
+def _dec_ac_first(reader, blk, ss, se, al, lut, eobrun):
+    """One block of an AC first scan (G.1.2.2); returns remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    sym, ln = lut
+    k = ss
+    while k <= se:
+        p = reader.peek16()
+        rs = int(sym[p])
+        reader.skip(int(ln[p]))
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            break
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(reader, blk, ss, se, al, lut, eobrun):
+    """One block of an AC refinement scan (G.1.2.3); returns EOB run."""
+    sym, ln = lut
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            p = reader.peek16()
+            rs = int(sym[p])
+            reader.skip(int(ln[p]))
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                val = p1 if reader.receive(1) else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.receive(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.receive(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _dec_prog_scan(reader, scan, ss, se, ah, al, huff, fg, comp_store, ri):
+    mcux, mcuy = fg["mcu"]
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        luts = {cid: _build_lut(*huff[(0, td)]) if ah == 0 else None
+                for cid, td, ta in scan}
+        preds = {cid: 0 for cid, _, _ in scan}
+        if len(scan) == 1:  # non-interleaved: true component grid
+            cid, td, _ = scan[0]
+            ch, cv, nbx, bw, bh = fg["comp"][cid]
+            units = (
+                (cid, by * nbx + bx) for by in range(bh) for bx in range(bw)
+            )
+        else:
+            def mcu_units():
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for cid, _, _ in scan:
+                        ch, cv, nbx, _, _ = fg["comp"][cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                yield cid, (my * cv + by) * nbx + (mx * ch + bx)
+
+            units = mcu_units()
+        # restart cadence: MCUs when interleaved, blocks when not — both
+        # equal one yielded unit per (ns==1) block / per-MCU grouping below
+        n_per_mcu = (
+            1 if len(scan) == 1
+            else sum(fg["comp"][cid][0] * fg["comp"][cid][1] for cid, _, _ in scan)
+        )
+        for i, (cid, idx) in enumerate(units):
+            if ri and i and i % (ri * n_per_mcu) == 0:
+                reader.restart()
+                preds = {c: 0 for c in preds}
+            blk = comp_store[cid][idx]
+            if ah == 0:
+                dc_sym, dc_len = luts[cid]
+                p = reader.peek16()
+                s = int(dc_sym[p])
+                reader.skip(int(dc_len[p]))
+                preds[cid] += _extend(reader.receive(s), s)
+                blk[0] = preds[cid] << al
+            else:
+                if reader.receive(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+        return
+    # AC scan: exactly one component, true block grid
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, td, ta = scan[0]
+    ac_lut = _build_lut(*huff[(1, ta)])
+    ch, cv, nbx, bw, bh = fg["comp"][cid]
+    cf = comp_store[cid]
+    eobrun = 0
+    nblk = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and nblk and nblk % ri == 0:
+                reader.restart()
+                eobrun = 0
+            nblk += 1
+            blk = cf[by * nbx + bx]
+            if ah == 0:
+                eobrun = _dec_ac_first(reader, blk, ss, se, al, ac_lut, eobrun)
+            else:
+                eobrun = _dec_ac_refine(reader, blk, ss, se, al, ac_lut, eobrun)
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -454,8 +869,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[list, list]] = {}
     frame = None
+    progressive = False
     ri = 0
-    scan = None
+    fg = None  # frame geometry: {"mcu": (mcux, mcuy), "comp": cid -> dims}
+    comp_store: dict[int, np.ndarray] | None = None
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -491,91 +909,67 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + nv])
                 huff[(tclass, tid)] = (bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            fg = {"mcu": (mcux, mcuy), "comp": {}}
+            comp_store = {}
+            for cid, ch, cv, tq in comps:
+                nbx, nby = mcux * ch, mcuy * cv
+                bw, bh = _comp_block_grid(fw, fh, ch, cv, hmax, vmax)
+                fg["comp"][cid] = (ch, cv, nbx, bw, bh)
+                comp_store[cid] = np.zeros((nby * nbx, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (possibly one of many progressive scans)
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cid, tds = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tds >> 4, tds & 15))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             pos += seglen
-            break  # entropy data follows
+            reader = _BitReader(data, pos)
+            if progressive:
+                _dec_prog_scan(
+                    reader, scan, ss, se, ahal >> 4, ahal & 15,
+                    huff, fg, comp_store, ri,
+                )
+            else:
+                _dec_baseline_scan(reader, scan, huff, fg, comp_store, ri)
+            saw_scan = True
+            pos = reader.pos
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
+    # dequantize + IDCT per frame component (vectorized), upsample, stack
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-    by_id = {c[0]: c for c in comps}
-    # per-scan-component state
-    luts, coefs, preds, geom = [], [], [], []
-    for cid, td, ta in scan:
-        _, ch, cv, tq = by_id[cid]
-        dcl = _build_lut(*huff[(0, td)])
-        acl = _build_lut(*huff[(1, ta)])
-        nbx, nby = mcux * ch, mcuy * cv
-        luts.append((dcl, acl))
-        coefs.append(np.zeros((nby * nbx, 64), dtype=np.int64))
-        preds.append(0)
-        geom.append((ch, cv, nbx, tq))
-
-    reader = _BitReader(data, pos)
-    nmcu = mcux * mcuy
-    for m in range(nmcu):
-        if ri and m and m % ri == 0:
-            reader.restart()
-            preds = [0] * len(preds)
-        my, mx = divmod(m, mcux)
-        for si in range(len(scan)):
-            (dc_sym, dc_len), (ac_sym, ac_len) = luts[si]
-            ch, cv, nbx, _ = geom[si]
-            cf = coefs[si]
-            for by in range(cv):
-                for bx in range(ch):
-                    blk_idx = (my * cv + by) * nbx + (mx * ch + bx)
-                    blk = cf[blk_idx]
-                    p = reader.peek16()
-                    s = int(dc_sym[p])
-                    reader.skip(int(dc_len[p]))
-                    preds[si] += _extend(reader.receive(s), s)
-                    blk[0] = preds[si]
-                    k = 1
-                    while k < 64:
-                        p = reader.peek16()
-                        rs = int(ac_sym[p])
-                        reader.skip(int(ac_len[p]))
-                        if rs == 0x00:
-                            break
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        size = rs & 15
-                        if k > 63:
-                            break
-                        blk[k] = _extend(reader.receive(size), size)
-                        k += 1
-
-    # dequantize + IDCT per component (vectorized), upsample, stack
     planes = []
-    for si, (cid, td, ta) in enumerate(scan):
-        ch, cv, nbx, tq = geom[si]
+    for cid, ch, cv, tq in comps:
+        _, _, nbx, _, _ = fg["comp"][cid]
         qt = qts[tq]
-        nat = np.zeros_like(coefs[si])
-        nat[:, _ZZ] = coefs[si]  # zigzag -> natural, THEN dequantize
+        cf = comp_store[cid]
+        nat = np.zeros_like(cf)
+        nat[:, _ZZ] = cf  # zigzag -> natural, THEN dequantize
         blocks = (nat * qt[None, :]).reshape(-1, 8, 8).astype(np.float64)
         spatial = _D.T @ blocks @ _D + 128.0
         nby = len(blocks) // nbx

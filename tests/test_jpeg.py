@@ -109,9 +109,9 @@ def test_quality_monotone():
 def test_errors_and_dispatch():
     arr = _smooth_rgb(16, 16)
     blob = bytearray(jpeg_encode(arr))
-    # flip SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    # flip SOF0 -> SOF3 (lossless): explicit NotImplementedError
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         jpeg_decode(bytes(blob))
     with pytest.raises(ValueError):
@@ -132,3 +132,52 @@ def test_tiny_and_degenerate_dims():
         g = arr[:, :, 0]
         dec = jpeg_decode(jpeg_encode(g, quality=90))
         assert dec.shape == (*dims, 1)
+
+
+def test_progressive_matches_baseline_exactly():
+    """SOF2 scans (DC Al=1 -> AC bands Al=1 -> DC/AC refinements) must
+    reconstruct the exact same quantized coefficients as the one-scan
+    baseline stream, so decode output is pixel-identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape, sub in [
+        ((40, 56), "444"),
+        ((33, 41), "444"),
+        ((48, 64, 3), "444"),
+        ((37, 51, 3), "420"),  # non-interleaved AC over true chroma grids
+        ((8, 8), "444"),
+        ((1, 1), "444"),
+        ((1, 17), "444"),
+        ((17, 1, 3), "420"),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=85, subsample=sub))
+        prog = jpeg_decode(jpeg_encode(img, quality=85, subsample=sub, progressive=True))
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_restart_intervals():
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    for shape, sub, ri in [((64, 64), "444", 2), ((48, 48, 3), "420", 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=80, subsample=sub))
+        prog = jpeg_decode(
+            jpeg_encode(img, quality=80, subsample=sub, progressive=True,
+                        restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), (shape, sub, ri)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """Smooth gradients make long EOB runs (many all-zero AC blocks) —
+    exercises the coalesced EOBn path on both sides."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:96]
+    img = ((x + y) / 4).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=90))
+    prog = jpeg_decode(jpeg_encode(img, quality=90, progressive=True))
+    assert np.array_equal(base, prog)

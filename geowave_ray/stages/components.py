@@ -74,11 +74,22 @@ def connected_components_min_label(
     rounds: int | None = None,
     n_hint: int | None = None,
     num_partitions: int = 16,
+    driver_cap: int = 1_000_000,
 ):
     """Undirected int64 edge Dataset -> (node, label) Dataset, label = min
     node id of the component.  ``rounds`` caps the iteration (default
     ceil(log2(n)) + 3); the sum-of-roots signature stops the loop as soon
-    as a round merges nothing (exact convergence test — see module doc)."""
+    as a round merges nothing (exact convergence test — see module doc).
+
+    ``driver_cap``: the distributed seed contraction first collapses each
+    block to its local stars, shrinking the pair set to O(distinct nodes
+    per block).  When THAT contracted set fits under the cap (~16 bytes a
+    row), one exact driver union-find finishes the job instead of
+    O(log n) shuffle rounds — each round otherwise costs a full
+    groupby + materialize + signature scan for a graph that is only a
+    few MB.  Above the cap the iterated star contraction runs unchanged
+    (the 100 TB path: label tables proportional to the corpus never land
+    on the driver)."""
 
     def seed(batch: pa.Table) -> pa.Table:
         """LOCAL CONTRACTION: union-find over just this batch's edges
@@ -93,6 +104,28 @@ def connected_components_min_label(
 
     seed.__name__ = "cc_seed_contract"
     pairs = edges_ds.map_batches(seed, batch_format="pyarrow")
+
+    if driver_cap:
+        import ray
+
+        from .util import collect_table
+
+        pairs = pairs.materialize()
+        if pairs.count() <= driver_cap:
+            tbl = collect_table(pairs)
+            if tbl is None:
+                i64 = pa.int64()
+                return ray.data.from_arrow(
+                    pa.table({"node": pa.array([], i64), "label": pa.array([], i64)})
+                )
+            nodes, roots = _star(
+                tbl.column("node").to_numpy(zero_copy_only=False),
+                tbl.column("peer").to_numpy(zero_copy_only=False),
+            )
+            # _star roots are already component minima (union by min id)
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array(nodes), "label": pa.array(roots)})
+            )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)

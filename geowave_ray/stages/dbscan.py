@@ -17,11 +17,14 @@ A dense blob therefore emits O(n) edges instead of the O(n * avg_degree)
 all-pairs list (the round-2 scale fix: 100k clustered points -> ~1M edge
 rows instead of ~34M).
 
-Cluster labels: distributed iterated min-label propagation over the
-spanning edges (stages/components — no driver union-find); border points
-take the min component label among their core neighbors; else noise (-1).
-Every join is a native hash ``Dataset.join``.  Planar degree distance
-(matching the grid); haversine variant via the knn module if needed.
+Cluster labels: min-label components over the spanning edges
+(stages/components — capped driver union-find for contracted edge sets
+that fit, iterated star contraction beyond); border points take the min
+component label among their core neighbors; else noise (-1).  Final
+assembly broadcasts the (small) label/border lookup tables into ONE
+map_batches over the flags when they fit under ``broadcast_cap``; the
+hash-join path remains for corpora whose label table is itself huge.
+Planar degree distance (matching the grid); haversine via knn if needed.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from .components import connected_components_min_label
-from .util import safe_join
+from .util import collect_table, safe_join
 
 __all__ = ["dbscan"]
 
@@ -124,12 +127,18 @@ def dbscan(
     n_hint: int | None = None,
     num_partitions: int = 16,
     cell_mult: float = 1.0,
+    broadcast_cap: int = 5_000_000,
 ):
     """-> Dataset (pid:int64, cluster:int64); cluster -1 = noise; cluster
     ids are min-member-id labels (deterministic).  ``id_col`` must be
     integer-typed — at corpus scale labels stay integers end-to-end.
     ``cell_mult``: grid cell size as a multiple of eps; >1 trades bigger
-    per-cell groups for fewer boundary replicas (see _cell_dup)."""
+    per-cell groups for fewer boundary replicas (see _cell_dup).
+    ``broadcast_cap``: when the core-label and border-edge tables fit
+    under this row count, the final label assembly runs as ONE broadcast
+    map_batches over the flags instead of three hash joins + a groupby
+    (the joins remain the fallback for corpora whose label table itself
+    is too big to broadcast)."""
     s = cell_mult * eps
     nx = max(int(360.0 / s), 1) + 2
 
@@ -338,6 +347,67 @@ def dbscan(
         return pa.table({"pid": b.column("a"), "node": b.column("b")})
 
     border_cols.__name__ = "dbscan_border_cols"
+
+    # ---- broadcast assembly: labels + border edges are one row per core
+    # point / per (border, root) pair — tiny next to the corpus, so pull
+    # them once, ray.put the sorted lookup arrays, and label every flag
+    # row in a single map_batches (no hash joins, no groupby).
+    n_core_labels = labels.count()
+    border_pairs = spans.map_batches(border_cols, batch_format="pyarrow")
+    n_border_pairs = border_pairs.count()
+    if n_core_labels + n_border_pairs <= broadcast_cap:
+        import ray
+
+        lab_tbl = collect_table(labels)
+        if lab_tbl is not None:
+            nodes = lab_tbl.column("node").to_numpy(zero_copy_only=False)
+            labs = lab_tbl.column("label").to_numpy(zero_copy_only=False)
+            o = np.argsort(nodes)
+            nodes, labs = nodes[o], labs[o]
+        else:
+            nodes = labs = np.zeros(0, dtype=np.int64)
+        bor_tbl = collect_table(border_pairs)
+        if bor_tbl is not None:
+            bpid = bor_tbl.column("pid").to_numpy(zero_copy_only=False)
+            bnode = bor_tbl.column("node").to_numpy(zero_copy_only=False)
+            # node -> component label, then min label per border pid
+            pos = np.searchsorted(nodes, bnode)
+            blab_all = labs[np.clip(pos, 0, max(len(nodes) - 1, 0))]
+            o = np.lexsort((blab_all, bpid))
+            bpid_s, blab_s = bpid[o], blab_all[o]
+            first = np.flatnonzero(np.diff(bpid_s, prepend=bpid_s[0] - 1))
+            bpid_u, blab_u = bpid_s[first], blab_s[first]
+        else:
+            bpid_u = blab_u = np.zeros(0, dtype=np.int64)
+        lut_ref = ray.put((nodes, labs, bpid_u, blab_u))
+        if _dbg:
+            print(
+                f"[dbscan] broadcast luts ({n_core_labels}+{n_border_pairs} rows):"
+                f" {_time.time()-_t0:.1f}s",
+                flush=True,
+            )
+            _t0 = _time.time()
+
+        def assemble_bcast(batch: pa.Table) -> pa.Table:
+            nodes, labs, bpid_u, blab_u = ray.get(lut_ref)
+            pid = batch.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+            is_core = batch.column("is_core").to_numpy(zero_copy_only=False) == 1
+            out = np.full(len(pid), -1, dtype=np.int64)
+            if len(nodes):
+                pos = np.clip(np.searchsorted(nodes, pid), 0, len(nodes) - 1)
+                hit = nodes[pos] == pid
+                m = is_core & hit
+                out[m] = labs[pos[m]]
+            m = is_core & (out == -1)
+            out[m] = pid[m]  # isolated core: own id
+            if len(bpid_u):
+                pos = np.clip(np.searchsorted(bpid_u, pid), 0, len(bpid_u) - 1)
+                m = ~is_core & (bpid_u[pos] == pid)
+                out[m] = blab_u[pos[m]]
+            return pa.table({"pid": pa.array(pid), "cluster": pa.array(out)})
+
+        assemble_bcast.__name__ = "dbscan_assemble_bcast"
+        return flags.map_batches(assemble_bcast, batch_format="pyarrow")
     bj = safe_join(
         spans.map_batches(border_cols, batch_format="pyarrow"),
         labels,

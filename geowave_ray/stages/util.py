@@ -14,7 +14,24 @@ heavy state (multi-GB models); use ``stage_fn`` for everything else.
 
 from __future__ import annotations
 
-__all__ = ["stage_fn", "drop_empty_blocks", "safe_join"]
+__all__ = ["stage_fn", "drop_empty_blocks", "safe_join", "collect_table"]
+
+
+def collect_table(ds):
+    """Materialized Dataset -> one driver-side Arrow table (block refs
+    pulled, no row-dict conversion); None when every block is empty.
+    Only for datasets a caller has PROVEN small (row-count cap)."""
+    import pyarrow as pa
+    import ray
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    tables = [t for t in ray.get(refs) if len(t)]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
 
 
 def stage_fn(cls, **kwargs):

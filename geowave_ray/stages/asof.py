@@ -108,11 +108,18 @@ def _prep_sides(left, right, on, left_ts, right_ts, left_cols, right_cols, tiebr
     rs = right.schema()
     rt = dict(zip(rs.names, rs.types))
     right_src = list(right_cols)
+    if not right_src:
+        raise ValueError("right_cols must name at least one output column")
     right_dst = [right_cols[c] for c in right_src]
     left_keep = [c for c in left_cols if c != on]
     pad_right = [(d, rt[s]) for s, d in zip(right_src, right_dst)]
     pad_left = [(c, lt[c]) for c in left_keep]
     tie_src = tiebreak if tiebreak is not None else right_src[0]
+    if not pa.types.is_integer(rt[tie_src]):
+        raise ValueError(
+            f"tiebreak column {tie_src!r} must be integer-typed (got "
+            f"{rt[tie_src]}); pass tiebreak= explicitly"
+        )
 
     def prep_left(batch: pa.Table) -> pa.Table:
         ats = batch.column(left_ts).cast(pa.int64())
@@ -204,7 +211,10 @@ def _asof_join_bucketed(
         b = np.floor_divide(ats, bucket_us)
         return batch.append_column("_abucket", pa.array(b, type=pa.int64()))
 
-    lp = lp.map_batches(add_bucket, batch_format="pyarrow")
+    # both sides materialize: each feeds two consumers (lb aggregate /
+    # winners + the final union) — unpinned, the whole read+prep pipeline
+    # would re-execute per consumer
+    lp = lp.map_batches(add_bucket, batch_format="pyarrow").materialize()
     rp = rp.map_batches(add_bucket, batch_format="pyarrow").materialize()
 
     # per-(key, bucket) winner rights: max (_ats, _atie) — a small table
@@ -296,8 +306,14 @@ def windowed_aggregate(
     exact and SQL-replayable."""
 
     def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ats = batch.column(ts_col).cast(pa.int64())
-        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        # null values contribute 0 to the sum (SQL SUM ignores NULLs) but
+        # the row still counts (COUNT(*) frame semantics)
+        v = pc.fill_null(batch.column(value_col), 0).to_numpy(
+            zero_copy_only=False
+        )
         out = batch.select([on, *keep_cols])
         out = out.append_column("_ats", ats)
         out = out.append_column(

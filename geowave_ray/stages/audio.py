@@ -134,10 +134,14 @@ def resample_linear(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndar
 def audio_features(samples: np.ndarray) -> dict:
     """Integer-exact clip features over channel-0 PCM samples: count,
     abs-sum, peak, zero crossings (sign-bit change between neighbours,
-    negatives vs non-negatives)."""
+    negatives vs non-negatives).  Float samples (32-bit WAV, [-1, 1]) are
+    scaled to the int16 grid first — truncating them to int64 directly
+    would zero every feature."""
     s = np.asarray(samples)
     if s.ndim == 2:
         s = s[:, 0]
+    if np.issubdtype(s.dtype, np.floating):
+        s = np.round(s * 32767.0)
     s = s.astype(np.int64)
     neg = s < 0
     return {

@@ -353,7 +353,9 @@ def dbscan(
     # them once, ray.put the sorted lookup arrays, and label every flag
     # row in a single map_batches (no hash joins, no groupby).
     n_core_labels = labels.count()
-    border_pairs = spans.map_batches(border_cols, batch_format="pyarrow")
+    border_pairs = spans.map_batches(
+        border_cols, batch_format="pyarrow"
+    ).materialize()  # pinned: counted here, consumed by either branch below
     n_border_pairs = border_pairs.count()
     if n_core_labels + n_border_pairs <= broadcast_cap:
         import ray
@@ -367,16 +369,21 @@ def dbscan(
         else:
             nodes = labs = np.zeros(0, dtype=np.int64)
         bor_tbl = collect_table(border_pairs)
-        if bor_tbl is not None:
+        if bor_tbl is not None and len(nodes):
             bpid = bor_tbl.column("pid").to_numpy(zero_copy_only=False)
             bnode = bor_tbl.column("node").to_numpy(zero_copy_only=False)
-            # node -> component label, then min label per border pid
-            pos = np.searchsorted(nodes, bnode)
-            blab_all = labs[np.clip(pos, 0, max(len(nodes) - 1, 0))]
-            o = np.lexsort((blab_all, bpid))
-            bpid_s, blab_s = bpid[o], blab_all[o]
-            first = np.flatnonzero(np.diff(bpid_s, prepend=bpid_s[0] - 1))
-            bpid_u, blab_u = bpid_s[first], blab_s[first]
+            # node -> component label; drop pairs whose root is missing
+            # from labels (mirrors the fallback's inner-join fail-safe)
+            pos = np.clip(np.searchsorted(nodes, bnode), 0, len(nodes) - 1)
+            hit = nodes[pos] == bnode
+            bpid, blab_all = bpid[hit], labs[pos[hit]]
+            if len(bpid):
+                o = np.lexsort((blab_all, bpid))
+                bpid_s, blab_s = bpid[o], blab_all[o]
+                first = np.flatnonzero(np.diff(bpid_s, prepend=bpid_s[0] - 1))
+                bpid_u, blab_u = bpid_s[first], blab_s[first]
+            else:
+                bpid_u = blab_u = np.zeros(0, dtype=np.int64)
         else:
             bpid_u = blab_u = np.zeros(0, dtype=np.int64)
         lut_ref = ray.put((nodes, labs, bpid_u, blab_u))
@@ -409,7 +416,7 @@ def dbscan(
         assemble_bcast.__name__ = "dbscan_assemble_bcast"
         return flags.map_batches(assemble_bcast, batch_format="pyarrow")
     bj = safe_join(
-        spans.map_batches(border_cols, batch_format="pyarrow"),
+        border_pairs,
         labels,
         "inner",
         num_partitions,

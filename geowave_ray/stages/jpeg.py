@@ -878,7 +878,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte (B.1.1.2: FF FF ... <marker>)
+            pos += 1
+            continue
+        if marker == 0x00:  # stray stuffed byte, not a marker
+            pos += 2
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

@@ -143,3 +143,42 @@ def test_windowed_aggregate_brute(ray_session):
     for i in range(n):
         m = (k == k[i]) & (t >= t[i] - 200) & (t <= t[i])
         assert by_rid[i] == (int(m.sum()), int(vc[m].sum())), i
+
+
+def test_windowed_aggregate_null_values(ray_session):
+    import ray
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([0, 50, 100], type=pa.int64()).cast(pa.timestamp("us")),
+            "rid": pa.array([0, 1, 2], type=pa.int64()),
+            "value": pa.array([1.0, None, 3.0], type=pa.float64()),
+        }
+    )
+    res = windowed_aggregate(
+        ray.data.from_arrow(tbl), on="k", ts_col="ts", value_col="value",
+        window_us=200, keep_cols=("rid",),
+    ).take_all()
+    by = {r["rid"]: (r["w_count"], r["w_sum_cents"]) for r in res}
+    # null row still counts (COUNT(*)) but adds 0 to the sum (SQL SUM)
+    assert by == {0: (1, 100), 1: (2, 100), 2: (3, 400)}
+
+
+def test_asof_tiebreak_validation(ray_session):
+    import ray
+
+    left = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "lts": pa.array([5], type=pa.int64()).cast(pa.timestamp("us")),
+                     "lid": pa.array([0], type=pa.int64())})
+    right = pa.table({"k": pa.array([1], type=pa.int64()),
+                      "rts": pa.array([3], type=pa.int64()).cast(pa.timestamp("us")),
+                      "price": pa.array([1.5], type=pa.float64())})
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on="k", left_ts="lts", right_ts="rts",
+                  left_cols=("lid",), right_cols={"price": "p"})
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on="k", left_ts="lts", right_ts="rts",
+                  left_cols=("lid",), right_cols={})

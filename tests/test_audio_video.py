@@ -120,3 +120,13 @@ def test_frame_sampler_batch():
     assert out.column("frame_idx").to_pylist() == [0, 1, 3]
     assert out.column("sum_intensity").to_pylist() == [640, 1280, 2560]
     assert out.column("n_frames").to_pylist() == [5, 5, 5]
+
+
+def test_audio_features_float_samples_scaled():
+    f = np.array([0.5, -0.5, 0.25])
+    feats = audio_features(f)
+    assert feats["peak"] == 16384 and feats["zero_crossings"] == 2
+    # float32 WAV end-to-end produces non-degenerate features
+    blob = wav_encode(f, 8000, bits=32)
+    samples, _ = wav_decode(blob)
+    assert audio_features(samples)["sum_abs"] > 0

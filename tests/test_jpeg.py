@@ -181,3 +181,15 @@ def test_progressive_smooth_image_eob_runs():
     base = jpeg_decode(jpeg_encode(img, quality=90))
     prog = jpeg_decode(jpeg_encode(img, quality=90, progressive=True))
     assert np.array_equal(base, prog)
+
+
+def test_fill_bytes_before_markers():
+    """B.1.1.2 allows any number of 0xFF fill bytes before a marker."""
+    import numpy as np
+
+    arr = _smooth_rgb(24, 24)
+    blob = jpeg_encode(arr, quality=90)
+    # splice fill bytes before the SOS marker
+    i = blob.find(b"\xff\xda")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    assert np.array_equal(jpeg_decode(padded), jpeg_decode(blob))

@@ -226,6 +226,7 @@ def _knn_join_pass(
     id_col: str = "image_id",
     ring: int = 1,
     mark_complete: bool = False,
+    query_cell_cap: int = 262144,
 ):
     """Large-large kNN: every query point against a big data table, both as
     Datasets — the NNMapReduce shape (OrthodromicDistancePartitioner: data
@@ -238,6 +239,15 @@ def _knn_join_pass(
     cells to the search distance, NNMapReduce.java:62-66); under-filled
     queries (fewer than k results) indicate cell_deg is too small — re-run
     those with a bigger radius (radius-escalation loop, SURVEY §7 Phase 5).
+
+    Shuffle pruning: a data replica only matters in a cell that hosts at
+    least one query, so the DISTINCT query-cell set (bounded by the grid
+    size, not the query count) is collected once and broadcast; data
+    replicas targeting unoccupied cells are dropped BEFORE the shuffle.
+    When the query side is sparse relative to the grid this cuts the
+    shuffled volume by the unoccupied fraction at zero correctness cost;
+    past ``query_cell_cap`` distinct cells the filter is skipped (data is
+    needed nearly everywhere anyway).
     """
     import ray
 
@@ -258,21 +268,47 @@ def _knn_join_pass(
         )
         return out.append_column("_side", pa.array(np.zeros(len(out), dtype=np.int8)))
 
+    q_cells.__name__ = "knn_query_cells"
+    qk = queries_ds.map_batches(q_cells, batch_format="pyarrow")
+
+    # distinct query cells (tiny aggregate over the query side; bounded by
+    # the grid, not the corpus) -> broadcast filter for the data replicas
+    qcell_filter = None
+    qcells = qk.groupby("cell").count().take_all()
+    if len(qcells) <= query_cell_cap:
+        qcell_filter = ray.put(
+            np.sort(np.asarray([r["cell"] for r in qcells], dtype=np.int64))
+        )
+
     def d_cells(batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        n = len(batch)
         cx = np.floor((lon + 180.0) / cell_deg).astype(np.int64)
         cy = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+        occupied = ray.get(qcell_filter) if qcell_filter is not None else None
         idxs, cells = [], []
         for dy in range(-ring, ring + 1):
             for dx in range(-ring, ring + 1):
                 gy = cy + dy
                 ok = (gy >= 0) & (gy < int(np.ceil(180.0 / cell_deg)))
                 gx = (cx + dx) % nx
-                idxs.append(np.nonzero(ok)[0])
-                cells.append((gy[ok] * nx + gx[ok]))
-        idx = np.concatenate(idxs)
+                idx = np.nonzero(ok)[0]
+                cell = gy[ok] * nx + gx[ok]
+                if occupied is not None and len(cell):
+                    if len(occupied) == 0:
+                        continue
+                    pos = np.clip(
+                        np.searchsorted(occupied, cell), 0, len(occupied) - 1
+                    )
+                    keep = occupied[pos] == cell
+                    idx, cell = idx[keep], cell[keep]
+                idxs.append(idx)
+                cells.append(cell)
+        if not idxs:
+            idx = np.zeros(0, dtype=np.int64)
+            cells = [np.zeros(0, dtype=np.int64)]
+        else:
+            idx = np.concatenate(idxs)
         out = pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(idx)),
@@ -283,10 +319,7 @@ def _knn_join_pass(
         )
         return out.append_column("_side", pa.array(np.ones(len(out), dtype=np.int8)))
 
-    q_cells.__name__ = "knn_query_cells"
     d_cells.__name__ = "knn_data_cells"
-
-    qk = queries_ds.map_batches(q_cells, batch_format="pyarrow")
     dk = data_ds.map_batches(d_cells, batch_format="pyarrow")
 
     # align schemas for union — resolve the two pad types ONCE on the

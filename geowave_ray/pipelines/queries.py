@@ -787,6 +787,70 @@ SELECT user_id, event_id, ts, view_event_id,
 FROM m WHERE event_type = 'purchase' AND view_event_id IS NOT NULL
 """
 
+INTERVAL_W_US = 21_600_000_000  # 6 hours
+
+
+def q_interval_join(sf_dir: str):
+    """Range join (stages/asof.py interval_join): every (purchase, view)
+    pair where the view falls in the purchase's trailing 6-hour window,
+    per user.  Rights bucket uniquely, intervals replicate across the <=2
+    buckets they span — exactly-once matches, no dedupe pass."""
+    import ray
+
+    from ..stages.asof import interval_join
+
+    def pside(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ts = b.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "p_event_id": b.column("event_id"),
+                "w_start": pc.subtract(ts, pa.scalar(INTERVAL_W_US, pa.int64())),
+                "w_end": ts,
+            }
+        )
+
+    def vside(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "ts": b.column("ts"),
+            }
+        )
+
+    pside.__name__ = "interval_purchases"
+    vside.__name__ = "interval_views"
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(pside, batch_format="pyarrow")
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(vside, batch_format="pyarrow")
+    return interval_join(
+        purchases,
+        views,
+        on="user_id",
+        left_start="w_start",
+        left_end="w_end",
+        right_ts="ts",
+        left_cols=("p_event_id",),
+        right_cols={"event_id": "v_event_id"},
+        bucket_us=INTERVAL_W_US,
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
 WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -2842,6 +2906,7 @@ QUERIES = {
     # displaced from the window for the new operator families above; all
     # four are derivative of still-in-window queries and were driver
     # hash-verified in earlier rounds
+    "interval_join": q_interval_join,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "distinct_users": q_distinct_users,
@@ -2907,6 +2972,7 @@ ORACLE_SQL = {
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,
     "windowed_agg": SQL_WINDOWED_AGG,
+    "interval_join": SQL_INTERVAL_JOIN,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),

@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["asof_join", "windowed_aggregate"]
+__all__ = ["asof_join", "interval_join", "windowed_aggregate"]
 
 
 def _pad_nulls(table: pa.Table, cols: list[tuple[str, pa.DataType]]) -> pa.Table:
@@ -262,6 +262,124 @@ def _asof_join_bucketed(
         batch_format="pyarrow",
     )
     return grouped
+
+
+class _IntervalGroup:
+    __name__ = "interval_group"
+
+    def __init__(self, on, left_cols, right_out):
+        self.on = on
+        self.left_cols = list(left_cols)
+        self.right_out = list(right_out)
+        self.out_cols = [on, *left_cols, *right_out]
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lefts = group.filter(pa.array(side == 0))
+        rights = group.filter(pa.array(side == 1))
+        if len(lefts) == 0 or len(rights) == 0:
+            return group.select(self.out_cols).slice(0, 0)
+        rts = rights.column("_ats").to_numpy(zero_copy_only=False)
+        order = np.argsort(rts, kind="stable")
+        rts = rts[order]
+        rights = rights.take(pa.array(order))
+        ls = lefts.column("_as").to_numpy(zero_copy_only=False)
+        le = lefts.column("_ae").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rts, ls, side="left")
+        hi = np.searchsorted(rts, le, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return group.select(self.out_cols).slice(0, 0)
+        li = np.repeat(np.arange(len(ls), dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ri = lo[li] + offs
+        out = lefts.select([self.on, *self.left_cols]).take(pa.array(li))
+        for c in self.right_out:
+            out = out.append_column(c, rights.column(c).take(pa.array(ri)))
+        return out
+
+
+def interval_join(
+    left,
+    right,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_ts: str,
+    right_cols: dict,
+    left_cols: tuple = (),
+    bucket_us: int = 86_400_000_000,
+):
+    """Range join: every (left interval [start, end], right row) pair with
+    right_ts in the closed interval, per ``on`` key — the third temporal
+    join family next to as-of and rolling windows.
+
+    Shape: rights land in exactly ONE (key, time-bucket) group (their own
+    bucket), intervals replicate to every bucket they span — so matches
+    are found exactly once and no dedupe pass exists.  Per group: sort
+    rights, two searchsorted per interval, CSR pair expansion.  Scale
+    assumption: interval span / ``bucket_us`` bounds the left replication
+    factor (size the bucket to the typical interval, the same rule the
+    spatial cell join applies to its query radius)."""
+    ls = left.schema()
+    lt = dict(zip(ls.names, ls.types))
+    rs = right.schema()
+    rt = dict(zip(rs.names, rs.types))
+    right_src = list(right_cols)
+    if not right_src:
+        raise ValueError("right_cols must name at least one output column")
+    right_dst = [right_cols[c] for c in right_src]
+    left_keep = [c for c in left_cols if c != on]
+    pad_right = [(d, rt[s]) for s, d in zip(right_src, right_dst)]
+    pad_left = [(c, lt[c]) for c in left_keep]
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        s = batch.column(left_start).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch.column(left_end).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = np.floor_divide(s, bucket_us)
+        b1 = np.floor_divide(e, bucket_us)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        out = batch.select([on, *left_keep]).take(pa.array(idx))
+        out = out.append_column("_as", pa.array(s[idx]))
+        out = out.append_column("_ae", pa.array(e[idx]))
+        out = out.append_column("_ats", pa.nulls(len(idx), pa.int64()))
+        out = out.append_column("_abucket", pa.array(b0[idx] + offs))
+        out = out.append_column("_side", pa.array(np.zeros(len(idx), np.int8)))
+        out = _pad_nulls(out, pad_right)
+        return out.select(sorted(out.column_names))
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        ats = batch.column(right_ts).cast(pa.int64())
+        out = pa.table({on: batch.column(on)})
+        for s, d in zip(right_src, right_dst):
+            out = out.append_column(d, batch.column(s))
+        out = out.append_column("_as", pa.nulls(len(batch), pa.int64()))
+        out = out.append_column("_ae", pa.nulls(len(batch), pa.int64()))
+        out = out.append_column("_ats", ats)
+        out = out.append_column(
+            "_abucket",
+            pa.array(
+                np.floor_divide(ats.to_numpy(zero_copy_only=False), bucket_us)
+            ),
+        )
+        out = out.append_column("_side", pa.array(np.ones(len(batch), np.int8)))
+        out = _pad_nulls(out, pad_left)
+        return out.select(sorted(out.column_names))
+
+    prep_left.__name__ = "interval_prep_left"
+    prep_right.__name__ = "interval_prep_right"
+    lp = left.map_batches(prep_left, batch_format="pyarrow")
+    rp = right.map_batches(prep_right, batch_format="pyarrow")
+    return lp.union(rp).groupby([on, "_abucket"]).map_groups(
+        _IntervalGroup(on, left_keep, right_dst), batch_format="pyarrow"
+    )
 
 
 class _WindowGroup:

@@ -182,3 +182,54 @@ def test_asof_tiebreak_validation(ray_session):
         asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
                   on="k", left_ts="lts", right_ts="rts",
                   left_cols=("lid",), right_cols={})
+
+
+def test_interval_join_brute_force(ray_session):
+    import ray
+
+    from geowave_ray.stages.asof import interval_join
+
+    n_l, n_r = 200, 400
+    lk = RNG.integers(0, 10, n_l).astype(np.int64)
+    s = RNG.integers(0, 5_000, n_l).astype(np.int64)
+    e = s + RNG.integers(0, 800, n_l)  # spans cross several 256-us buckets
+    rk = RNG.integers(0, 12, n_r).astype(np.int64)
+    rt = RNG.integers(0, 6_000, n_r).astype(np.int64)
+    left = pa.table({"k": lk, "lid": np.arange(n_l, dtype=np.int64),
+                     "s": pa.array(s).cast(pa.timestamp("us")),
+                     "e": pa.array(e).cast(pa.timestamp("us"))})
+    right = pa.table({"k": rk, "rid": np.arange(n_r, dtype=np.int64),
+                      "ts": pa.array(rt).cast(pa.timestamp("us"))})
+    got = interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_start="s", left_end="e", right_ts="ts",
+        left_cols=("lid",), right_cols={"rid": "m_rid"}, bucket_us=256,
+    ).take_all()
+    pairs = {(r["lid"], r["m_rid"]) for r in got}
+    assert len(pairs) == len(got)  # exactly-once, no dupes
+    expect = {
+        (i, j)
+        for i in range(n_l)
+        for j in np.nonzero((rk == lk[i]) & (rt >= s[i]) & (rt <= e[i]))[0]
+    }
+    assert pairs == expect
+
+
+def test_interval_join_empty_sides(ray_session):
+    import ray
+
+    from geowave_ray.stages.asof import interval_join
+
+    left = pa.table({"k": pa.array([1], type=pa.int64()),
+                     "lid": pa.array([0], type=pa.int64()),
+                     "s": pa.array([0], type=pa.int64()).cast(pa.timestamp("us")),
+                     "e": pa.array([10], type=pa.int64()).cast(pa.timestamp("us"))})
+    right = pa.table({"k": pa.array([], type=pa.int64()),
+                      "rid": pa.array([], type=pa.int64()),
+                      "ts": pa.array([], type=pa.timestamp("us"))})
+    out = interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_start="s", left_end="e", right_ts="ts",
+        left_cols=("lid",), right_cols={"rid": "m_rid"}, bucket_us=100,
+    ).take_all()
+    assert out == []

@@ -503,6 +503,48 @@ FROM documents
 """
 
 
+PACK_BUDGET = 2048
+PACK_BUCKETS = 32
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (training-data assembly): whitespace token counts
+    (same spec as token_stats), hash-bucketed greedy stream packing —
+    each doc joins the pack holding its first token.  SQL oracle replays
+    the rule as a window cumsum."""
+    import ray
+
+    from ..stages.text import TextFeatures, pack_sequences
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
+    return pack_sequences(
+        toks.select_columns(["doc_id", "n_tokens"]),
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        budget=PACK_BUDGET,
+        n_buckets=PACK_BUCKETS,
+    )
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket,
+       (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_tokens) // {PACK_BUDGET} AS pack_id
+FROM t
+"""
+
+
 def q_langid(sf_dir: str):
     import ray
 
@@ -2907,6 +2949,7 @@ QUERIES = {
     # four are derivative of still-in-window queries and were driver
     # hash-verified in earlier rounds
     "interval_join": q_interval_join,
+    "pack_sequences": q_pack_sequences,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "distinct_users": q_distinct_users,
@@ -2973,6 +3016,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "windowed_agg": SQL_WINDOWED_AGG,
     "interval_join": SQL_INTERVAL_JOIN,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),

@@ -200,3 +200,56 @@ def ngrams_of(text: str, n: int = 3) -> set:
     """Character n-grams (TextIndexStrategy NGRAM analog, case-folded)."""
     t = (text or "").lower()
     return {t[i : i + n] for i in range(max(len(t) - n + 1, 0))}
+
+
+class _PackGroup:
+    """Greedy stream packing within one bucket: docs ordered by id, each
+    assigned to the pack containing its FIRST token (pack boundaries at
+    multiples of ``budget`` tokens; long docs may straddle — the standard
+    streaming sequence-packing contract, replayable as a SQL window
+    cumsum)."""
+
+    __name__ = "pack_group"
+
+    def __init__(self, id_col: str, tokens_col: str, budget: int):
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.budget = budget
+
+    def __call__(self, group):
+        import pyarrow as pa
+
+        ids = group.column(self.id_col).to_numpy(zero_copy_only=False)
+        toks = group.column(self.tokens_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, toks = ids[order], toks[order].astype(np.int64)
+        start = np.cumsum(toks) - toks  # first-token offset per doc
+        pack = start // self.budget
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "bucket": group.column("bucket").take(pa.array(order)),
+                "pack_id": pa.array(pack, type=pa.int64()),
+            }
+        )
+
+
+def pack_sequences(ds, id_col="doc_id", tokens_col="n_tokens", budget=2048, n_buckets=32):
+    """Sequence packing for training-data assembly: hash-bucket the corpus
+    (constant group count at any scale), then greedy stream packing per
+    bucket.  One shuffle; everything per-group is a cumsum.  Returns
+    (id, bucket, pack_id) rows."""
+    import pyarrow as pa
+
+    def bucket(batch):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((ids % n_buckets).astype(np.int64))
+        )
+
+    bucket.__name__ = "pack_bucket"
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_PackGroup(id_col, tokens_col, budget), batch_format="pyarrow")
+    )

@@ -494,3 +494,26 @@ def test_choose_k_jump(ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     best, curve = choose_k_jump(ds, k_values=range(2, 9), n_iter=6, seed=4)
     assert best == 5, curve
+
+
+def test_pack_sequences_greedy_stream(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.text import pack_sequences
+
+    rng = np.random.default_rng(9)
+    ids = np.arange(100, dtype=np.int64)
+    toks = rng.integers(1, 900, 100).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "n_tokens": toks}))
+    rows = pack_sequences(ds, budget=1000, n_buckets=4).take_all()
+    assert len(rows) == 100
+    by_id = {r["doc_id"]: r for r in rows}
+    for b in range(4):
+        sel = ids[ids % 4 == b]
+        cum = 0
+        for i in sel:  # ordered by id within bucket
+            assert by_id[i]["bucket"] == b
+            assert by_id[i]["pack_id"] == cum // 1000  # first-token pack
+            cum += toks[i]

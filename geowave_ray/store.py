@@ -261,6 +261,11 @@ class GeoStore:
     def stats(self) -> StatisticsManifest | None:
         return load_statistics(self.root)
 
+    def compact(self, sort_col: str = "cell", min_files: int = 2):
+        """Merge each partition's files into one clustered file (see
+        ``compact_store``)."""
+        return compact_store(self.root, sort_col=sort_col, min_files=min_files)
+
     # -------------------------------------------------------------- query
     def _pruned_paths(self, query: SpatialQuery) -> list[str]:
         """Select (tier, cell_prefix) directories intersecting the query's
@@ -515,6 +520,11 @@ class BinnedStore:
     prune to the bin directories the range decomposition touches, then
     to cell-prefix directories inside each bin."""
 
+    def compact(self, sort_col: str = "cell", min_files: int = 2):
+        """Merge each bin partition's files into one clustered file (see
+        ``compact_store``)."""
+        return compact_store(self.root, sort_col=sort_col, min_files=min_files)
+
     def __init__(self, root: str, strategy, prefix_bits: int = 6, x_col: str = "x", y_col: str = "y"):
         self.root = root
         self.strategy = strategy
@@ -587,3 +597,106 @@ class BinnedStore:
         if columns is not None:
             out = out.select_columns(columns)
         return out
+
+
+# ------------------------------------------------------------- compaction
+def compact_store(root: str, sort_col: str = "cell", min_files: int = 2):
+    """Merge every partition directory's parquet files into ONE
+    ``sort_col``-clustered file — the analog of the reference backend's
+    table compaction (Accumulo majc over GeoWave tables): repeated
+    ingest/delete cycles leave one file per write task per partition,
+    and scan cost grows with file count, not row count.
+
+    Crash-safe swap protocol (per partition dir ``d``):
+      1. merged file written under ``root/_compact_tmp/<key>``
+      2. ``rename(d, root/_compact_old/<key>)`` then ``rename(tmp, d)``
+      3. old dir removed
+    Readers never look inside ``_compact_*``, and ``_recover_compaction``
+    (run first) restores or clears any dir stranded between renames, so
+    re-running after a crash converges.  Distributed: one partition per
+    task over a Dataset of dir paths.  Returns a pandas DataFrame of
+    (dir, files_before, rows)."""
+    import shutil
+
+    import pandas as pd
+    import ray
+
+    _recover_compaction(root)
+    skip = {"_compact_tmp", "_compact_old"}
+    work = []
+    for base, dirnames, names in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d not in skip]
+        pq_files = [n for n in names if n.endswith(".parquet")]
+        if len(pq_files) >= min_files:
+            work.append(os.path.relpath(base, root))
+    if not work:
+        return pd.DataFrame(columns=["dir", "files_before", "rows"])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_d, out_f, out_r = [], [], []
+        for rel in batch.column("dir").to_pylist():
+            d = os.path.join(root, rel)
+            files = sorted(
+                os.path.join(d, n)
+                for n in os.listdir(d)
+                if n.endswith(".parquet")
+            )
+            key = rel.replace(os.sep, "__")
+            tmp = os.path.join(root, "_compact_tmp", key)
+            old = os.path.join(root, "_compact_old", key)
+            for side in (tmp, old):
+                if os.path.isdir(side):
+                    shutil.rmtree(side)
+            os.makedirs(tmp)
+            os.makedirs(os.path.dirname(old), exist_ok=True)
+            merged = pa.concat_tables([pq.read_table(f) for f in files])
+            if sort_col in merged.column_names:
+                merged = merged.sort_by(sort_col)
+            pq.write_table(merged, os.path.join(tmp, "compacted-0.parquet"))
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+            out_d.append(rel)
+            out_f.append(len(files))
+            out_r.append(len(merged))
+        return pa.table(
+            {
+                "dir": pa.array(out_d),
+                "files_before": pa.array(out_f, type=pa.int64()),
+                "rows": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    merge.__name__ = "compact_partition"
+    res = (
+        ray.data.from_items([{"dir": d} for d in work])
+        .map_batches(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for side in ("_compact_tmp", "_compact_old"):
+        p = os.path.join(root, side)
+        if os.path.isdir(p) and not os.listdir(p):
+            os.rmdir(p)
+    return res
+
+
+def _recover_compaction(root: str) -> None:
+    """Finish or roll back a compaction interrupted mid-swap."""
+    import shutil
+
+    old_root = os.path.join(root, "_compact_old")
+    if os.path.isdir(old_root):
+        for key in os.listdir(old_root):
+            target = os.path.join(root, key.replace("__", os.sep))
+            src = os.path.join(old_root, key)
+            if os.path.isdir(target):
+                shutil.rmtree(src)  # swap completed; old copy is redundant
+            else:
+                os.rename(src, target)  # swap never happened; restore
+    tmp_root = os.path.join(root, "_compact_tmp")
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)  # partial merges are always safe to drop
+
+

@@ -449,3 +449,65 @@ def test_attribute_index_constant_column(tmp_path, ray_session):
     s.ingest(ray.data.from_arrow(t).repartition(2), compute_stats=False, attr_index_cols=["v"])
     assert s.attribute_range("v", 40.0, 45.0, columns=["image_id"]).count() == n
     assert s.attribute_range("v", 50.0, 60.0, columns=["image_id"]).count() == 0
+
+
+def test_compaction_merges_files_preserves_results(tmp_path, ray_session):
+    """Two ingests leave >=2 files per touched partition; compact() merges
+    each to one cell-sorted file with identical query results, and is
+    idempotent (re-run finds nothing to do)."""
+    import ray
+
+    from geowave_ray.store import compact_store
+
+    t = synth_images_table(1200, with_bytes=False)
+    s = GeoStore(str(tmp_path / "cstore"), prefix_bits=3)
+    half = len(t) // 2
+    s.ingest(ray.data.from_arrow(t.slice(0, half)).repartition(2))
+    s.ingest(ray.data.from_arrow(t.slice(half)).repartition(2), compute_stats=False)
+
+    q = SpatialQuery(box_polygon(-60, -30, 60, 60))
+    before = set(s.query(q, columns=["image_id"]).to_pandas()["image_id"])
+
+    res = s.compact()
+    assert len(res) > 0 and (res["files_before"] >= 2).all()
+    # every partition dir now holds exactly one parquet file
+    for base, dirs, names in os.walk(s.root):
+        pq = [n for n in names if n.endswith(".parquet")]
+        if pq:
+            assert len(pq) == 1, base
+    after = set(s.query(q, columns=["image_id"]).to_pandas()["image_id"])
+    assert after == before
+    # idempotent
+    assert len(compact_store(s.root)) == 0
+    # no swap residue
+    assert not os.path.isdir(os.path.join(s.root, "_compact_old"))
+    assert not os.path.isdir(os.path.join(s.root, "_compact_tmp"))
+
+
+def test_compaction_crash_recovery(tmp_path, ray_session):
+    """A partition stranded in _compact_old (crash between the two swap
+    renames) is restored by the recovery pass before compaction."""
+    import shutil
+
+    import ray
+
+    from geowave_ray.store import _recover_compaction
+
+    t = synth_images_table(400, with_bytes=False)
+    s = GeoStore(str(tmp_path / "rstore"), prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(2))
+    tier = os.path.join(s.root, "tier=31")
+    part = os.path.join(tier, sorted(os.listdir(tier))[0])
+    rel = os.path.relpath(part, s.root)
+    # simulate: dir renamed away, replacement never landed
+    old = os.path.join(s.root, "_compact_old", rel.replace(os.sep, "__"))
+    os.makedirs(os.path.dirname(old), exist_ok=True)
+    os.rename(part, old)
+    assert not os.path.isdir(part)
+    _recover_compaction(s.root)
+    assert os.path.isdir(part)
+    # simulate the other window: swap done, old copy left behind
+    os.makedirs(old)
+    shutil.copytree(part, old, dirs_exist_ok=True)
+    _recover_compaction(s.root)
+    assert not os.path.isdir(old) and os.path.isdir(part)

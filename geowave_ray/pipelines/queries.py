@@ -2057,6 +2057,45 @@ def q_ann_ivf_full(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+_VEC_STORE_CACHE: dict = {}
+
+
+def _cached_vec_store(sf_dir: str):
+    """One materialized IvfStore per (process, sf_dir): coarse centroids
+    trained + embeddings written under ivf_list=<L> partitions once."""
+    store = _VEC_STORE_CACHE.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        import ray
+
+        from ..vecstore import IvfStore
+
+        store = IvfStore(tempfile.mkdtemp(prefix="geowave_ivf_"))
+        store.ingest(
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            n_lists=16,
+        )
+        _VEC_STORE_CACHE[sf_dir] = store
+    return store
+
+
+def q_ivf_store_topk(sf_dir: str):
+    """Durable IVF layout end-to-end (geowave_ray/vecstore.py): embeddings
+    partitioned by coarse list at ingest, query reads ONLY the probed
+    list directories.  n_probe == n_lists probes every list, so the
+    result must equal the brute-force cosine ranking — proving the
+    materialized layout loses no vector."""
+    store = _cached_vec_store(sf_dir)
+    out = store.query(_query_vecs(sf_dir), k=6, n_probe=16)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_IVF_STORE_TOPK = SQL_ANN_TOPK.replace("rank <= 10", "rank <= 6")
+
+
 _STORE_CACHE: dict = {}
 
 
@@ -2950,6 +2989,7 @@ QUERIES = {
     # hash-verified in earlier rounds
     "interval_join": q_interval_join,
     "pack_sequences": q_pack_sequences,
+    "ivf_store_topk": q_ivf_store_topk,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "distinct_users": q_distinct_users,
@@ -3017,6 +3057,7 @@ ORACLE_SQL = {
     "windowed_agg": SQL_WINDOWED_AGG,
     "interval_join": SQL_INTERVAL_JOIN,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "ivf_store_topk": SQL_IVF_STORE_TOPK,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),

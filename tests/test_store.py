@@ -511,3 +511,49 @@ def test_compaction_crash_recovery(tmp_path, ray_session):
     shutil.copytree(part, old, dirs_exist_ok=True)
     _recover_compaction(s.root)
     assert not os.path.isdir(old) and os.path.isdir(part)
+
+
+def test_ivf_store_layout_pruning_and_exactness(tmp_path, ray_session):
+    """IvfStore materializes list partitions; low n_probe reads a strict
+    subset of directories; n_probe == n_lists reproduces brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.ann import brute_force_topk
+    from geowave_ray.vecstore import IvfStore
+
+    rng = np.random.default_rng(21)
+    n, d = 600, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    store = IvfStore(str(tmp_path / "ivf"))
+    store.ingest(ray.data.from_arrow(tbl), n_lists=8)
+    dirs = [e for e in os.listdir(store.root) if e.startswith("ivf_list=")]
+    assert len(dirs) == 8
+    queries = {"query_id": ["a", "b"], "vecs": vecs[:2].astype(np.float64)}
+
+    # exact when probing every list
+    full = store.query(queries, k=5, n_probe=8).take_all()
+    brute = brute_force_topk(
+        ray.data.from_arrow(tbl), queries, k=5
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["rank"], r["vec_id"]) for r in full)) == sorted(
+        ((r["query_id"], r["rank"], r["vec_id"]) for r in brute)
+    )
+    # pruning: n_probe=2 touches at most 2*2 list dirs
+    cents = store.centroids()
+    qv = vecs[:2] / np.linalg.norm(vecs[:2], axis=1, keepdims=True)
+    probe = np.argsort(-(qv @ cents.T), axis=1)[:, :2]
+    assert len(store.list_dirs(np.unique(probe.ravel()))) <= 4
+    # self-query at n_probe=1 still finds the vector itself at rank 1
+    near = store.query(queries, k=1, n_probe=1).take_all()
+    got = {r["query_id"]: r["vec_id"] for r in near}
+    assert got == {"a": 0, "b": 1}

@@ -538,9 +538,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, bucket,
-       (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        - n_tokens) // {PACK_BUDGET} AS pack_id
+       CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
 FROM t
 """
 

@@ -341,7 +341,9 @@ def interval_join(
         e = batch.column(left_end).cast(pa.int64()).to_numpy(zero_copy_only=False)
         b0 = np.floor_divide(s, bucket_us)
         b1 = np.floor_divide(e, bucket_us)
-        reps = (b1 - b0 + 1).astype(np.int64)
+        # inverted intervals (end < start) are EMPTY: zero replicas, zero
+        # matches — not a worker-side np.repeat crash
+        reps = np.maximum(b1 - b0 + 1, 0).astype(np.int64)
         idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
         offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
             np.cumsum(reps) - reps, reps

@@ -610,11 +610,16 @@ def compact_store(root: str, sort_col: str = "cell", min_files: int = 2):
     Crash-safe swap protocol (per partition dir ``d``):
       1. merged file written under ``root/_compact_tmp/<key>``
       2. ``rename(d, root/_compact_old/<key>)`` then ``rename(tmp, d)``
-      3. old dir removed
+      3. files that landed in ``d`` AFTER the merge snapshot (a concurrent
+         ingest) are moved from the old dir into the new one
+      4. old dir removed
     Readers never look inside ``_compact_*``, and ``_recover_compaction``
     (run first) restores or clears any dir stranded between renames, so
-    re-running after a crash converges.  Distributed: one partition per
-    task over a Dataset of dir paths.  Returns a pandas DataFrame of
+    re-running after a crash converges.  Like the reference backend's
+    major compaction, at most ONE compactor may run per store root at a
+    time (concurrent writers are safe — step 3 preserves their files;
+    concurrent compactors are not).  Distributed: one partition per task
+    over a Dataset of dir paths.  Returns a pandas DataFrame of
     (dir, files_before, rows)."""
     import shutil
 
@@ -638,12 +643,9 @@ def compact_store(root: str, sort_col: str = "cell", min_files: int = 2):
         out_d, out_f, out_r = [], [], []
         for rel in batch.column("dir").to_pylist():
             d = os.path.join(root, rel)
-            files = sorted(
-                os.path.join(d, n)
-                for n in os.listdir(d)
-                if n.endswith(".parquet")
-            )
-            key = rel.replace(os.sep, "__")
+            names = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
+            files = [os.path.join(d, n) for n in names]
+            key = _compact_key(rel)
             tmp = os.path.join(root, "_compact_tmp", key)
             old = os.path.join(root, "_compact_old", key)
             for side in (tmp, old):
@@ -655,9 +657,18 @@ def compact_store(root: str, sort_col: str = "cell", min_files: int = 2):
             if sort_col in merged.column_names:
                 merged = merged.sort_by(sort_col)
             pq.write_table(merged, os.path.join(tmp, "compacted-0.parquet"))
+            # sidecar records which source files the merge covered, so the
+            # salvage step (here or in crash recovery) can tell late
+            # concurrent writes apart from merged sources
+            import json as _json
+
+            with open(os.path.join(tmp, _SNAPSHOT_NAME), "w") as f:
+                _json.dump(names, f)
             os.rename(d, old)
             os.rename(tmp, d)
+            _salvage_late_files(d, old)
             shutil.rmtree(old)
+            os.remove(os.path.join(d, _SNAPSHOT_NAME))
             out_d.append(rel)
             out_f.append(len(files))
             out_r.append(len(merged))
@@ -682,6 +693,42 @@ def compact_store(root: str, sort_col: str = "cell", min_files: int = 2):
     return res
 
 
+_SNAPSHOT_NAME = "_compacted_sources.json"
+
+
+def _salvage_late_files(new_dir: str, old_dir: str) -> None:
+    """Move files a concurrent ingest wrote into the partition AFTER the
+    merge snapshot (swept into ``old_dir`` by the swap rename) back into
+    the live dir; merged-source files stay behind for removal."""
+    import json as _json
+
+    snap_path = os.path.join(new_dir, _SNAPSHOT_NAME)
+    if not os.path.exists(snap_path):
+        # no snapshot record -> cannot tell late files from merged sources;
+        # treat everything as merged (never resurrect duplicates)
+        return
+    with open(snap_path) as f:
+        snap = set(_json.load(f))
+    for n in os.listdir(old_dir):
+        if n not in snap:
+            os.rename(os.path.join(old_dir, n), os.path.join(new_dir, n))
+
+
+def _compact_key(rel: str) -> str:
+    """Reversible flat key for a partition relpath (percent-encoding —
+    a plain separator substitution collides when partition names contain
+    the substitute)."""
+    from urllib.parse import quote
+
+    return quote(rel, safe="")
+
+
+def _compact_key_decode(key: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(key)
+
+
 def _recover_compaction(root: str) -> None:
     """Finish or roll back a compaction interrupted mid-swap."""
     import shutil
@@ -689,10 +736,16 @@ def _recover_compaction(root: str) -> None:
     old_root = os.path.join(root, "_compact_old")
     if os.path.isdir(old_root):
         for key in os.listdir(old_root):
-            target = os.path.join(root, key.replace("__", os.sep))
+            target = os.path.join(root, _compact_key_decode(key))
             src = os.path.join(old_root, key)
             if os.path.isdir(target):
-                shutil.rmtree(src)  # swap completed; old copy is redundant
+                # swap completed; salvage late concurrent writes, then the
+                # merged-source copies are redundant
+                _salvage_late_files(target, src)
+                shutil.rmtree(src)
+                snap = os.path.join(target, _SNAPSHOT_NAME)
+                if os.path.exists(snap):
+                    os.remove(snap)
             else:
                 os.rename(src, target)  # swap never happened; restore
     tmp_root = os.path.join(root, "_compact_tmp")

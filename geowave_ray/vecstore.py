@@ -44,6 +44,12 @@ class IvfStore:
         persist centroids + manifest."""
         import ray
 
+        if os.path.exists(os.path.join(self.root, "_manifest.json")):
+            raise ValueError(
+                f"IvfStore root {self.root!r} already holds an ingested "
+                "generation; re-training centroids over appended files "
+                "would mix partitionings — use a fresh root"
+            )
         sample = ds.limit(max(n_lists * 64, sample_rows)).to_pandas()
         vecs = _normalize(np.asarray(sample[self.vec_col].tolist(), dtype=np.float32))
         rng = np.random.default_rng(13)
@@ -110,7 +116,14 @@ class IvfStore:
                     os.path.join(base, n) for n in names if n.endswith(".parquet")
                 )
         if not files:
-            return ray.data.from_items([])
+            # typed empty result matching brute_force_topk's output
+            # contract (id type defaults to int64 with no data to consult)
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("query_id", pa.string()), (self.id_col, pa.int64()),
+                     ("cosine", pa.float64()), ("rank", pa.int64())]
+                ).empty_table()
+            )
         ds = ray.data.read_parquet(sorted(files), columns=[self.id_col, self.vec_col])
         return brute_force_topk(
             ds, queries, k, id_col=self.id_col, vec_col=self.vec_col

@@ -491,7 +491,7 @@ def test_compaction_crash_recovery(tmp_path, ray_session):
 
     import ray
 
-    from geowave_ray.store import _recover_compaction
+    from geowave_ray.store import _compact_key, _recover_compaction
 
     t = synth_images_table(400, with_bytes=False)
     s = GeoStore(str(tmp_path / "rstore"), prefix_bits=3)
@@ -500,7 +500,7 @@ def test_compaction_crash_recovery(tmp_path, ray_session):
     part = os.path.join(tier, sorted(os.listdir(tier))[0])
     rel = os.path.relpath(part, s.root)
     # simulate: dir renamed away, replacement never landed
-    old = os.path.join(s.root, "_compact_old", rel.replace(os.sep, "__"))
+    old = os.path.join(s.root, "_compact_old", _compact_key(rel))
     os.makedirs(os.path.dirname(old), exist_ok=True)
     os.rename(part, old)
     assert not os.path.isdir(part)
@@ -511,6 +511,49 @@ def test_compaction_crash_recovery(tmp_path, ray_session):
     shutil.copytree(part, old, dirs_exist_ok=True)
     _recover_compaction(s.root)
     assert not os.path.isdir(old) and os.path.isdir(part)
+
+
+def test_compaction_salvages_concurrent_writes(tmp_path, ray_session):
+    """A file that lands in the partition after the merge snapshot (swept
+    into _compact_old by the swap) is moved back, not deleted — both in
+    the inline salvage and in crash recovery."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from geowave_ray.store import (
+        _SNAPSHOT_NAME,
+        _compact_key,
+        _recover_compaction,
+    )
+
+    t = synth_images_table(400, with_bytes=False)
+    s = GeoStore(str(tmp_path / "sstore"), prefix_bits=3)
+    s.ingest(ray.data.from_arrow(t).repartition(2))
+    tier = os.path.join(s.root, "tier=31")
+    part = os.path.join(tier, sorted(os.listdir(tier))[0])
+    rel = os.path.relpath(part, s.root)
+    snap = sorted(n for n in os.listdir(part) if n.endswith(".parquet"))
+    # stage the crash-after-swap state by hand: target holds the merged
+    # file + snapshot sidecar; old holds the sources PLUS one late file
+    old = os.path.join(s.root, "_compact_old", _compact_key(rel))
+    os.makedirs(os.path.dirname(old), exist_ok=True)
+    os.rename(part, old)
+    late = pq.read_table(os.path.join(old, snap[0]))
+    pq.write_table(late, os.path.join(old, "late-concurrent.parquet"))
+    os.makedirs(part)
+    merged = pa.concat_tables([pq.read_table(os.path.join(old, n)) for n in snap])
+    pq.write_table(merged, os.path.join(part, "compacted-0.parquet"))
+    with open(os.path.join(part, _SNAPSHOT_NAME), "w") as f:
+        json.dump(snap, f)
+    _recover_compaction(s.root)
+    names = sorted(os.listdir(part))
+    assert "late-concurrent.parquet" in names  # salvaged, not deleted
+    assert "compacted-0.parquet" in names
+    assert _SNAPSHOT_NAME not in names
+    assert not os.path.isdir(os.path.join(s.root, "_compact_old", _compact_key(rel)))
 
 
 def test_ivf_store_layout_pruning_and_exactness(tmp_path, ray_session):

@@ -2902,6 +2902,7 @@ def q_knn_join(sf_dir: str):
         ring=1,
         max_rounds=2,  # unproven queries finish via the broadcast knn path
         num_partitions=8,
+        pin_data=True,  # bounded 1-in-10 projection; fix-up scan reuses it
     )
     return out.select_columns(["query_id", "image_id", "rank"])
 

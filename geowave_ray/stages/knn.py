@@ -379,6 +379,7 @@ def knn_join(
     max_rounds: int = 3,
     num_partitions: int = 8,
     broadcast_cap: int = 65536,
+    pin_data: bool = False,
 ):
     """Large-large kNN (NNMapReduce shape) with BROADCAST ESCALATION.
 
@@ -397,8 +398,18 @@ def knn_join(
     replicating the DATA side (2r+1)^2-fold through a shuffle for the sake
     of a few stubborn queries.  Broadcasting the leftover queries instead
     touches each data block once with zero replication.
+
+    ``pin_data``: materialize the data side's PROJECTED (id, lon, lat)
+    columns once — the escalation fix-up otherwise re-reads and
+    re-derives them for its second streaming scan.  ~24 bytes/row in the
+    object store, so callers opt in when the projection is known to fit
+    (payload columns are never part of it either way).
     """
     from .util import safe_join
+
+    if pin_data:
+        proj = ["lon", "lat"] + ([id_col] if id_col not in ("lon", "lat") else [])
+        data_ds = data_ds.select_columns(proj).materialize()
 
     if not escalate or max_rounds <= 1:
         out = _knn_join_pass(queries_ds, data_ds, k, cell_deg, qid_col, id_col, ring)

@@ -610,6 +610,70 @@ def q_minhash_dedupe_pairs(sf_dir: str):
     return uniq.select_columns(["id_a", "id_b"])
 
 
+def q_dedup_corpus(sf_dir: str):
+    """END-TO-END near-dup removal: the corpus minus every dup-group
+    member that is not its group's representative (min doc_id).  The
+    drop set is tiny next to the corpus (only confirmed duplicates), so
+    it broadcasts into one anti-filter map_batches; above the cap a
+    left_anti safe_join is the shuffle fallback."""
+    import ray
+
+    from ..stages.components import connected_components_min_label
+    from ..stages.dedupe import lsh_candidate_pairs, minhash_signatures
+    from ..stages.util import collect_table, safe_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, text_col="text", id_col="doc_id")
+    pairs = lsh_candidate_pairs(sigs, id_col="doc_id")
+    labels = connected_components_min_label(pairs, a_col="id_a", b_col="id_b")
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("node"), batch.column("label"))
+        return pa.table({"doc_id": batch.filter(keep).column("node")})
+
+    non_reps.__name__ = "dedup_non_reps"
+    drops = labels.map_batches(non_reps, batch_format="pyarrow").materialize()
+    corpus = ds.select_columns(["doc_id"])
+    if drops.count() <= 1_000_000:
+        tbl = collect_table(drops)
+        drop_arr = (
+            np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+            if tbl is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+        ref = ray.put(drop_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(d) == 0:
+                return batch
+            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            return batch.filter(pa.array(d[pos] != ids))
+
+        keep.__name__ = "dedup_keep"
+        return corpus.map_batches(keep, batch_format="pyarrow")
+    return safe_join(
+        corpus, drops, "left_anti", 16, on=("doc_id",),
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+
+def _sql_dedup_corpus() -> str:
+    from .oracle_text import sql_minhash_groups
+
+    groups = sql_minhash_groups()
+    head, tail = groups.rsplit("SELECT pid AS doc_id", 1)
+    return (
+        head.rstrip().rstrip(",")
+        + ",\ng AS (SELECT pid AS doc_id"
+        + tail.strip()
+        + ")\nSELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+        "SELECT 1 FROM g WHERE g.doc_id = d.doc_id AND g.doc_id <> g.dup_group)"
+    )
+
+
 def q_minhash_dup_groups(sf_dir: str):
     """LSH duplicate GROUPS: connected components of the band-equality
     candidate graph via distributed min-label propagation (the scale path
@@ -2991,6 +3055,7 @@ QUERIES = {
     "interval_join": q_interval_join,
     "pack_sequences": q_pack_sequences,
     "ivf_store_topk": q_ivf_store_topk,
+    "dedup_corpus": q_dedup_corpus,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "distinct_users": q_distinct_users,
@@ -3059,6 +3124,7 @@ ORACLE_SQL = {
     "interval_join": SQL_INTERVAL_JOIN,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "ivf_store_topk": SQL_IVF_STORE_TOPK,
+    "dedup_corpus": _sql_dedup_corpus(),
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),

@@ -610,6 +610,55 @@ def q_minhash_dedupe_pairs(sf_dir: str):
     return uniq.select_columns(["id_a", "id_b"])
 
 
+STRATA_RATES = {"en": 0.25, "de": 0.8, "es": 0.6, "fr": 0.8, "zh": 0.5}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (BahmanEtAlSampleProbabilityFn
+    analog: the keep probability is a function of the row's stratum, here
+    rebalancing languages).  Same hash-threshold kernel as
+    deterministic_sample with a per-lang rate as the weight."""
+    import ray
+
+    from ..stages.analytics import weighted_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def add_rate(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        w = np.array([STRATA_RATES.get(l, 0.0) for l in langs])
+        return batch.append_column("w", pa.array(w))
+
+    add_rate.__name__ = "strata_rates"
+    out = weighted_sample(
+        ds.map_batches(add_rate, batch_format="pyarrow"),
+        rate=1.0,
+        id_col="doc_id",
+        weight_col="w",
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _sql_stratified_sample() -> str:
+    from ..stages.texthash import sql_mulmod64
+    from .oracle_text import _GOLD
+
+    z = sql_mulmod64("(doc_id + 7)::HUGEINT", f"{_GOLD}::HUGEINT")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, ({z}) AS z,
+         CASE lang {cases} ELSE 0.0 END AS w
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE CAST(xor(z, z >> 31) AS DOUBLE) / 18446744073709551616.0 < w
+"""
+
+
 def q_dedup_corpus(sf_dir: str):
     """END-TO-END near-dup removal: the corpus minus every dup-group
     member that is not its group's representative (min doc_id).  The
@@ -3056,6 +3105,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "ivf_store_topk": q_ivf_store_topk,
     "dedup_corpus": q_dedup_corpus,
+    "stratified_sample": q_stratified_sample,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "distinct_users": q_distinct_users,
@@ -3125,6 +3175,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "ivf_store_topk": SQL_IVF_STORE_TOPK,
     "dedup_corpus": _sql_dedup_corpus(),
+    "stratified_sample": _sql_stratified_sample(),
     "audio_features": SQL_AUDIO_FEATURES,
     "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "deterministic_sample": sql_deterministic_sample(_PTS_SQL),

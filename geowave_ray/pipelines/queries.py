@@ -626,10 +626,13 @@ def q_stratified_sample(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
+    lang_keys = pa.array(list(STRATA_RATES))
+    rates = np.array(list(STRATA_RATES.values()) + [0.0])  # miss -> 0.0
+
     def add_rate(batch: pa.Table) -> pa.Table:
-        langs = batch.column("lang").to_pylist()
-        w = np.array([STRATA_RATES.get(l, 0.0) for l in langs])
-        return batch.append_column("w", pa.array(w))
+        idx = pc.index_in(batch.column("lang"), lang_keys)
+        pos = idx.fill_null(len(rates) - 1).to_numpy(zero_copy_only=False)
+        return batch.append_column("w", pa.array(rates[pos]))
 
     add_rate.__name__ = "strata_rates"
     out = weighted_sample(
@@ -659,7 +662,7 @@ WHERE CAST(xor(z, z >> 31) AS DOUBLE) / 18446744073709551616.0 < w
 """
 
 
-def q_dedup_corpus(sf_dir: str):
+def q_dedup_corpus(sf_dir: str, broadcast_cap: int = 1_000_000):
     """END-TO-END near-dup removal: the corpus minus every dup-group
     member that is not its group's representative (min doc_id).  The
     drop set is tiny next to the corpus (only confirmed duplicates), so
@@ -669,7 +672,7 @@ def q_dedup_corpus(sf_dir: str):
 
     from ..stages.components import connected_components_min_label
     from ..stages.dedupe import lsh_candidate_pairs, minhash_signatures
-    from ..stages.util import collect_table, safe_join
+    from ..stages.util import broadcast_membership_filter, collect_table, safe_join
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = minhash_signatures(ds, text_col="text", id_col="doc_id")
@@ -682,26 +685,19 @@ def q_dedup_corpus(sf_dir: str):
 
     non_reps.__name__ = "dedup_non_reps"
     drops = labels.map_batches(non_reps, batch_format="pyarrow").materialize()
-    corpus = ds.select_columns(["doc_id"])
-    if drops.count() <= 1_000_000:
+    # fresh id-only read: reusing the (doc_id, text) dataset would rescan
+    # the heavy text column just to drop it
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if drops.count() <= broadcast_cap:
         tbl = collect_table(drops)
         drop_arr = (
-            np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+            tbl.column("doc_id").to_numpy(zero_copy_only=False)
             if tbl is not None
             else np.zeros(0, dtype=np.int64)
         )
-        ref = ray.put(drop_arr)
-
-        def keep(batch: pa.Table) -> pa.Table:
-            d = ray.get(ref)
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            if len(d) == 0:
-                return batch
-            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-            return batch.filter(pa.array(d[pos] != ids))
-
-        keep.__name__ = "dedup_keep"
-        return corpus.map_batches(keep, batch_format="pyarrow")
+        return broadcast_membership_filter(
+            corpus, drop_arr, "doc_id", keep_members=False
+        )
     return safe_join(
         corpus, drops, "left_anti", 16, on=("doc_id",),
         left_schema=pa.schema([("doc_id", pa.int64())]),
@@ -713,13 +709,10 @@ def _sql_dedup_corpus() -> str:
     from .oracle_text import sql_minhash_groups
 
     groups = sql_minhash_groups()
-    head, tail = groups.rsplit("SELECT pid AS doc_id", 1)
     return (
-        head.rstrip().rstrip(",")
-        + ",\ng AS (SELECT pid AS doc_id"
-        + tail.strip()
-        + ")\nSELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
-        "SELECT 1 FROM g WHERE g.doc_id = d.doc_id AND g.doc_id <> g.dup_group)"
+        "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+        f"SELECT 1 FROM ({groups}) g "
+        "WHERE g.doc_id = d.doc_id AND g.doc_id <> g.dup_group)"
     )
 
 
@@ -2583,19 +2576,12 @@ def q_ngram_jaccard(sf_dir: str):
     # BEFORE the explode replaces two full-corpus shuffle joins with one
     # streaming pass; at larger scale the exact set generalizes to a Bloom
     # filter over doc ids.
+    from ..stages.util import broadcast_membership_filter
+
     cdf = cand.to_pandas()
     cand_ids = np.unique(np.concatenate([cdf["id_a"].to_numpy(), cdf["id_b"].to_numpy()]))
-    ids_ref = ray.put(np.sort(cand_ids))
-
-    def only_cand_docs(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(wanted, d), 0, len(wanted) - 1)
-        return batch.filter(pa.array(wanted[pos] == d))
-
-    only_cand_docs.__name__ = "only_cand_docs"
     sh_rows = (
-        docs.map_batches(only_cand_docs, batch_format="pyarrow")
+        broadcast_membership_filter(docs, cand_ids, "doc_id", keep_members=True)
         .map_batches(explode, batch_format="pyarrow")
         .materialize()
     )

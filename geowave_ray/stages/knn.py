@@ -439,23 +439,16 @@ def knn_join(
     # filter, no shuffle); otherwise fall back to the anti-join.
     n_done = done_ids.count()
     if n_done <= broadcast_cap:
-        import ray
+        from .util import broadcast_membership_filter
 
-        done_arr = np.sort(
+        done_arr = (
             done_ids.to_pandas()[qid_col].to_numpy()
-        ) if n_done else np.array([], dtype=np.int64)
-        done_ref = ray.put(done_arr)
-
-        def not_done(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(done_ref)
-            q = batch.column(qid_col).to_numpy(zero_copy_only=False)
-            if len(wanted) == 0:
-                return batch
-            pos = np.clip(np.searchsorted(wanted, q), 0, len(wanted) - 1)
-            return batch.filter(pa.array(wanted[pos] != q))
-
-        not_done.__name__ = "knn_todo_filter"
-        todo_q = queries_ds.map_batches(not_done, batch_format="pyarrow").materialize()
+            if n_done
+            else np.array([], dtype=np.int64)
+        )
+        todo_q = broadcast_membership_filter(
+            queries_ds, done_arr, qid_col, keep_members=False
+        ).materialize()
     else:
         todo_q = safe_join(
             queries_ds, done_ids, "left_anti", num_partitions, on=(qid_col,)

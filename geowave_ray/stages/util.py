@@ -14,7 +14,40 @@ heavy state (multi-GB models); use ``stage_fn`` for everything else.
 
 from __future__ import annotations
 
-__all__ = ["stage_fn", "drop_empty_blocks", "safe_join", "collect_table"]
+__all__ = [
+    "stage_fn",
+    "drop_empty_blocks",
+    "safe_join",
+    "collect_table",
+    "broadcast_membership_filter",
+]
+
+
+def broadcast_membership_filter(ds, ids, col: str, keep_members: bool):
+    """Streaming semi (``keep_members=True``) / anti filter of ``ds``
+    against a broadcast id set — the shuffle-free replacement for a
+    semi/anti hash join when the id side is proven small.  ``ids`` is
+    sorted once on the driver and ray.put; each batch does one
+    searchsorted membership test.  An EMPTY id set means no members:
+    semi drops everything, anti keeps everything."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(ids)))
+
+    def fn(batch):
+        wanted = ray.get(ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if len(wanted) == 0:
+            member = np.zeros(len(v), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(wanted, v), 0, len(wanted) - 1)
+            member = wanted[pos] == v
+        return batch.filter(pa.array(member if keep_members else ~member))
+
+    fn.__name__ = f"bcast_{'semi' if keep_members else 'anti'}_{col}"
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def collect_table(ds):

@@ -517,3 +517,14 @@ def test_pack_sequences_greedy_stream(ray_session):
             assert by_id[i]["bucket"] == b
             assert by_id[i]["pack_id"] == cum // 1000  # first-token pack
             cum += toks[i]
+
+
+def test_dedup_corpus_join_fallback_matches_broadcast(ray_session):
+    """Force the >cap left_anti shuffle branch of q_dedup_corpus and check
+    it returns the same survivor set as the broadcast path."""
+    from geowave_ray.pipelines.queries import q_dedup_corpus
+
+    sf = "/root/testdata/sf0.001"
+    bcast = set(q_dedup_corpus(sf).to_pandas()["doc_id"])
+    joined = set(q_dedup_corpus(sf, broadcast_cap=0).to_pandas()["doc_id"])
+    assert joined == bcast and len(bcast) > 0

@@ -129,8 +129,14 @@ class PeriodicDimension(BasicDimension):
     (SpatialDimensionalityTypeProvider.java:130-224 custom-CRS axes)."""
 
     def get_normalized_ranges(self, lo: float, hi: float) -> list[BinRange]:
-        nlo = float(self.normalize(lo))
-        nhi = float(self.normalize(hi))
+        rng = self.hi - self.lo
+        if hi - lo >= rng:  # query spans the whole axis
+            return [BinRange(b"", 0.0, 1.0)]
+        # wrap endpoints modulo the axis range — the inherited clamp would
+        # silently drop the wrapped band of an out-of-range query, e.g.
+        # (350, 370) on [0, 360] losing [0, 10]
+        nlo = ((lo - self.lo) % rng) / rng
+        nhi = ((hi - self.lo) % rng) / rng
         if nhi < nlo:  # crosses the wrap boundary
             return [BinRange(b"", 0.0, nhi), BinRange(b"", nlo, 1.0)]
         return [BinRange(b"", nlo, nhi)]

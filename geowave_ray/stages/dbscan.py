@@ -415,6 +415,12 @@ def dbscan(
 
         assemble_bcast.__name__ = "dbscan_assemble_bcast"
         return flags.map_batches(assemble_bcast, batch_format="pyarrow")
+    # sentinel mode: border_pairs / labels may be empty (no borders / no
+    # cores) — sentinel rows keep Ray 2.49's hash join safe WITHOUT the
+    # materialize barrier the metadata-count path needs.  pids are
+    # caller ids (non-negative in every pipeline here) so -(2**62) is
+    # outside the domain.
+    _SENT = -(1 << 62)
     bj = safe_join(
         border_pairs,
         labels,
@@ -423,6 +429,7 @@ def dbscan(
         on=("node",),
         left_schema=pa.schema([("pid", pa.int64()), ("node", pa.int64())]),
         right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        sentinel=_SENT,
     )
     border = bj.select_columns(["pid", "label"]).groupby("pid").min("label")
 
@@ -448,6 +455,7 @@ def dbscan(
         lab_core, "left_outer", num_partitions, on=("pid",),
         left_schema=pa.schema([("pid", pa.int64()), ("is_core", pa.int64())]),
         right_schema=pa.schema([("pid", pa.int64()), ("clab", pa.int64())]),
+        sentinel=_SENT,
     )
     a2 = safe_join(
         a1, border, "left_outer", num_partitions, on=("pid",),
@@ -455,6 +463,7 @@ def dbscan(
             [("pid", pa.int64()), ("is_core", pa.int64()), ("clab", pa.int64())]
         ),
         right_schema=pa.schema([("pid", pa.int64()), ("blab", pa.int64())]),
+        sentinel=_SENT,
     )
 
     def assemble(batch: pa.Table) -> pa.Table:

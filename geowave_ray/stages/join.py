@@ -324,8 +324,24 @@ def cell_shuffle_join(
 
     hot_cells: dict[int, int] = {}
     if hot_cell_threshold is not None:
-        counts = points_cells.groupby("cell").count().to_pandas()
-        hot = counts[counts["count()"] > hot_cell_threshold]
+        # filter to hot cells DISTRIBUTED, before anything reaches the
+        # driver: at fine cell levels (31-bit, salting on) the per-cell
+        # histogram is corpus-scale, but cells above the skew threshold
+        # are few by definition (total_rows / threshold bounds them).
+        def only_hot(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.greater(batch.column("count()"), hot_cell_threshold)
+            )
+
+        only_hot.__name__ = "only_hot_cells"
+        hot = (
+            points_cells.groupby("cell")
+            .count()
+            .map_batches(only_hot, batch_format="pyarrow")
+            .to_pandas()
+        )
         hot_cells = {int(c): salt_factor for c in hot["cell"]}
     hot_ref = ray.put(hot_cells)
 

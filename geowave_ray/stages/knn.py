@@ -450,8 +450,18 @@ def knn_join(
             queries_ds, done_arr, qid_col, keep_members=False
         ).materialize()
     else:
+        # this branch only runs when n_done > broadcast_cap, so done_ids
+        # is non-empty; queries_ds must hold rows for any qid to be done.
+        # Both are ALREADY materialized -> drop_empty_blocks is metadata-
+        # only (guarantees the non-empty first block Ray 2.49's join
+        # needs) and assume_nonempty skips any further barrier.
+        from .util import drop_empty_blocks
+
         todo_q = safe_join(
-            queries_ds, done_ids, "left_anti", num_partitions, on=(qid_col,)
+            drop_empty_blocks(queries_ds),
+            drop_empty_blocks(done_ids),
+            "left_anti", num_partitions, on=(qid_col,),
+            assume_nonempty=True,
         ).materialize()
     n_todo = todo_q.count()
     if n_todo == 0:
@@ -464,12 +474,12 @@ def knn_join(
     # the in-band flag replaces the old left_semi shuffle
     done_res = res.map_batches(only_complete_rows, batch_format="pyarrow")
     if n_todo <= broadcast_cap:
-        tq = todo_q.select_columns([qid_col, "lon", "lat"]).take_all()
-        qdict = {
-            qid_col: [row[qid_col] for row in tq],
-            "lon": [row["lon"] for row in tq],
-            "lat": [row["lat"] for row in tq],
-        }
+        from .util import collect_table
+
+        # n_todo > 0 and <= broadcast_cap: one Arrow pull, no row loop
+        qdict = collect_table(
+            todo_q.select_columns([qid_col, "lon", "lat"])
+        ).to_pydict()
         fixed = knn(data_ds, qdict, k, id_col=id_col, qid_col=qid_col)
     else:
         fixed = knn_join(

@@ -73,6 +73,7 @@ def search_text_index(
     source_ds=None,
     text_col: str | None = None,
     ngram_n: int = 3,
+    broadcast_cap: int = 5_000_000,
 ):
     """mode in {'begins_with', 'ends_with', 'contains'} -> Dataset of ids.
 
@@ -109,20 +110,46 @@ def search_text_index(
     if mode != "contains" or source_ds is None:
         return candidates
 
-    # fine verification for contains (an n-gram hit is only a candidate)
+    # fine verification for contains (an n-gram hit is only a candidate).
+    # The candidate-id set over a common trigram is corpus-scale, so the
+    # driver pull is CAPPED (CLAUDE.md convention): <= broadcast_cap ->
+    # one sorted-array broadcast + streaming membership filter; above it
+    # -> streaming left_semi hash join, candidates never touch the driver.
     import ray
 
-    cand_ids = {r[id_col] for r in candidates.take_all()}
-    cand_ref = ray.put(cand_ids)
+    from .util import broadcast_membership_filter, collect_table, safe_join
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_ok = np.array(
-            [i in ray.get(cand_ref) for i in batch.column(id_col).to_pylist()]
-        )
-        texts = np.array(
-            [q in (t or "").lower() for t in batch.column(text_col).to_pylist()]
-        )
-        return batch.filter(pa.array(ids_ok & texts)).select([id_col])
+    cand = candidates.materialize()  # stays in the object store (spillable)
+    n_cand = cand.count()  # metadata-only after materialize
+    if n_cand == 0:
+        src_schema = source_ds.schema()
+        empty = pa.schema(
+            [(id_col, dict(zip(src_schema.names, src_schema.types))[id_col])]
+        ).empty_table()
+        return ray.data.from_arrow(empty)
 
-    verify.__name__ = "text_contains_verify"
-    return source_ds.map_batches(verify, batch_format="pyarrow")
+    def verify_text(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch.column(text_col), pa.string())
+        ok = pc.match_substring(pc.utf8_lower(texts), q)
+        return batch.filter(pc.fill_null(ok, False)).select([id_col])
+
+    verify_text.__name__ = "text_contains_verify"
+
+    if n_cand <= broadcast_cap:
+        ids = collect_table(cand).column(id_col).to_numpy(zero_copy_only=False)
+        narrowed = broadcast_membership_filter(
+            source_ds, ids, id_col, keep_members=True
+        )
+    else:
+        # candidates non-empty implies the corpus has rows; cand is
+        # already materialized so the empty-block strip is metadata-only
+        # (Ray 2.49's join needs a non-empty FIRST block per side).
+        # source_ds is expected to be a source read (non-empty first
+        # block) — the public entry points pass read_parquet datasets.
+        from .util import drop_empty_blocks
+
+        narrowed = safe_join(
+            source_ds, drop_empty_blocks(cand), "left_semi", 32,
+            on=(id_col,), assume_nonempty=True,
+        )
+    return narrowed.map_batches(verify_text, batch_format="pyarrow")

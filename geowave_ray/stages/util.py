@@ -83,13 +83,15 @@ def stage_fn(cls, **kwargs):
 def drop_empty_blocks(ds, schema=None):
     """Materialize and rebuild a Dataset from its non-empty blocks only.
 
-    Works around a Ray Data 2.49 quirk: ``map_batches`` passes 0-row input
-    blocks through WITHOUT running the UDF, producing 0-row 0-COLUMN
-    blocks; a downstream hash ``Dataset.join`` then fails with
-    "No match ... for key field reference" when such a block lands in a
-    partition.  Only block *references* move here — no data is pulled to
-    the driver (metadata row counts decide).  ``schema`` (pa.schema) is
-    used to synthesize a typed empty dataset when every block is empty."""
+    Ray Data 2.49's hash join fails ("No match ... for key field
+    reference") when a side's FIRST block is 0-row (see safe_join);
+    stripping empty blocks guarantees a non-empty first block whenever
+    any rows exist at all.  On an already-materialized dataset this is
+    metadata-only: block *references* move, no data is pulled to the
+    driver (metadata row counts decide).  On a lazy dataset the
+    materialize() is a pipeline barrier — prefer safe_join's sentinel
+    mode there.  ``schema`` (pa.schema) is used to synthesize a typed
+    empty dataset when every block is empty."""
     import pyarrow as pa
     import ray
 
@@ -125,32 +127,106 @@ def safe_join(
     left_schema=None,
     right_schema=None,
     assume_nonempty: bool = False,
+    sentinel: int | None = None,
 ):
-    """``Dataset.join`` with empty-input handling.
+    """``Dataset.join`` with empty-SIDE handling.
 
-    Ray Data 2.49's hash join crashes ("No match ... for key field
-    reference") when one side has NO non-empty blocks — empty blocks'
-    shuffle shards never reach the aggregators, whose ArrowBlockBuilder
-    then builds a 0-column partition table.  This wrapper (a) strips
-    0-row blocks (see drop_empty_blocks), and (b) short-circuits fully
-    empty sides driver-side: empty left (or inner with empty right) ->
-    typed empty result; left_outer with empty right -> left rows with
-    null-filled right columns."""
+    Ray Data 2.49's hash join crashes (``HashShuffleAggregator.finalize``
+    ArrowInvalid) exactly when a side's FIRST block is 0-row — typed or
+    schema-less, with or without later data blocks.  Empty blocks in any
+    later position are harmless, as are 0-column blocks under
+    select/groupby/sort/union (all verified empirically; regression-
+    tested in tests/test_util.py).  So:
+
+    - ``assume_nonempty=True`` is a ZERO-overhead direct join: no
+      materialize, no block strip — the pipeline streams end to end.
+      Safe ONLY when both sides' first block is structurally non-empty:
+      a read_parquet of a non-empty file, or a materialized dataset the
+      caller has passed through ``drop_empty_blocks`` (metadata-only on
+      already-materialized data — no extra compute).
+    - ``sentinel=<int>`` keeps a possibly-empty-side join FULLY STREAMING:
+      for a single-int64-key join it PREPENDS one sentinel row to each
+      side (left key=sentinel, right key=sentinel-1 — mutually
+      non-matching, so they produce no joined pair), making each side's
+      first block structurally non-empty, then filters
+      ``left_key == sentinel`` out of the result.  The caller must
+      reserve two key values outside the data domain (our internal ids
+      are non-negative, so ``-(2**62)`` works).  Requires
+      left_schema/right_schema for the sentinel rows.
+    - the default path materializes each side once (unavoidable: the
+      emptiness of an arbitrary lazy Dataset is unknowable without
+      running it) and reads metadata row counts; a fully-empty side is
+      short-circuited driver-side: empty left (or inner with empty
+      right) -> typed empty result; left_outer with empty right -> left
+      rows with null-filled right columns."""
     import numpy as np  # noqa: F401  (kept for parity with callers)
     import pyarrow as pa
     import ray
 
-    l2 = drop_empty_blocks(left, left_schema)
-    r2 = drop_empty_blocks(right, right_schema)
+    def _join(l, r):
+        # Cap each join's aggregator-actor pool at ~1/8 of cluster CPUs.
+        # Ray 2.49's default reserves (CPU/2)/num_partitions per
+        # partition — with the streaming joins above, SEVERAL
+        # JoinOperators can be live in one DAG, and their pools plus
+        # upstream tasks then oversubscribe the cluster and deadlock
+        # (observed: 3 concurrent 16-partition joins on 4 CPUs).  The
+        # reservation only gates scheduling; finalize throughput is set
+        # by the number of aggregator processes, not this fraction.
+        kwargs = {}
+        if ray.is_initialized():
+            ncpu = ray.cluster_resources().get("CPU")
+            if ncpu:
+                kwargs["aggregator_ray_remote_args"] = {
+                    "num_cpus": max(0.01, round(ncpu * 0.125 / num_partitions, 3))
+                }
+        return l.join(
+            r, join_type, num_partitions, on=on, right_on=right_on, **kwargs
+        )
+
     if assume_nonempty:
-        # caller guarantees both sides hold rows: skip the count()-based
-        # empty-side short-circuit (the 0-row-block strip above is still
-        # required — Ray 2.49's hash join crashes on schema-less blocks)
-        return l2.join(r2, join_type, num_partitions, on=on, right_on=right_on)
-    l_empty = l2.count() == 0
+        return _join(left, right)
+    if sentinel is not None:
+        lkey = on[0] if not isinstance(on, str) else on
+        rkey = (right_on[0] if not isinstance(right_on, str) else right_on) if right_on else lkey
+        assert (not isinstance(on, (list, tuple))) or len(on) == 1, (
+            "sentinel mode implements single-key joins only"
+        )
+        assert left_schema is not None and right_schema is not None, (
+            "sentinel mode needs both schemas to build sentinel rows"
+        )
+
+        def one_row(schema: "pa.Schema", key: str, val: int) -> "pa.Table":
+            return pa.table(
+                {
+                    f.name: (pa.array([val], f.type) if f.name == key
+                             else pa.nulls(1, f.type))
+                    for f in schema
+                }
+            )
+
+        # sentinel PREPENDED: the crash condition is an empty FIRST block
+        l3 = ray.data.from_arrow(one_row(left_schema, lkey, sentinel)).union(left)
+        r3 = ray.data.from_arrow(one_row(right_schema, rkey, sentinel - 1)).union(right)
+        joined = _join(l3, r3)
+
+        def drop_sentinel(batch: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as pc
+
+            keep = pc.not_equal(batch.column(lkey), pa.scalar(sentinel, pa.int64()))
+            return batch.filter(pc.fill_null(keep, True))
+
+        drop_sentinel.__name__ = "drop_sentinel_" + lkey
+        return joined.map_batches(drop_sentinel, batch_format="pyarrow")
+    l2 = left.materialize()
+    r2 = right.materialize()
+    l_empty = l2.count() == 0  # metadata-only after materialize
     r_empty = r2.count() == 0
     if not l_empty and not r_empty:
-        return l2.join(r2, join_type, num_partitions, on=on, right_on=right_on)
+        # strip empty blocks (metadata-only on materialized data) so the
+        # first block of each side is guaranteed non-empty
+        l2 = drop_empty_blocks(l2, left_schema)
+        r2 = drop_empty_blocks(r2, right_schema)
+        return _join(l2, r2)
 
     assert join_type in ("inner", "left_outer", "left_semi", "left_anti"), (
         "safe_join empty-side shortcut only implements "

@@ -405,6 +405,33 @@ def test_dbscan(ray_session):
     assert {k: int(v) for k, v in lab.items()} == ref
 
 
+def test_dbscan_join_fallback_matches_broadcast(ray_session):
+    """broadcast_cap=0 forces the hash-join label-assembly fallback (the
+    100-TB path, now sentinel-streamed with no materialize barrier); it
+    must produce exactly the broadcast path's labels."""
+    import ray
+
+    from geowave_ray.stages.dbscan import dbscan
+
+    rng = np.random.default_rng(6)
+    blob1 = rng.normal([10, 10], 0.2, (80, 2))
+    blob2 = rng.normal([20, 20], 0.2, (80, 2))
+    noise = np.stack([rng.uniform(-170, 170, 20), rng.uniform(-80, 80, 20)], axis=1)
+    noise = noise[(np.abs(noise[:, 0] - 10) > 5) & (np.abs(noise[:, 0] - 20) > 5)]
+    pts = np.concatenate([blob1, blob2, noise])
+    t = pa.table(
+        {"pid": np.arange(len(pts), dtype=np.int64), "lon": pts[:, 0], "lat": pts[:, 1]}
+    )
+    a = dbscan(ray.data.from_arrow(t).repartition(4), eps=0.5, min_pts=5).to_pandas()
+    b = dbscan(
+        ray.data.from_arrow(t).repartition(4), eps=0.5, min_pts=5,
+        broadcast_cap=0, num_partitions=4,  # 16 spawns 48 aggregators at 4 CPUs
+    ).to_pandas()
+    la = dict(zip(a["pid"], a["cluster"]))
+    lb = dict(zip(b["pid"], b["cluster"]))
+    assert la == lb
+
+
 def test_tdigest_quantiles():
     from geowave_ray.stages.aggregate import TDigest
 

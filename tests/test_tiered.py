@@ -451,3 +451,28 @@ def test_unbounded_binned_crs_strategy():
 
     with pytest.raises(ValueError):
         st.query_ranges([(-1e9, 1e9), (0.0, 1.0)])
+
+
+def test_periodic_dimension_out_of_range_wrap():
+    """ADVICE r3: out-of-range endpoints on a periodic axis must wrap
+    modulo the range, not clamp (clamping drops the wrapped band)."""
+    from geowave_ray.index.dimensions import PeriodicDimension
+
+    d = PeriodicDimension(0.0, 360.0)
+    # (350, 370) wraps: [350,360] + [0,10]
+    rs = d.get_normalized_ranges(350.0, 370.0)
+    assert len(rs) == 2
+    lo_band = min(rs, key=lambda r: r.norm_lo)
+    hi_band = max(rs, key=lambda r: r.norm_lo)
+    assert lo_band.norm_lo == 0.0 and abs(lo_band.norm_hi - 10 / 360) < 1e-12
+    assert abs(hi_band.norm_lo - 350 / 360) < 1e-12 and hi_band.norm_hi == 1.0
+    # classic hi<lo wrap form still splits identically
+    assert d.get_normalized_ranges(350.0, 10.0) == rs
+    # full-axis query collapses to [0,1]
+    full = d.get_normalized_ranges(-10.0, 400.0)
+    assert len(full) == 1 and full[0].norm_lo == 0.0 and full[0].norm_hi == 1.0
+    # ordinary in-range query: single band
+    rs2 = d.get_normalized_ranges(10.0, 50.0)
+    assert len(rs2) == 1
+    assert abs(rs2[0].norm_lo - 10 / 360) < 1e-12
+    assert abs(rs2[0].norm_hi - 50 / 360) < 1e-12

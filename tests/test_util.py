@@ -75,6 +75,77 @@ def test_safe_join_survives_empty_blocks_and_empty_sides(ray_session):
     assert len(out5) == 20
 
 
+def test_safe_join_sentinel_streams_all_join_types(ray_session):
+    """sentinel mode: possibly-empty sides join fully streaming (no
+    materialize barrier) for every supported join type, with correct
+    results when a side IS empty and when both hold rows."""
+    import ray.data as rd
+
+    from geowave_ray.stages.util import safe_join
+
+    i64 = pa.int64()
+    SENT = -(1 << 62)
+    lsch = pa.schema([("k", i64), ("v", i64)])
+    rsch = pa.schema([("k", i64), ("x", i64)])
+    left = rd.from_arrow(
+        pa.table({"k": np.array([1, 2, 3], np.int64), "v": np.array([10, 20, 30], np.int64)})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": np.array([1, 2], np.int64), "x": np.array([5, 6], np.int64)})
+    )
+    empty_r = rd.from_arrow(rsch.empty_table())
+    empty_l = rd.from_arrow(lsch.empty_table())
+
+    # both non-empty
+    kw = dict(left_schema=lsch, right_schema=rsch, sentinel=SENT)
+    assert safe_join(left, right, "inner", 4, on=("k",), **kw).count() == 2
+    lo = safe_join(left, right, "left_outer", 4, on=("k",), **kw).to_pandas()
+    assert len(lo) == 3 and lo["x"].isna().sum() == 1
+    assert safe_join(left, right, "left_semi", 4, on=("k",), **kw).count() == 2
+    assert safe_join(left, right, "left_anti", 4, on=("k",), **kw).count() == 1
+
+    # empty right (the Ray 2.49 crash case) — sentinel keeps it streaming
+    assert safe_join(left, empty_r, "inner", 4, on=("k",), **kw).count() == 0
+    lo2 = safe_join(left, empty_r, "left_outer", 4, on=("k",), **kw).to_pandas()
+    assert len(lo2) == 3 and lo2["x"].isna().all()
+    assert safe_join(left, empty_r, "left_anti", 4, on=("k",), **kw).count() == 3
+
+    # empty left
+    assert safe_join(empty_l, right, "inner", 4, on=("k",), **kw).count() == 0
+    assert safe_join(empty_l, right, "left_outer", 4, on=("k",), **kw).count() == 0
+
+    # both empty
+    assert safe_join(empty_l, empty_r, "inner", 4, on=("k",), **kw).count() == 0
+
+
+def test_plain_join_empty_first_block_rule(ray_session):
+    """Empirical basis for safe_join: Ray 2.49's hash join crashes
+    exactly when a side's FIRST block is 0-row; empty blocks in later
+    positions are harmless.  If either half of this starts failing on a
+    Ray upgrade, revisit safe_join (sentinel prepend + drop_empty_blocks
+    could then be retired)."""
+    import pytest
+    import ray.data as rd
+
+    t = pa.table({"k": np.array([1, 2, 3], np.int64), "v": np.array([10, 20, 30], np.int64)})
+    r = pa.table({"k": np.array([1, 2], np.int64), "x": np.array([5, 6], np.int64)})
+
+    def ident(b):
+        return b
+
+    # empty block in a LATER position (0-column after map_batches' UDF
+    # skip): join works
+    left = rd.from_arrow([t, t.schema.empty_table()]).map_batches(
+        ident, batch_format="pyarrow"
+    )
+    assert left.join(rd.from_arrow(r), "inner", 4, on=("k",)).count() == 2
+
+    # empty FIRST block: crashes (the bug safe_join works around)
+    bad = rd.from_arrow([r.schema.empty_table(), r])
+    with pytest.raises(Exception):
+        rd.from_arrow(t).join(bad, "inner", 4, on=("k",)).count()
+
+
 def test_xz_query_ranges_complete_and_bounded():
     """Böhm XZ query ranges: no intersecting box's code may fall outside
     the ranges; max_ranges merging keeps completeness."""

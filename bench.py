@@ -113,21 +113,38 @@ def headline_throughput(num_cpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict:
-    """Per-query wall times over the driver testdata tables."""
+def run_queries(sf_dir: str, retry_slower_than: float = 5.0) -> dict:
+    """Per-query wall times over the driver testdata tables.
+
+    Noise hardening (r3 verdict #9): every query runs once; entries slower
+    than ``retry_slower_than`` seconds get ONE re-run in the same warmed
+    process and record the MIN.  Shared-host LA bursts inflate a contiguous
+    run of sweep positions 5-10x (see BENCH_r03 tail analysis) — the
+    re-run costs time exactly and only where a burst may have landed."""
     import importlib
 
     entry_mod = importlib.import_module("__ray_entry__")
-    out = {}
-    for name, fn in entry_mod.queries().items():
+    queries = entry_mod.queries()
+
+    def once(fn):
         t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        return round(time.time() - t0, 3)
+
+    out = {}
+    for name, fn in queries.items():
         try:
-            res = fn(sf_dir)
-            if hasattr(res, "count"):
-                res.count()
-            out[name] = round(time.time() - t0, 3)
+            out[name] = once(fn)
         except Exception as e:  # pragma: no cover
             out[name] = f"ERROR: {e}"
+    for name, t in list(out.items()):
+        if isinstance(t, float) and t > retry_slower_than:
+            try:
+                out[name] = min(t, once(queries[name]))
+            except Exception:  # pragma: no cover - keep the first sample
+                pass
     return out
 
 
@@ -222,6 +239,15 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "headline": head,
+                # estimator labeled explicitly (r3 ADVICE): the headline is
+                # BEST-of-2 same-process samples; the median is recorded
+                # alongside so round-over-round comparisons can use either
+                "headline_estimator": "best_of_2",
+                "headline_median": round(
+                    sorted(h["rows_per_sec"] for h in samples)[0] / 2
+                    + sorted(h["rows_per_sec"] for h in samples)[1] / 2,
+                    1,
+                ),
                 "headline_samples": [h["rows_per_sec"] for h in samples],
             }
         )

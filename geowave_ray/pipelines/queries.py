@@ -742,17 +742,14 @@ def q_dedup_corpus(sf_dir: str, broadcast_cap: int = 1_000_000):
         return broadcast_membership_filter(
             corpus, drop_arr, "doc_id", keep_members=False
         )
-    # drops.count() > cap here, so both sides are provably non-empty.
-    # corpus is a fresh read_parquet (non-empty row groups -> non-empty
-    # first block); drops is already materialized, so the empty-block
-    # strip is metadata-only.  assume_nonempty -> fully streaming anti-
-    # join, no materialize barrier on the corpus side.
-    from ..stages.util import drop_empty_blocks
+    # drops.count() > cap: Bloom prefilter + exact residual join — the
+    # corpus streams once through the broadcast bitmap (definitely-keep
+    # rows never enter a shuffle); only the maybe-member residue hits the
+    # exact left_anti.  Result is exact (false positives only route rows
+    # to the exact join).
+    from ..stages.util import bloom_anti_filter
 
-    return safe_join(
-        corpus, drop_empty_blocks(drops), "left_anti", 16, on=("doc_id",),
-        assume_nonempty=True,
-    )
+    return bloom_anti_filter(corpus, drops, "doc_id", num_partitions=16)
 
 
 def _sql_dedup_corpus() -> str:
@@ -3076,6 +3073,175 @@ SELECT query_id, image_id, rank FROM ranked WHERE rank <= {KNN_JOIN_K}
 """
 
 
+# ------------------------------------------------------------ heavy hitters
+CMS_HH_THRESHOLD = 70
+CMS_HH_D = 4
+CMS_HH_W = 2048
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters (VERDICT r3 #10; reference
+    statistics/field/CountMinSketchStatistic.java): distributed partial
+    sketches merge by addition, candidates stream through the broadcast
+    merged sketch, keep est >= threshold.  The DuckDB oracle REPLAYS the
+    sketch hash (mulmod64 + xorshift) cell by cell — a full hash gate on
+    the approximate estimates, like hll_distinct_users' register parity."""
+    import ray
+
+    from ..stages.aggregate import CountMinSketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(CMS_HH_D, CMS_HH_W)
+        cms.add_ints(batch.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"cms": pa.array([cms.table.tobytes()], type=pa.large_binary())}
+        )
+
+    partial.__name__ = "cms_partial"
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    table = np.zeros((CMS_HH_D, CMS_HH_W), dtype=np.int64)
+    for r in parts:
+        table += np.frombuffer(r["cms"], dtype=np.int64).reshape(CMS_HH_D, CMS_HH_W)
+    tab_ref = ray.put(table)
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u)})
+
+    uniq.__name__ = "hh_uniq"
+    cand = (
+        ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+    )
+
+    def est_filter(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(CMS_HH_D, CMS_HH_W, ray.get(tab_ref))
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        est = cms.query_ints(u)
+        keep = est >= CMS_HH_THRESHOLD
+        return pa.table({"user_id": pa.array(u[keep]), "est_n": pa.array(est[keep])})
+
+    est_filter.__name__ = "hh_est_filter"
+    return cand.map_batches(est_filter, batch_format="pyarrow")
+
+
+def _sql_heavy_hitters() -> str:
+    from ..stages.texthash import M64_SQL, sql_mulmod64
+
+    d, w = CMS_HH_D, CMS_HH_W
+    mul = "13787848793156543929::HUGEINT"  # 0xBF58476D1CE4E5B9
+    seeds = [((r + 1) * 0x9E3779B97F4A7C15) % 2**64 for r in range(d)]
+
+    def idx_expr(col: str, s: int) -> str:
+        zin = f"((({col})::HUGEINT + {s}::HUGEINT) % {M64_SQL})"
+        z = sql_mulmod64(zin, mul)
+        zx = f"xor(({z}), ({z}) >> 29)"
+        return f"(({zx}) % {w})"
+
+    idx_cols = ", ".join(
+        f"{idx_expr('user_id', s)} AS idx{r}" for r, s in enumerate(seeds)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS r, idx{r} AS idx, cnt FROM hashed" for r in range(d)
+    )
+    joins = " ".join(
+        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.idx = h.idx{r}" for r in range(d)
+    )
+    least = "LEAST(" + ", ".join(f"c{r}.total" for r in range(d)) + ")"
+    return f"""
+WITH counts AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+hashed AS (SELECT user_id, cnt, {idx_cols} FROM counts),
+cells AS (SELECT r, idx, SUM(cnt) AS total FROM ({union}) GROUP BY r, idx)
+SELECT h.user_id, CAST({least} AS BIGINT) AS est_n
+FROM hashed h {joins}
+WHERE {least} >= {CMS_HH_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------------ geotiff
+GEOTIFF_N = 16
+GEOTIFF_W = 128
+GEOTIFF_TILE = 32
+
+
+def q_geotiff_tiles(sf_dir: str):
+    """Real-world raster FORMAT ingest (VERDICT r3 #7): deterministic
+    uncompressed GeoTIFFs are encoded, decoded back through the from-spec
+    struct parser (sources/geotiff.py — the container-bans-rasterio
+    analog of RasterDataAdapter.java:444-550), cut into 32x32 tiles, and
+    reduced to per-tile pixel sums + georeferenced tile origins.  The SQL
+    oracle replays the pixel formula arithmetically — a full hash gate on
+    the decode path."""
+    import ray
+
+    from ..sources.geotiff import geotiff_decode, geotiff_encode
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        y, x = np.mgrid[0:GEOTIFF_W, 0:GEOTIFF_W]
+        blobs = []
+        for i in ids:
+            px = ((int(i) * 7919 + y * 31 + x * 13) % 256).astype(np.uint8)
+            blobs.append(
+                geotiff_encode(px, origin=(float(i) * 10.0, 0.0), pixel_scale=(0.25, 0.25))
+            )
+        return pa.table(
+            {"tiff_id": pa.array(ids, pa.int64()), "tiff": pa.array(blobs, pa.binary())}
+        )
+
+    make.__name__ = "geotiff_make"
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        nt = GEOTIFF_W // GEOTIFF_TILE
+        out_id, out_tx, out_ty, out_sum, out_minx = [], [], [], [], []
+        for i in range(len(batch)):
+            px, geo = geotiff_decode(batch.column("tiff")[i].as_py())
+            sums = px.astype(np.int64).reshape(
+                nt, GEOTIFF_TILE, nt, GEOTIFF_TILE
+            ).sum(axis=(1, 3))
+            ty, tx = np.mgrid[0:nt, 0:nt]
+            tid = batch.column("tiff_id")[i].as_py()
+            out_id.append(np.full(nt * nt, tid, dtype=np.int64))
+            out_tx.append(tx.ravel().astype(np.int64))
+            out_ty.append(ty.ravel().astype(np.int64))
+            out_sum.append(sums.ravel())
+            out_minx.append(
+                geo["origin"][0] + tx.ravel() * GEOTIFF_TILE * geo["pixel_scale"][0]
+            )
+        return pa.table(
+            {
+                "tiff_id": pa.array(np.concatenate(out_id)),
+                "tile_x": pa.array(np.concatenate(out_tx)),
+                "tile_y": pa.array(np.concatenate(out_ty)),
+                "px_sum": pa.array(np.concatenate(out_sum)),
+                "minx": pa.array(np.concatenate(out_minx), pa.float64()),
+            }
+        )
+
+    tiles.__name__ = "geotiff_tiles"
+    ds = ray.data.range(GEOTIFF_N, override_num_blocks=4)
+    return ds.map_batches(make, batch_format="pyarrow").map_batches(
+        tiles, batch_format="pyarrow"
+    )
+
+
+SQL_GEOTIFF_TILES = f"""
+WITH g AS (
+  SELECT i, x, y, (i * 7919 + y * 31 + x * 13) % 256 AS v
+  FROM generate_series(0, {GEOTIFF_N - 1}) t(i),
+       generate_series(0, {GEOTIFF_W - 1}) ys(y),
+       generate_series(0, {GEOTIFF_W - 1}) xs(x)
+)
+SELECT i AS tiff_id, x // {GEOTIFF_TILE} AS tile_x, y // {GEOTIFF_TILE} AS tile_y,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       i * 10.0 + (x // {GEOTIFF_TILE}) * {GEOTIFF_TILE} * 0.25 AS minx
+FROM g GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------- text index / expressions
 TEXT_SEARCH_TERM = "vector"
 
@@ -3186,10 +3352,10 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "windowed_agg": q_windowed_agg,
     "gwql_bbox_agg": q_gwql_bbox_agg,
-    "cql_query": q_cql_query,
+    "heavy_hitters": q_heavy_hitters,
     "cql_or_query": q_cql_or_query,
     "cql_dwithin": q_cql_dwithin,
-    "kde_cells": q_kde_cells,
+    "geotiff_tiles": q_geotiff_tiles,
     "geohash_binned_agg": q_geohash_binned_agg,
     "image_roundtrip": q_image_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
@@ -3220,6 +3386,8 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "deterministic_sample": q_deterministic_sample,
+    "kde_cells": q_kde_cells,
+    "cql_query": q_cql_query,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "label_counts": q_label_counts,
@@ -3300,6 +3468,8 @@ ORACLE_SQL = {
     "spatial_temporal_query": SQL_SPATIAL_TEMPORAL,
     "grid_binned_agg": SQL_GRID_BINNED_AGG,
     "geohash_binned_agg": _sql_geohash_binned_agg(),
+    "geotiff_tiles": SQL_GEOTIFF_TILES,
+    "heavy_hitters": _sql_heavy_hitters(),
     "text_search": SQL_TEXT_SEARCH,
     "expr_filter": SQL_EXPR_FILTER,
     "lod_subsample": SQL_LOD_SUBSAMPLE,

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geom.wkb import Polygon, box_polygon
-from .expressions import Expr, apply_filter, col
+from .expressions import Expr, _Col, _Unary, apply_filter, col, lit
 from .gwql import _Parser, _tokens
 from .planner import SpatialQuery, point_predicate_mask
 
@@ -382,18 +382,21 @@ def _parse_primary(p: _Parser):
         q = _DWithin(x, y, dist, "meters" if units in ("meters", "m") else "degrees")
         return None, [_SpatialTerm(geom, q)], [q.bbox()], None
 
-    # attribute predicate
-    p.next()
-    name = v
+    # attribute / value-expression predicate: the LHS (and comparison RHS)
+    # is a full ECQL value expression — attributes, literals, + - * /
+    # arithmetic, and function calls — so attribute-to-attribute
+    # comparisons ("a > b"), arithmetic predicates ("value * 2 > a + 1")
+    # and functions ("abs(v) < 3", "strToLowerCase(s) = 'x'") all parse
+    # (GeoTools ECQL accepts all three; OptimalCQLQuery.java:42-102).
+    c = _parse_value(p)
     nk, nv = p.peek()
-    c = col(name)
     if nk == "word":
         u = nv.upper()
         if u == "BETWEEN":
             p.next()
-            lo = p.next()[1]
+            lo = _parse_value(p)
             p.expect_word("AND")
-            hi = p.next()[1]
+            hi = _parse_value(p)
             return c.between(lo, hi), [], [], None
         if u == "IN":
             p.next()
@@ -419,12 +422,15 @@ def _parse_primary(p: _Parser):
             p.expect_word("NULL")
             e = c.is_null()
             return (~e if neg else e), [], [], None
-        if u in ("BEFORE", "AFTER"):
-            p.next()
-            ts = _iso_us(str(p.next()[1]))
-            e = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
-            return e, [], [], None
-        if u == "DURING":
+        if u in ("BEFORE", "AFTER", "DURING"):
+            if not isinstance(c, _Col):
+                raise ValueError(f"{u} needs a plain timestamp attribute")
+            name = c.name
+            if u in ("BEFORE", "AFTER"):
+                p.next()
+                ts = _iso_us(str(p.next()[1]))
+                e = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
+                return e, [], [], None
             p.next()
             span = str(p.next()[1])
             lo_s, hi_s = span.split("/")
@@ -434,7 +440,7 @@ def _parse_primary(p: _Parser):
     kk, op = p.next()
     if kk != "op":
         raise ValueError(f"expected comparison operator, got {op!r}")
-    val = p.next()[1]
+    val = _parse_value(p)
     term = {
         "=": c == val,
         "<>": c != val,
@@ -444,3 +450,65 @@ def _parse_primary(p: _Parser):
         ">=": c >= val,
     }[op]
     return term, [], [], None
+
+
+# ------------------------------------------------------- value expressions
+# ECQL value-expression grammar (addsub < muldiv < unary/primary):
+#   value   := vmul (('+'|'-') vmul)*
+#   vmul    := vprim (('*'|'/') vprim)*
+#   vprim   := number | 'string' | attr | func '(' value [',' value]* ')'
+#            | '(' value ')' | '-' vprim
+# Function names map to pyarrow.compute kernels (GeoTools filter-function
+# names accepted case-insensitively).
+_CQL_FUNCS = {
+    "abs": "abs",
+    "ceil": "ceil",
+    "floor": "floor",
+    "sqrt": "sqrt",
+    "strtolowercase": "utf8_lower",
+    "strtouppercase": "utf8_upper",
+    "strtrim": "utf8_trim_whitespace",
+    "strlength": "utf8_length",
+    "length": "utf8_length",
+}
+
+
+def _parse_value(p: _Parser) -> Expr:
+    e = _parse_vmul(p)
+    while p.peek()[0] == "op" and p.peek()[1] in ("+", "-"):
+        op = p.next()[1]
+        r = _parse_vmul(p)
+        e = e + r if op == "+" else e - r
+    return e
+
+
+def _parse_vmul(p: _Parser) -> Expr:
+    e = _parse_vprim(p)
+    while p.peek()[0] == "op" and p.peek()[1] in ("*", "/"):
+        op = p.next()[1]
+        r = _parse_vprim(p)
+        e = e * r if op == "*" else e / r
+    return e
+
+
+def _parse_vprim(p: _Parser) -> Expr:
+    k, v = p.next()
+    if k == "num" or k == "str":
+        return lit(v)
+    if k == "op" and v == "(":
+        e = _parse_value(p)
+        p.expect_op(")")
+        return e
+    if k == "op" and v == "-":
+        return lit(0.0) - _parse_vprim(p)
+    if k != "word":
+        raise ValueError(f"unexpected token {v!r} in value expression")
+    if p.peek() == ("op", "("):
+        fn = _CQL_FUNCS.get(v.lower())
+        if fn is None:
+            raise ValueError(f"unsupported CQL function {v!r}")
+        p.next()
+        arg = _parse_value(p)
+        p.expect_op(")")
+        return _Unary(fn, arg)
+    return col(v)

@@ -35,7 +35,10 @@ from .planner import SpatialQuery
 __all__ = ["parse_gwql", "run_gwql"]
 
 _TOKEN = re.compile(
-    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'[^']*')|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
+    # + - / are CQL arithmetic operators (query/cql.py value expressions);
+    # num still binds a tight leading minus ("-5"), so a subtraction needs
+    # whitespace ("a - 5") — GeoTools ECQL tokenizes the same way
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'[^']*')|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*|\+|-|/)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
 )
 
 

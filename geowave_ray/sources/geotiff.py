@@ -1,0 +1,206 @@
+"""Minimal GeoTIFF reader/writer — pure struct parsing, no library.
+
+Reference behavior: the reference ingests real-world raster formats through
+its raster adapter (``extensions/adapters/raster/.../RasterDataAdapter.java:444``
+reads imagery via ImageIO/geotools grid coverages).  This container bans
+rasterio/PIL, so the engine gets the same capability the way the WAV/FVC1
+codecs were built: a from-spec implementation of the narrow profile the
+pipelines need.
+
+Profile (TIFF 6.0 public spec + GeoTIFF 1.1 public spec):
+- little-endian classic TIFF (``II*\\0``), single IFD
+- uncompressed (Compression=1) strips; BitsPerSample 8
+- grayscale (Photometric=1, SamplesPerPixel=1) or RGB (Photometric=2, SPP=3)
+- georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag (33922)
+
+Anything outside the profile raises NotImplementedError naming the feature —
+same guard discipline as stages/audio.py (MP3/AAC) and stages/video.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["geotiff_encode", "geotiff_decode"]
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+# tag ids (TIFF 6.0 / GeoTIFF 1.1)
+_IMAGE_WIDTH = 256
+_IMAGE_LENGTH = 257
+_BITS_PER_SAMPLE = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES_PER_PIXEL = 277
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
+_PLANAR_CONFIG = 284
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+
+
+def geotiff_encode(
+    pixels: np.ndarray,
+    origin: tuple[float, float] = (0.0, 0.0),
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    rows_per_strip: int = 32,
+) -> bytes:
+    """uint8 HxW (gray) or HxWx3 (RGB) -> GeoTIFF bytes.  ``origin`` is the
+    model coordinate of the raster's top-left corner (tiepoint 0,0),
+    ``pixel_scale`` the (sx, sy) model units per pixel."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp, photometric = 1, 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w, _ = px.shape
+        spp, photometric = 3, 2
+    else:
+        raise ValueError(f"expected HxW or HxWx3 uint8, got shape {pixels.shape}")
+
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = [
+        px[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(n_strips)
+    ]
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    entry(_IMAGE_WIDTH, 4, 1, w)
+    entry(_IMAGE_LENGTH, 4, 1, h)
+    bps = struct.pack(f"<{spp}H", *([8] * spp))
+    entry(_BITS_PER_SAMPLE, 3, spp, bps if spp > 1 else 8)
+    entry(_COMPRESSION, 3, 1, 1)
+    entry(_PHOTOMETRIC, 3, 1, photometric)
+    entry(_STRIP_OFFSETS, 4, n_strips, None)  # patched below
+    entry(_SAMPLES_PER_PIXEL, 3, 1, spp)
+    entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip)
+    entry(_STRIP_BYTE_COUNTS, 4, n_strips, None)  # patched below
+    entry(_PLANAR_CONFIG, 3, 1, 1)
+    scale = struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
+    entry(_MODEL_PIXEL_SCALE, 12, 3, scale)
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
+    entry(_MODEL_TIEPOINT, 12, 6, tie)
+
+    # layout: header(8) | IFD | overflow values | strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def value_field(typ, count, value):
+        nonlocal overflow
+        size = _TYPE_SIZES[typ] * count
+        if isinstance(value, int):
+            raw = struct.pack("<I" if typ == 4 else "<H", value)
+        else:
+            raw = value
+        if size <= 4:
+            return raw.ljust(4, b"\0")
+        off = overflow_off + len(overflow)
+        overflow += raw
+        return struct.pack("<I", off)
+
+    # first pass to size the overflow area (strip arrays are known-size)
+    sizes = [
+        _TYPE_SIZES[typ] * count
+        for _, typ, count, _ in entries
+    ]
+    data_off = overflow_off + sum(s for s in sizes if s > 4)
+    strip_offsets, pos = [], data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == _STRIP_OFFSETS:
+            value = (
+                struct.pack(f"<{n_strips}I", *strip_offsets)
+                if n_strips > 1
+                else strip_offsets[0]
+            )
+        elif tag == _STRIP_BYTE_COUNTS:
+            value = (
+                struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+                if n_strips > 1
+                else len(strips[0])
+            )
+        out += struct.pack("<HHI", tag, typ, count)
+        out += value_field(typ, count, value)
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _read_values(buf: bytes, typ: int, count: int, field: bytes):
+    size = _TYPE_SIZES.get(typ)
+    if size is None:
+        raise NotImplementedError(f"GeoTIFF: unsupported field type {typ}")
+    total = size * count
+    raw = field[:total] if total <= 4 else None
+    if raw is None:
+        (off,) = struct.unpack("<I", field)
+        raw = buf[off : off + total]
+    fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}.get(typ)
+    if fmt is None:
+        return raw
+    return list(struct.unpack(f"<{count}{fmt}", raw))
+
+
+def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """GeoTIFF bytes -> (uint8 array HxW or HxWx3, geo dict with
+    ``origin`` (x, y) and ``pixel_scale`` (sx, sy))."""
+    if data[:4] == b"MM\0*":
+        raise NotImplementedError("GeoTIFF: big-endian TIFF not supported")
+    if data[:4] != b"II*\0":
+        raise ValueError("not a TIFF (bad magic)")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", data, base)
+        tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
+
+    comp = tags.get(_COMPRESSION, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(f"GeoTIFF: compression {comp} not supported")
+    bps = tags.get(_BITS_PER_SAMPLE, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"GeoTIFF: bits-per-sample {bps} not supported")
+    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+        raise NotImplementedError("GeoTIFF: planar (non-chunky) layout not supported")
+
+    w = tags[_IMAGE_WIDTH][0]
+    h = tags[_IMAGE_LENGTH][0]
+    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    if spp not in (1, 3):
+        raise NotImplementedError(f"GeoTIFF: {spp} samples per pixel not supported")
+
+    offsets = tags[_STRIP_OFFSETS]
+    counts = tags[_STRIP_BYTE_COUNTS]
+    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    px = np.frombuffer(raw, dtype=np.uint8)[: h * w * spp]
+    px = px.reshape((h, w) if spp == 1 else (h, w, spp))
+
+    geo = {"origin": (0.0, 0.0), "pixel_scale": (1.0, 1.0)}
+    if _MODEL_PIXEL_SCALE in tags:
+        s = tags[_MODEL_PIXEL_SCALE]
+        geo["pixel_scale"] = (s[0], s[1])
+    if _MODEL_TIEPOINT in tags:
+        t = tags[_MODEL_TIEPOINT]
+        # raster point (t0,t1) maps to model point (t3,t4)
+        geo["origin"] = (t[3] - t[0] * geo["pixel_scale"][0],
+                         t[4] - t[1] * geo["pixel_scale"][1])
+    return px, geo

@@ -26,6 +26,7 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "FixedBinHistogram",
+    "MinimalBinDistanceHistogram",
 ]
 
 
@@ -188,6 +189,89 @@ class FixedBinHistogram:
     def merge(self, other: "FixedBinHistogram"):
         self.counts += other.counts
         return self
+
+
+class MinimalBinDistanceHistogram:
+    """Dynamic streaming histogram that caps its bin count by merging the
+    two CLOSEST bins — the reference's MinimalBinDistanceHistogram
+    (core/store/.../statistics/histogram/MinimalBinDistanceHistogram.java),
+    which is the public Ben-Haim & Tom-Yom-Tov streaming-parallel-decision-
+    tree histogram (JMLR 11, 2010).  Bins are (value, count) centroids;
+    mergeable (concatenate + re-compact), so it runs as partial sketches
+    per batch merged on the driver like HLL/CMS/TDigest here."""
+
+    def __init__(self, max_bins: int = 64, values=None, counts=None):
+        self.max_bins = max_bins
+        self.values = np.asarray(values if values is not None else [], dtype=np.float64)
+        self.counts = np.asarray(counts if counts is not None else [], dtype=np.int64)
+
+    def _compact(self):
+        order = np.argsort(self.values, kind="stable")
+        v, c = self.values[order], self.counts[order]
+        # collapse exact duplicates first (vectorized)
+        if len(v) > 1:
+            first = np.flatnonzero(np.diff(v, prepend=np.nan) != 0)
+            c = np.add.reduceat(c, first)
+            v = v[first]
+        while len(v) > self.max_bins:
+            gaps = np.diff(v)
+            i = int(np.argmin(gaps))
+            tot = c[i] + c[i + 1]
+            merged = (v[i] * c[i] + v[i + 1] * c[i + 1]) / tot
+            v = np.concatenate([v[:i], [merged], v[i + 2 :]])
+            c = np.concatenate([c[:i], [tot], c[i + 2 :]])
+        self.values, self.counts = v, c
+
+    def add(self, values: np.ndarray):
+        v = np.asarray(values, dtype=np.float64)
+        uv, uc = np.unique(v, return_counts=True)
+        self.values = np.concatenate([self.values, uv])
+        self.counts = np.concatenate([self.counts, uc.astype(np.int64)])
+        self._compact()
+        return self
+
+    def merge(self, other: "MinimalBinDistanceHistogram"):
+        self.values = np.concatenate([self.values, other.values])
+        self.counts = np.concatenate([self.counts, other.counts])
+        self._compact()
+        return self
+
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile (the reference's sum/quantile surface)."""
+        if not len(self.values):
+            return float("nan")
+        cum = np.cumsum(self.counts) - self.counts / 2.0
+        target = q * self.counts.sum()
+        return float(np.interp(target, cum, self.values))
+
+    def cdf(self, x: float) -> float:
+        """Approximate fraction of mass <= x."""
+        if not len(self.values):
+            return float("nan")
+        cum = np.cumsum(self.counts) - self.counts / 2.0
+        return float(np.interp(x, self.values, cum) / self.counts.sum())
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return (
+            struct.pack("<2I", self.max_bins, len(self.values))
+            + self.values.tobytes()
+            + self.counts.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MinimalBinDistanceHistogram":
+        import struct
+
+        max_bins, n = struct.unpack_from("<2I", data, 0)
+        off = 8
+        v = np.frombuffer(data, dtype=np.float64, count=n, offset=off)
+        c = np.frombuffer(data, dtype=np.int64, count=n, offset=off + 8 * n)
+        return cls(max_bins, v.copy(), c.copy())
 
 
 def global_stats(ds, value_col: str, id_col: str | None = None):

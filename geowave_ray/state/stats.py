@@ -53,6 +53,14 @@ class StatisticsManifest:
     def approx_distinct(self, col: str) -> float | None:
         return self.data.get("approx_distinct", {}).get(col)
 
+    @property
+    def differing_visibility_count(self) -> int | None:
+        return self.data.get("differing_visibility_count")
+
+    @property
+    def max_duplicates(self) -> int | None:
+        return self.data.get("max_duplicates")
+
     def save(self, root: str) -> str:
         os.makedirs(root, exist_ok=True)
         path = os.path.join(root, "_stats.json")
@@ -81,8 +89,20 @@ def compute_statistics(
     distinct_cols: tuple = (),
     histogram_cols: tuple = (),
     histogram_bounds: dict | None = None,
+    vis_cols: tuple = (),
+    dup_count_col: str | None = None,
 ) -> StatisticsManifest:
-    """One streaming pass -> merged statistics manifest."""
+    """One streaming pass -> merged statistics manifest.
+
+    ``vis_cols``: visibility-expression columns.  With two or more, counts
+    rows whose FIELD visibilities differ from each other — the reference's
+    DifferingVisibilityCountStatistic
+    (core/store/.../statistics/index/DifferingVisibilityCountStatistic.java);
+    with one, counts rows carrying a non-empty (non-default) visibility.
+    ``dup_count_col``: per-row index-duplicate count (the tiered insertion
+    expansion knows it at write time); the merged max is the reference's
+    MaxDuplicatesStatistic (statistics/index/MaxDuplicatesStatistic.java).
+    """
     histogram_bounds = histogram_bounds or {}
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -140,6 +160,25 @@ def compute_statistics(
                 ranges[c] = [float(v.min()), float(v.max()), float(v.sum())]
         if ranges:
             out["ranges"] = ranges
+        if vis_cols:
+            import pyarrow.compute as pc
+
+            arrs = [
+                pc.fill_null(batch.column(c).cast(pa.string()), "") for c in vis_cols
+            ]
+            if len(arrs) == 1:
+                diff = pc.not_equal(arrs[0], "")
+            else:
+                diff = None
+                for a in arrs[1:]:
+                    ne = pc.not_equal(a, arrs[0])
+                    diff = ne if diff is None else pc.or_(diff, ne)
+            s = pc.sum(diff.cast(pa.int64())).as_py()
+            out["differing_vis"] = int(s or 0)
+        if dup_count_col and dup_count_col in batch.column_names:
+            d = batch.column(dup_count_col).to_numpy(zero_copy_only=False)
+            if len(d):
+                out["max_duplicates"] = int(d.max())
         return pa.table({"stat": pa.array([json.dumps(out)])})
 
     partial.__name__ = "stats_partial"
@@ -196,4 +235,11 @@ def compute_statistics(
                     max(r[1] for r in rs),
                     sum(r[2] for r in rs),
                 ]
+    if vis_cols:
+        merged["differing_visibility_count"] = sum(
+            p.get("differing_vis", 0) for p in parts
+        )
+    if dup_count_col:
+        dups = [p["max_duplicates"] for p in parts if "max_duplicates" in p]
+        merged["max_duplicates"] = max(dups) if dups else 0
     return StatisticsManifest(merged)

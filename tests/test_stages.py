@@ -586,3 +586,26 @@ def test_minimal_bin_distance_histogram():
     # duplicate-heavy input collapses exactly
     h2 = MinimalBinDistanceHistogram(max_bins=8).add(np.array([1.0] * 100 + [2.0] * 50))
     assert h2.total() == 150 and len(h2.values) == 2
+
+
+def test_kmeans_multi_init(ray_session):
+    """SampleMultipleSetsJobRunner analog: the best-of-n-runs distortion
+    is no worse than any single run's."""
+    import ray
+
+    from geowave_ray.stages.analytics import distortion, kmeans, kmeans_multi_init
+
+    rng = np.random.default_rng(11)
+    pts = np.concatenate(
+        [rng.normal(c, 0.3, (120, 2)) for c in ([0, 0], [8, 8], [-8, 5])]
+    )
+    t = pa.table({"lon": pts[:, 0], "lat": pts[:, 1]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents, assign, best_d = kmeans_multi_init(ds, k=3, n_runs=3, n_iter=8, seed=5)
+    assert cents.shape == (3, 2)
+    single, _ = kmeans(ds, k=3, n_iter=8, seed=5, init="kmeans++")
+    assert best_d <= distortion(ds, ["lon", "lat"], single) + 1e-9
+    # three well-separated blobs: every centroid lands near one blob center
+    want = np.array([[0, 0], [8, 8], [-8, 5]], dtype=float)
+    for c in cents:
+        assert np.min(np.linalg.norm(want - c, axis=1)) < 1.0

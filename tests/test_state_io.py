@@ -157,3 +157,36 @@ def test_retile(ray_session):
     covered = np.concatenate([tl[tl > 0] for tl in tiles])
     assert len(covered) > 0
     assert (covered == 137).all()
+
+
+def test_differing_visibility_and_max_duplicates_stats(ray_session):
+    """DifferingVisibilityCountStatistic + MaxDuplicatesStatistic analogs
+    (r3 verdict missing #6): vis_cols counts rows whose field visibilities
+    differ; dup_count_col merges the per-row index-duplicate max."""
+    import ray
+
+    from geowave_ray.state.stats import compute_statistics
+
+    t = pa.table(
+        {
+            "a": np.arange(6, dtype=np.int64),
+            "vis_f1": ["", "secret", "secret", "", "a&b", ""],
+            "vis_f2": ["", "secret", "public", "", "a&b", "x"],
+            "n_dups": np.array([1, 4, 2, 1, 7, 1], dtype=np.int64),
+        }
+    )
+    m = compute_statistics(
+        ray.data.from_arrow(t).repartition(3),
+        lon_col=None,
+        lat_col=None,
+        vis_cols=("vis_f1", "vis_f2"),
+        dup_count_col="n_dups",
+    )
+    # rows 2 (secret vs public) and 5 ("" vs x) differ
+    assert m.differing_visibility_count == 2
+    assert m.max_duplicates == 7
+    # single vis col: counts non-default (non-empty) visibilities
+    m2 = compute_statistics(
+        ray.data.from_arrow(t), lon_col=None, lat_col=None, vis_cols=("vis_f1",)
+    )
+    assert m2.differing_visibility_count == 3

@@ -9,7 +9,10 @@ pipelines need.
 
 Profile (TIFF 6.0 public spec + GeoTIFF 1.1 public spec):
 - little-endian classic TIFF (``II*\\0``), single IFD
-- uncompressed (Compression=1) strips; BitsPerSample 8
+- STRIP or TILE organization (TileWidth/TileLength/TileOffsets, edge tiles
+  padded to full size per spec section 15)
+- uncompressed (Compression=1) or PackBits (Compression=32773, spec
+  section 9); BitsPerSample 8
 - grayscale (Photometric=1, SamplesPerPixel=1) or RGB (Photometric=2, SPP=3)
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag (33922)
 
@@ -23,7 +26,59 @@ import struct
 
 import numpy as np
 
-__all__ = ["geotiff_encode", "geotiff_decode"]
+__all__ = ["geotiff_encode", "geotiff_decode", "packbits_encode", "packbits_decode"]
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 section 9): runs of >=3 equal bytes become
+    (257-n, byte); literals become (n-1, bytes)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    out = bytearray()
+    i, n = 0, len(arr)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and arr[j] == arr[i] and j - i < 128:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(int(arr[i]))
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and arr[j] == arr[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            # a short run may straddle the 128-byte literal cap: clamp so
+            # the control byte can never reach 128 (the noop code)
+            i = min(j, lit_start + 128)
+        out.append(i - lit_start - 1)
+        out += arr[lit_start:i].tobytes()
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of packbits_encode; ``expected`` bounds the output size."""
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        c = int(src[i])
+        i += 1
+        if c == 128:  # noop per spec
+            continue
+        if c < 128:  # literal of c+1 bytes
+            out += src[i : i + c + 1].tobytes()
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            out += bytes([int(src[i])]) * (257 - c)
+            i += 1
+    return bytes(out[:expected])
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
 
@@ -38,8 +93,13 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
+_PACKBITS = 32773
 
 
 def geotiff_encode(
@@ -47,48 +107,81 @@ def geotiff_encode(
     origin: tuple[float, float] = (0.0, 0.0),
     pixel_scale: tuple[float, float] = (1.0, 1.0),
     rows_per_strip: int = 32,
+    compression: str = "none",
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """uint8 HxW (gray) or HxWx3 (RGB) -> GeoTIFF bytes.  ``origin`` is the
     model coordinate of the raster's top-left corner (tiepoint 0,0),
-    ``pixel_scale`` the (sx, sy) model units per pixel."""
+    ``pixel_scale`` the (sx, sy) model units per pixel.  ``compression``:
+    "none" or "packbits".  ``tile=(tw, tl)`` switches from strip to tile
+    organization (edge tiles zero-padded to full size, TIFF 6.0 sec 15)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         h, w = px.shape
         spp, photometric = 1, 1
+        px3 = px[:, :, None]
     elif px.ndim == 3 and px.shape[2] == 3:
         h, w, _ = px.shape
         spp, photometric = 3, 2
+        px3 = px
     else:
         raise ValueError(f"expected HxW or HxWx3 uint8, got shape {pixels.shape}")
+    if compression not in ("none", "packbits"):
+        raise NotImplementedError(f"GeoTIFF: compression {compression!r} not supported")
+    comp_tag = 1 if compression == "none" else _PACKBITS
 
-    n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    strips = [
-        px[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
-        for i in range(n_strips)
-    ]
+    if tile is None:
+        n_chunks = (h + rows_per_strip - 1) // rows_per_strip
+        chunks = [
+            px3[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+            for i in range(n_chunks)
+        ]
+    else:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        ntx = (w + tw - 1) // tw
+        nty = (h + tl - 1) // tl
+        chunks = []
+        for ty in range(nty):  # row-major tile order per spec
+            for tx in range(ntx):
+                t = np.zeros((tl, tw, spp), dtype=np.uint8)
+                sub = px3[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(t.tobytes())
+        n_chunks = len(chunks)
+    if compression == "packbits":
+        chunks = [packbits_encode(c) for c in chunks]
 
     entries = []  # (tag, type, count, value_bytes_or_int)
 
     def entry(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
+    off_tag = _STRIP_OFFSETS if tile is None else _TILE_OFFSETS
+    cnt_tag = _STRIP_BYTE_COUNTS if tile is None else _TILE_BYTE_COUNTS
     entry(_IMAGE_WIDTH, 4, 1, w)
     entry(_IMAGE_LENGTH, 4, 1, h)
     bps = struct.pack(f"<{spp}H", *([8] * spp))
     entry(_BITS_PER_SAMPLE, 3, spp, bps if spp > 1 else 8)
-    entry(_COMPRESSION, 3, 1, 1)
+    entry(_COMPRESSION, 3, 1, comp_tag)
     entry(_PHOTOMETRIC, 3, 1, photometric)
-    entry(_STRIP_OFFSETS, 4, n_strips, None)  # patched below
+    entry(off_tag, 4, n_chunks, None)  # patched below
     entry(_SAMPLES_PER_PIXEL, 3, 1, spp)
-    entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip)
-    entry(_STRIP_BYTE_COUNTS, 4, n_strips, None)  # patched below
+    if tile is None:
+        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip)
+    else:
+        entry(_TILE_WIDTH, 4, 1, tile[0])
+        entry(_TILE_LENGTH, 4, 1, tile[1])
+    entry(cnt_tag, 4, n_chunks, None)  # patched below
     entry(_PLANAR_CONFIG, 3, 1, 1)
     scale = struct.pack("<3d", pixel_scale[0], pixel_scale[1], 0.0)
     entry(_MODEL_PIXEL_SCALE, 12, 3, scale)
     tie = struct.pack("<6d", 0.0, 0.0, 0.0, origin[0], origin[1], 0.0)
     entry(_MODEL_TIEPOINT, 12, 6, tie)
+    entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
 
-    # layout: header(8) | IFD | overflow values | strip data
+    # layout: header(8) | IFD | overflow values | chunk data
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     overflow_off = ifd_off + ifd_size
@@ -107,38 +200,38 @@ def geotiff_encode(
         overflow += raw
         return struct.pack("<I", off)
 
-    # first pass to size the overflow area (strip arrays are known-size)
+    # first pass to size the overflow area (chunk arrays are known-size)
     sizes = [
         _TYPE_SIZES[typ] * count
         for _, typ, count, _ in entries
     ]
     data_off = overflow_off + sum(s for s in sizes if s > 4)
-    strip_offsets, pos = [], data_off
-    for s in strips:
-        strip_offsets.append(pos)
+    chunk_offsets, pos = [], data_off
+    for s in chunks:
+        chunk_offsets.append(pos)
         pos += len(s)
 
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_off)
     out += struct.pack("<H", len(entries))
     for tag, typ, count, value in entries:
-        if tag == _STRIP_OFFSETS:
+        if tag == off_tag:
             value = (
-                struct.pack(f"<{n_strips}I", *strip_offsets)
-                if n_strips > 1
-                else strip_offsets[0]
+                struct.pack(f"<{n_chunks}I", *chunk_offsets)
+                if n_chunks > 1
+                else chunk_offsets[0]
             )
-        elif tag == _STRIP_BYTE_COUNTS:
+        elif tag == cnt_tag:
             value = (
-                struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
-                if n_strips > 1
-                else len(strips[0])
+                struct.pack(f"<{n_chunks}I", *[len(s) for s in chunks])
+                if n_chunks > 1
+                else len(chunks[0])
             )
         out += struct.pack("<HHI", tag, typ, count)
         out += value_field(typ, count, value)
     out += struct.pack("<I", 0)  # next-IFD pointer
     out += overflow
-    for s in strips:
+    for s in chunks:
         out += s
     return bytes(out)
 
@@ -174,7 +267,7 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
         tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
 
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp != 1:
+    if comp not in (1, _PACKBITS):
         raise NotImplementedError(f"GeoTIFF: compression {comp} not supported")
     bps = tags.get(_BITS_PER_SAMPLE, [8])
     if any(b != 8 for b in bps):
@@ -188,11 +281,34 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
     if spp not in (1, 3):
         raise NotImplementedError(f"GeoTIFF: {spp} samples per pixel not supported")
 
-    offsets = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_BYTE_COUNTS]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-    px = np.frombuffer(raw, dtype=np.uint8)[: h * w * spp]
-    px = px.reshape((h, w) if spp == 1 else (h, w, spp))
+    def chunk(o: int, c: int, expected: int) -> bytes:
+        raw = data[o : o + c]
+        return packbits_decode(raw, expected) if comp == _PACKBITS else raw
+
+    if _TILE_OFFSETS in tags:
+        tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        ntx = (w + tw - 1) // tw
+        offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+        px3 = np.zeros((h, w, spp), dtype=np.uint8)
+        tile_bytes = tw * tl * spp
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(i, ntx)
+            t = np.frombuffer(chunk(o, c, tile_bytes), dtype=np.uint8)
+            t = t[:tile_bytes].reshape(tl, tw, spp)
+            ys, xs = ty * tl, tx * tw
+            sub = t[: min(tl, h - ys), : min(tw, w - xs)]
+            px3[ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = sub
+        px = px3[:, :, 0] if spp == 1 else px3
+    else:
+        offsets = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_BYTE_COUNTS]
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        raws = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - i * rps)
+            raws.append(chunk(o, c, rows * w * spp))
+        px = np.frombuffer(b"".join(raws), dtype=np.uint8)[: h * w * spp]
+        px = px.reshape((h, w) if spp == 1 else (h, w, spp))
 
     geo = {"origin": (0.0, 0.0), "pixel_scale": (1.0, 1.0)}
     if _MODEL_PIXEL_SCALE in tags:

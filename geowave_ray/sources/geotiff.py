@@ -11,8 +11,9 @@ Profile (TIFF 6.0 public spec + GeoTIFF 1.1 public spec):
 - little-endian classic TIFF (``II*\\0``), single IFD
 - STRIP or TILE organization (TileWidth/TileLength/TileOffsets, edge tiles
   padded to full size per spec section 15)
-- uncompressed (Compression=1) or PackBits (Compression=32773, spec
-  section 9); BitsPerSample 8
+- uncompressed (Compression=1), PackBits (Compression=32773, spec
+  section 9), or LZW (Compression=5, spec section 13 with the early
+  change); BitsPerSample 8
 - grayscale (Photometric=1, SamplesPerPixel=1) or RGB (Photometric=2, SPP=3)
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag (33922)
 
@@ -26,7 +27,115 @@ import struct
 
 import numpy as np
 
-__all__ = ["geotiff_encode", "geotiff_decode", "packbits_encode", "packbits_decode"]
+__all__ = [
+    "geotiff_encode",
+    "geotiff_decode",
+    "packbits_encode",
+    "packbits_decode",
+    "lzw_encode",
+    "lzw_decode",
+]
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW (spec section 13): MSB-first variable-width codes 9->12
+    bits with the TIFF "early change" (width bumps one code early, the
+    libtiff convention), ClearCode 256 / EOI 257, table reset at 4094."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0  # bit accumulator (MSB-first)
+    acc_n = 0
+
+    def emit(code: int, bits: int):
+        nonlocal acc, acc_n
+        acc = (acc << bits) | code
+        acc_n += bits
+        while acc_n >= 8:
+            out.append((acc >> (acc_n - 8)) & 0xFF)
+            acc_n -= 8
+        acc &= (1 << acc_n) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits = 9
+    emit(CLEAR, bits)
+    w = b""
+    for b in data:
+        k = w + bytes([b])
+        if k in table:
+            w = k
+            continue
+        emit(table[w], bits)
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << bits) - 1 and bits < 12:  # early change
+            bits += 1
+        if next_code >= 4094:
+            emit(CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], bits)
+    emit(EOI, bits)
+    if acc_n:
+        out.append((acc << (8 - acc_n)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of lzw_encode (same early-change convention)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+
+    def read(bits: int) -> int:
+        nonlocal pos
+        if pos + bits > total_bits:
+            return EOI
+        v = 0
+        p = pos
+        # consume up to 3 bytes covering the window
+        first = p >> 3
+        last = (p + bits - 1) >> 3
+        chunk = int.from_bytes(data[first : last + 1], "big")
+        span = (last - first + 1) * 8
+        v = (chunk >> (span - (p - first * 8) - bits)) & ((1 << bits) - 1)
+        pos += bits
+        return v
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(bits)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            bits = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        out += entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (it reconstructs entry N while reading
+        # the code the encoder emitted after creating entry N), so it
+        # widens one entry earlier than the encoder's (1<<bits)-1
+        if len(table) == (1 << bits) - 2 and bits < 12:
+            bits += 1
+        prev = entry
+    return bytes(out[:expected])
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -100,6 +209,7 @@ _TILE_BYTE_COUNTS = 325
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _PACKBITS = 32773
+_LZW = 5
 
 
 def geotiff_encode(
@@ -113,7 +223,7 @@ def geotiff_encode(
     """uint8 HxW (gray) or HxWx3 (RGB) -> GeoTIFF bytes.  ``origin`` is the
     model coordinate of the raster's top-left corner (tiepoint 0,0),
     ``pixel_scale`` the (sx, sy) model units per pixel.  ``compression``:
-    "none" or "packbits".  ``tile=(tw, tl)`` switches from strip to tile
+    "none", "packbits" or "lzw".  ``tile=(tw, tl)`` switches from strip to tile
     organization (edge tiles zero-padded to full size, TIFF 6.0 sec 15)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -126,9 +236,10 @@ def geotiff_encode(
         px3 = px
     else:
         raise ValueError(f"expected HxW or HxWx3 uint8, got shape {pixels.shape}")
-    if compression not in ("none", "packbits"):
+    comp_tags = {"none": 1, "packbits": _PACKBITS, "lzw": _LZW}
+    if compression not in comp_tags:
         raise NotImplementedError(f"GeoTIFF: compression {compression!r} not supported")
-    comp_tag = 1 if compression == "none" else _PACKBITS
+    comp_tag = comp_tags[compression]
 
     if tile is None:
         n_chunks = (h + rows_per_strip - 1) // rows_per_strip
@@ -152,6 +263,8 @@ def geotiff_encode(
         n_chunks = len(chunks)
     if compression == "packbits":
         chunks = [packbits_encode(c) for c in chunks]
+    elif compression == "lzw":
+        chunks = [lzw_encode(c) for c in chunks]
 
     entries = []  # (tag, type, count, value_bytes_or_int)
 
@@ -267,7 +380,7 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
         tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
 
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, _PACKBITS):
+    if comp not in (1, _PACKBITS, _LZW):
         raise NotImplementedError(f"GeoTIFF: compression {comp} not supported")
     bps = tags.get(_BITS_PER_SAMPLE, [8])
     if any(b != 8 for b in bps):
@@ -283,7 +396,11 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
 
     def chunk(o: int, c: int, expected: int) -> bytes:
         raw = data[o : o + c]
-        return packbits_decode(raw, expected) if comp == _PACKBITS else raw
+        if comp == _PACKBITS:
+            return packbits_decode(raw, expected)
+        if comp == _LZW:
+            return lzw_decode(raw, expected)
+        return raw
 
     if _TILE_OFFSETS in tags:
         tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]

@@ -67,5 +67,52 @@ def test_geotiff_guards():
         geotiff_decode(b"NOPE" + b"\0" * 16)
     with pytest.raises(ValueError, match="multiples of 16"):
         geotiff_encode(g, tile=(20, 16))
-    with pytest.raises(NotImplementedError, match="lzw"):
-        geotiff_encode(g, compression="lzw")
+    with pytest.raises(NotImplementedError, match="deflate"):
+        geotiff_encode(g, compression="deflate")
+
+
+def test_lzw_hand_vector_and_fuzz():
+    """TIFF LZW: independent hand-derived 9-bit vector (codes packed by a
+    separate in-test packer, not the library's), then round-trip fuzz
+    across all three width changes and the 4094 table reset."""
+    from geowave_ray.sources.geotiff import lzw_decode, lzw_encode
+
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]  # derived by hand per spec
+    acc = n = 0
+    buf = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        n += 9
+        while n >= 8:
+            buf.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+        acc &= (1 << n) - 1
+    if n:
+        buf.append((acc << (8 - n)) & 0xFF)
+    want = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert lzw_decode(bytes(buf), len(want)) == want
+    assert lzw_encode(want) == bytes(buf)
+
+    rng = np.random.default_rng(4)
+    cases = [b"", b"a", b"ababab" * 80]
+    cases += [
+        bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for n in (600, 3000, 9000)  # cross 511 / 1023 / 2047+reset
+    ]
+    for trial in range(40):
+        n = int(rng.integers(0, 5000))
+        cases.append(
+            bytes(rng.integers(0, int(rng.integers(2, 257)), n, dtype=np.uint8))
+        )
+    for data in cases:
+        assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_geotiff_lzw_roundtrip():
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (100, 77), dtype=np.uint8)
+    g[10:40, :] = 7
+    for tile in (None, (32, 32)):
+        b = geotiff_encode(g, compression="lzw", tile=tile)
+        out, _ = geotiff_decode(b)
+        assert (out == g).all()

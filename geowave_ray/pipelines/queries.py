@@ -2213,10 +2213,12 @@ def q_ann_ivf_full(sf_dir: str):
 _VEC_STORE_CACHE: dict = {}
 
 
-def _cached_vec_store(sf_dir: str):
-    """One materialized IvfStore per (process, sf_dir): coarse centroids
-    trained + embeddings written under ivf_list=<L> partitions once."""
-    store = _VEC_STORE_CACHE.get(sf_dir)
+def _cached_vec_store(sf_dir: str, quantize: str | None = None):
+    """One materialized IvfStore per (process, sf_dir, quantize): coarse
+    centroids trained + embeddings written under ivf_list=<L> partitions
+    once (float and int8 generations live in separate roots)."""
+    key = (sf_dir, quantize)
+    store = _VEC_STORE_CACHE.get(key)
     if store is None:
         import tempfile
 
@@ -2230,8 +2232,9 @@ def _cached_vec_store(sf_dir: str):
                 f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
             ),
             n_lists=16,
+            quantize=quantize,
         )
-        _VEC_STORE_CACHE[sf_dir] = store
+        _VEC_STORE_CACHE[key] = store
     return store
 
 
@@ -2247,6 +2250,43 @@ def q_ivf_store_topk(sf_dir: str):
 
 
 SQL_IVF_STORE_TOPK = SQL_ANN_TOPK.replace("rank <= 10", "rank <= 6")
+
+
+def q_ivf_store_int8(sf_dir: str):
+    """INT8-quantized durable IVF store: vectors stored as per-vector
+    symmetric int8 (4x smaller than float32 on disk and in every probe
+    scan — the 100-TB lever), full probe for layout exactness.  Ranking
+    is cosine over the integer vectors (the positive per-vector scale
+    cancels under normalization), and the quantization arithmetic is
+    float64 trunc — bit-replayable by the SQL oracle below."""
+    store = _cached_vec_store(sf_dir, quantize="int8")
+    out = store.query(_query_vecs(sf_dir), k=6, n_probe=16)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_IVF_STORE_INT8 = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> trunc(CAST(x AS DOUBLE) * 127.0 / GREATEST(gm, 1e-30))
+         ) AS qvec
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS gm
+    FROM embeddings)
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT 'v-' || CAST(q.qid AS VARCHAR) AS query_id, e.vec_id,
+         list_cosine_similarity(e.qvec, q.qv) AS c
+  FROM qz e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 6
+"""
 
 
 _STORE_CACHE: dict = {}
@@ -3185,8 +3225,15 @@ def q_geotiff_tiles(sf_dir: str):
         blobs = []
         for i in ids:
             px = ((int(i) * 7919 + y * 31 + x * 13) % 256).astype(np.uint8)
+            # rotate through every codec profile so the driver's hash gate
+            # covers uncompressed/PackBits/LZW x strip/tile decode paths
+            comp = ("none", "packbits", "lzw")[int(i) % 3]
+            tile = None if (int(i) // 3) % 2 == 0 else (32, 32)
             blobs.append(
-                geotiff_encode(px, origin=(float(i) * 10.0, 0.0), pixel_scale=(0.25, 0.25))
+                geotiff_encode(
+                    px, origin=(float(i) * 10.0, 0.0), pixel_scale=(0.25, 0.25),
+                    compression=comp, tile=tile,
+                )
             )
         return pa.table(
             {"tiff_id": pa.array(ids, pa.int64()), "tiff": pa.array(blobs, pa.binary())}
@@ -3318,7 +3365,7 @@ WHERE event_type LIKE 'c%'
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_anti": q_spatial_join_anti,
-    "within_distance_join": q_within_distance_join,
+    "ivf_store_int8": q_ivf_store_int8,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
     "grid_binned_agg": q_grid_binned_agg,
@@ -3388,6 +3435,7 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "kde_cells": q_kde_cells,
     "cql_query": q_cql_query,
+    "within_distance_join": q_within_distance_join,
     "gwql_bbox_count": q_gwql_bbox_count,
     "spatial_join_category_agg": q_spatial_join_category_agg,
     "label_counts": q_label_counts,
@@ -3470,6 +3518,7 @@ ORACLE_SQL = {
     "geohash_binned_agg": _sql_geohash_binned_agg(),
     "geotiff_tiles": SQL_GEOTIFF_TILES,
     "heavy_hitters": _sql_heavy_hitters(),
+    "ivf_store_int8": SQL_IVF_STORE_INT8,
     "text_search": SQL_TEXT_SEARCH,
     "expr_filter": SQL_EXPR_FILTER,
     "lod_subsample": SQL_LOD_SUBSAMPLE,

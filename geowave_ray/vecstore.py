@@ -38,10 +38,18 @@ class IvfStore:
 
     # ---------------------------------------------------------- ingest
     def ingest(self, ds, n_lists: int = 16, kmeans_iters: int = 6,
-               sample_rows: int = 2048) -> str:
+               sample_rows: int = 2048, quantize: str | None = None) -> str:
         """Train coarse centroids on a bounded sample, assign every vector
         to its nearest list, write parquet partitioned by ``ivf_list``,
-        persist centroids + manifest."""
+        persist centroids + manifest.
+
+        ``quantize="int8"`` stores per-vector symmetric int8 quantization
+        instead of the float embedding (4x smaller on disk and in every
+        scan — the 100-TB lever).  q = trunc(v * 127 / max|v|) computed in
+        float64 so the arithmetic is bit-reproducible (the driver oracle
+        replays it in SQL); cosine over the reconstructed vector equals
+        cosine over q itself (the positive per-vector scale cancels under
+        normalization), so ranking needs no dequantization state."""
         import ray
 
         if os.path.exists(os.path.join(self.root, "_manifest.json")):
@@ -67,10 +75,31 @@ class IvfStore:
         cent_ref = ray.put(centroids)
         vec_col = self.vec_col
 
+        if quantize not in (None, "int8"):
+            raise NotImplementedError(f"IvfStore quantize={quantize!r}")
+        id_col = self.id_col
+
         def assign(batch: pa.Table) -> pa.Table:
             cents = ray.get(cent_ref)
-            v = _normalize(_vec_matrix(batch.column(vec_col), dtype=np.float32))
+            v64 = _vec_matrix(batch.column(vec_col), dtype=np.float64)
+            v = _normalize(v64.astype(np.float32))
             lists = (v @ cents.T).argmax(axis=1).astype(np.int64)
+            if quantize == "int8":
+                # float64 end to end: trunc boundaries reproduce exactly
+                # in any IEEE-double replay (the SQL oracle's)
+                maxabs = np.maximum(np.abs(v64).max(axis=1, keepdims=True), 1e-30)
+                q = np.trunc(v64 * 127.0 / maxabs).astype(np.int8)
+                d = q.shape[1]
+                qcol = pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.ravel(), type=pa.int8()), d
+                )
+                return pa.table(
+                    {
+                        id_col: batch.column(id_col),
+                        "qvec": qcol,
+                        "ivf_list": pa.array(lists),
+                    }
+                )
             return batch.append_column("ivf_list", pa.array(lists))
 
         assign.__name__ = "ivf_assign"
@@ -82,9 +111,13 @@ class IvfStore:
         with open(os.path.join(self.root, "_manifest.json"), "w") as f:
             json.dump(
                 {"n_lists": int(len(centroids)), "id_col": self.id_col,
-                 "vec_col": self.vec_col}, f,
+                 "vec_col": self.vec_col, "quantize": quantize}, f,
             )
         return self.root
+
+    def _manifest(self) -> dict:
+        with open(os.path.join(self.root, "_manifest.json")) as f:
+            return json.load(f)
 
     def centroids(self) -> np.ndarray:
         return np.load(os.path.join(self.root, "_centroids.npy"))
@@ -124,7 +157,12 @@ class IvfStore:
                      ("cosine", pa.float64()), ("rank", pa.int64())]
                 ).empty_table()
             )
-        ds = ray.data.read_parquet(sorted(files), columns=[self.id_col, self.vec_col])
+        quantized = self._manifest().get("quantize") == "int8"
+        vec_col = "qvec" if quantized else self.vec_col
+        ds = ray.data.read_parquet(sorted(files), columns=[self.id_col, vec_col])
+        # int8 store: cosine over the integer vector IS cosine over the
+        # reconstructed vector (per-vector scale cancels) — _vec_matrix
+        # widens the int8 list to float64 inside the top-k kernel
         return brute_force_topk(
-            ds, queries, k, id_col=self.id_col, vec_col=self.vec_col
+            ds, queries, k, id_col=self.id_col, vec_col=vec_col
         )

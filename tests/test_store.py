@@ -600,3 +600,52 @@ def test_ivf_store_layout_pruning_and_exactness(tmp_path, ray_session):
     near = store.query(queries, k=1, n_probe=1).take_all()
     got = {r["query_id"]: r["vec_id"] for r in near}
     assert got == {"a": 0, "b": 1}
+
+
+def test_ivf_store_int8_quantized(ray_session, tmp_path):
+    """INT8 IvfStore: full-probe ranking equals cosine over the trunc-
+    quantized vectors, and the quantized layout is materially smaller
+    than the float one."""
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.vecstore import IvfStore
+
+    rng = np.random.default_rng(12)
+    n, d = 2000, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32(), d)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    s_f = IvfStore(str(tmp_path / "f")); s_f.ingest(ds, n_lists=8)
+    s_q = IvfStore(str(tmp_path / "q")); s_q.ingest(ds, n_lists=8, quantize="int8")
+    queries = {"query_id": ["q0", "q1"], "vecs": vecs[[3, 77]].astype(np.float64)}
+    out = s_q.query(queries, k=5, n_probe=8).to_pandas()
+
+    # numpy oracle: cosine over trunc-quantized vectors (float64 math)
+    v64 = vecs.astype(np.float64)
+    maxabs = np.maximum(np.abs(v64).max(axis=1, keepdims=True), 1e-30)
+    q = np.trunc(v64 * 127.0 / maxabs)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for qi, qname in ((3, "q0"), (77, "q1")):
+        qv = v64[qi] / np.linalg.norm(v64[qi])
+        sims = qn @ qv
+        want = sorted(range(n), key=lambda i: (-sims[i], i))[:5]
+        got = out[out["query_id"] == qname].sort_values("rank")["vec_id"].tolist()
+        assert got == want, qname
+    # self-match survives quantization
+    assert out[(out["query_id"] == "q0") & (out["rank"] == 1)]["vec_id"].iloc[0] == 3
+
+    def tree_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(b, f))
+            for b, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        )
+
+    assert tree_bytes(str(tmp_path / "q")) < 0.55 * tree_bytes(str(tmp_path / "f"))

@@ -271,6 +271,58 @@ FROM pts GROUP BY gh
 """
 
 
+S2_LEVEL = 6
+
+
+def q_s2_binned_agg(sf_dir: str):
+    """Binned aggregation over CANONICAL S2 cell ids (S2BinningHelper.java;
+    the north star's named cell scheme).  Pure-NumPy cube-face quadtree +
+    Hilbert encoder (index/s2.py — quadratic projection, kIJtoPos
+    traversal tables); the DuckDB oracle replays the identical face/uv/
+    st/ij arithmetic plus a list_reduce fold over the 2-bit orientation
+    state machine, so the cell ids themselves are hash-verified."""
+    from ..index.s2 import s2_cell_ids
+    from ..stages.aggregate import binned_aggregate
+
+    pts = _events_points(sf_dir, with_value=True)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        cells = s2_cell_ids(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            S2_LEVEL,
+        )
+        return batch.append_column("s2cell", pa.array(cells))
+
+    add_cell.__name__ = "s2_encode"
+    out = binned_aggregate(
+        pts.map_batches(add_cell, batch_format="pyarrow"), ["s2cell"], "v_cents"
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s2cell": batch.column("s2cell"),
+                "n": batch.column("n"),
+                "sum_v": batch.column("sum_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_s2_binned_agg() -> str:
+    from ..index.s2 import s2_cell_cte
+
+    return f"""
+WITH {s2_cell_cte(S2_LEVEL, _PTS_SQL)}
+SELECT s2cell,
+       COUNT(*) AS n,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_v
+FROM s2cells GROUP BY s2cell
+"""
+
+
 MOSAIC_TS = 8
 MOSAIC_COLOR_MOD = 199
 
@@ -3368,7 +3420,7 @@ QUERIES = {
     "ivf_store_int8": q_ivf_store_int8,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
-    "grid_binned_agg": q_grid_binned_agg,
+    "s2_binned_agg": q_s2_binned_agg,
     "distinct_users": q_distinct_users,
     "knn": q_knn,
     "knn_join": q_knn_join,
@@ -3422,6 +3474,7 @@ QUERIES = {
     # here is still covered by scripts/check_oracle.py locally).  The
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
     # prior rounds (CORRECTNESS_r01-r03):
+    "grid_binned_agg": q_grid_binned_agg,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
@@ -3515,6 +3568,7 @@ ORACLE_SQL = {
     "bbox_query": SQL_BBOX_QUERY,
     "spatial_temporal_query": SQL_SPATIAL_TEMPORAL,
     "grid_binned_agg": SQL_GRID_BINNED_AGG,
+    "s2_binned_agg": _sql_s2_binned_agg(),
     "geohash_binned_agg": _sql_geohash_binned_agg(),
     "geotiff_tiles": SQL_GEOTIFF_TILES,
     "heavy_hitters": _sql_heavy_hitters(),

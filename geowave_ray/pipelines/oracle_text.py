@@ -51,6 +51,66 @@ def _shingle_expr(th: str = "th") -> str:
 END"""
 
 
+def sql_repetition(table: str = "documents", text_col: str = "text") -> str:
+    """Exact mirror of stages/text.RepetitionFeatures: non-empty-line
+    poly hashes (fold — lines can exceed the P31 literal length) and k=2
+    shingle bigram dominance, integer milli-unit outputs."""
+    from ..stages.texthash import SEED31
+
+    linehash = (
+        f"list_reduce(list_prepend({int(SEED31)}::HUGEINT,"
+        f" list_transform(range(1, length(ln)+1),"
+        f" ii -> unicode(ln[ii])::HUGEINT)),"
+        f" (acc, c) -> (acc * 31 + c) % {M64_SQL})"
+    )
+    bigram = sql_splitmix64(f"(th[i]*{_F}::HUGEINT + th[i+1]) % {M64_SQL}")
+    return f"""
+WITH {_tok_cte(table, text_col)}
+, lh AS (
+  SELECT d.doc_id,
+         unnest(list_transform(
+           list_filter(string_split(d.{text_col}, chr(10)), ln -> ln <> ''),
+           ln -> {linehash})) AS h
+  FROM {table} d)
+, lstat AS (
+  SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT h) AS n_uniq
+  FROM lh GROUP BY doc_id)
+, bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(th)), i -> {bigram})) AS b
+  FROM tok WHERE len(th) >= 2)
+, btop AS (
+  SELECT doc_id, MAX(c) AS top
+  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(1000 * (COALESCE(l.n_lines, 0) - COALESCE(l.n_uniq, 0))
+            // GREATEST(COALESCE(l.n_lines, 0), 1) AS BIGINT) AS dup_line_milli,
+       CAST(1000 * COALESCE(p.top, 0)
+            // GREATEST(len(t.th) - 1, 1) AS BIGINT) AS top_bigram_milli
+FROM tok t
+LEFT JOIN lstat l ON l.doc_id = t.doc_id
+LEFT JOIN btop p ON p.doc_id = t.doc_id
+"""
+
+
+def sql_decontaminate(bench_mod: int = 31, table: str = "documents") -> str:
+    """Exact mirror of pipelines q_decontaminate: per-corpus-doc count of
+    DISTINCT k=3 shingle hashes shared with the benchmark docs
+    (doc_id % bench_mod == 0); contaminated docs only."""
+    return f"""
+WITH {_tok_cte(table)}
+, sh_t AS (SELECT doc_id, {_shingle_expr('th')} AS shl FROM tok)
+, shd AS (SELECT DISTINCT doc_id, sh
+          FROM (SELECT doc_id, unnest(shl) AS sh FROM sh_t))
+, bench AS (SELECT DISTINCT sh FROM shd WHERE doc_id % {bench_mod} = 0)
+SELECT c.doc_id, COUNT(*) AS n_contaminated
+FROM shd c JOIN bench b USING (sh)
+WHERE c.doc_id % {bench_mod} <> 0
+GROUP BY c.doc_id
+"""
+
+
 def sql_langid() -> str:
     def inlist(lang: str) -> str:
         words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))

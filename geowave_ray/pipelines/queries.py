@@ -673,6 +673,80 @@ def q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "n_punct", "n_stop", "quality_milli"])
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality rules (duplicate-line fraction +
+    top-2-gram dominance) — integer milli-unit outputs with a full
+    hash-replay DuckDB oracle (oracle_text.sql_repetition)."""
+    import ray
+
+    from ..stages.text import RepetitionFeatures
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(stage_fn(RepetitionFeatures), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_lines", "dup_line_milli", "top_bigram_milli"]
+    )
+
+
+DECONTAM_MOD = 31
+
+
+def q_decontaminate(sf_dir: str, broadcast_cap: int = 1_000_000):
+    """Benchmark decontamination: flag corpus documents sharing any
+    3-token shingle with the benchmark split (doc_id % 31 == 0), with the
+    count of DISTINCT shared shingles per doc.  Scale shape: the bench
+    shingle set is benchmark-scale (tiny next to the corpus), so it
+    broadcasts into one membership-filter pass over the streaming corpus
+    shingles; above the cap a left_semi safe_join is the shuffle
+    fallback.  Oracle: oracle_text.sql_decontaminate (same shingle spec
+    as the minhash family)."""
+    import ray
+
+    from ..stages.dedupe import doc_shingle_rows
+    from ..stages.util import broadcast_membership_filter, collect_table, safe_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = doc_shingle_rows(docs, text_col="text", id_col="doc_id", k=3)
+
+    def split(keep_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % DECONTAM_MOD) == 0
+            return batch.filter(pa.array(m if keep_bench else ~m))
+
+        fn.__name__ = f"decontam_{'bench' if keep_bench else 'corpus'}"
+        return fn
+
+    sh = sh.materialize()  # shingled once, read twice (bench + corpus)
+    bench_sh = sh.map_batches(split(True), batch_format="pyarrow")
+    corpus_sh = sh.map_batches(split(False), batch_format="pyarrow")
+    bench_vals = bench_sh.groupby("sh").count().select_columns(["sh"]).materialize()
+    if bench_vals.count() <= broadcast_cap:
+        tbl = collect_table(bench_vals)
+        vals = (
+            tbl.column("sh").to_numpy(zero_copy_only=False)
+            if tbl is not None
+            else np.zeros(0, dtype=np.uint64)
+        )
+        hits = broadcast_membership_filter(corpus_sh, vals, "sh", keep_members=True)
+    else:  # bench split larger than the broadcast cap: shuffle semi join
+        hits = safe_join(corpus_sh, bench_vals, "inner", 16, ("sh",))
+    counts = hits.groupby("doc_id").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_contaminated": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(rename, batch_format="pyarrow")
+
+
 def q_fingerprints(sf_dir: str):
     import ray
 
@@ -3438,7 +3512,7 @@ QUERIES = {
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "minhash_dup_groups": q_minhash_dup_groups,
     "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dup": q_embedding_near_dup,
+    "repetition_scores": q_repetition_scores,
     "ivf_store_topk": q_ivf_store_topk,
     "ann_topk": q_ann_topk,
     "asof_join": q_asof_join,
@@ -3447,7 +3521,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "text_search": q_text_search,
     "expr_filter": q_expr_filter,
-    "phash_near_dup": q_phash_near_dup,
+    "decontaminate": q_decontaminate,
     "hll_distinct_users": q_hll_distinct_users,
     "windowed_agg": q_windowed_agg,
     "gwql_bbox_agg": q_gwql_bbox_agg,
@@ -3475,6 +3549,8 @@ QUERIES = {
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
     # prior rounds (CORRECTNESS_r01-r03):
     "grid_binned_agg": q_grid_binned_agg,
+    "embedding_near_dup": q_embedding_near_dup,
+    "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
@@ -3514,6 +3590,8 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_langid,
     sql_minhash_pairs,
     sql_quality,
+    sql_repetition,
+    sql_decontaminate,
     sql_simhash,
 )
 
@@ -3542,6 +3620,8 @@ ORACLE_SQL = {
     "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
     "langid": sql_langid(),
+    "repetition_scores": sql_repetition(),
+    "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),
     "simhash": sql_simhash(),

@@ -31,6 +31,7 @@ from .texthash import (
 
 __all__ = [
     "exact_dedupe",
+    "doc_shingle_rows",
     "minhash_signatures",
     "MinHasher",
     "lsh_candidate_pairs",
@@ -53,6 +54,34 @@ def exact_dedupe(ds, key_col: str, id_col: str):
         return group.take(order[:1])
 
     return ds.groupby(key_col).map_groups(keep_first, batch_format="pyarrow")
+
+
+def doc_shingle_rows(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Explode documents into DISTINCT (id, sh) shingle-hash rows — the
+    building block for overlap/decontamination analyses.  Fully
+    vectorized: one tokenize+shingle pass per batch, lexsort run-length
+    for the per-doc distinct (no per-row loops; the ngram_jaccard explode
+    predates this and keeps its bounded candidate-set loop)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tb = tokenize_hash(texts)
+        sh, sho = shingle_hashes(tb, k)
+        doc_idx = np.repeat(np.arange(len(texts)), np.diff(sho))
+        order = np.lexsort((sh, doc_idx))
+        d, s = doc_idx[order], sh[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        # int64 two's-complement view: bijective, so distinctness and
+        # join/count semantics are identical — and Ray's hash shuffle
+        # handles int64 keys natively (uint64 > 2**63 falls back to
+        # pickled python objects)
+        sh_out = s[first].copy().view(np.int64)
+        return pa.table({id_col: pa.array(ids[d[first]]), "sh": pa.array(sh_out)})
+
+    explode.__name__ = f"shingle_rows_k{k}"
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 class MinHasher:

@@ -26,7 +26,14 @@ from .texthash import (
     tokenize_hash,
 )
 
-__all__ = ["TextFeatures", "LangId", "Fingerprinter", "ngrams_of", "STOPWORDS"]
+__all__ = [
+    "TextFeatures",
+    "RepetitionFeatures",
+    "LangId",
+    "Fingerprinter",
+    "ngrams_of",
+    "STOPWORDS",
+]
 
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at", "by"},
@@ -139,6 +146,96 @@ class TextFeatures:
             ("punct_ratio", punct_ratio),
             ("stopword_ratio", stop_ratio),
             ("quality_score", quality),
+        ]:
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+class RepetitionFeatures:
+    """Gopher-style repetition quality rules (Rae et al. 2021, public):
+    duplicate-line fraction and top-2-gram dominance, integer-exact in
+    milli-units so the DuckDB oracle hash-matches (SQL mirror:
+    pipelines/oracle_text.sql_repetition).
+
+    Spec:
+      lines            = text split on chr(10), EMPTY lines dropped
+                         (whitespace-only lines kept)
+      line hash        = tokhash poly spec over the RAW (unlowered) line
+                         codepoints (seed SEED31, base 31, mod 2**64)
+      dup_line_milli   = 1000*(n_lines - n_distinct_line_hashes)
+                         // max(n_lines, 1)
+      bigram hash      = k=2 shingle combine over lowered whitespace
+                         tokens: splitmix64(th_i * SHINGLE_F + th_{i+1})
+      top_bigram_milli = 1000*max_bigram_multiplicity // max(n_tokens-1, 1)
+                         (0 for docs with < 2 tokens)
+
+    Vectorized: one codepoint pass for line segmentation + poly hashing,
+    lexsort run-length for per-doc distinct counts; no per-row loops.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .texthash import SEED31, SHINGLE_F, segment_poly_hash, splitmix64
+
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        n = len(texts)
+        cp, offsets = _codepoints(texts)
+        m = len(cp)
+
+        n_lines = np.zeros(n, dtype=np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+        if m:
+            nl = cp == 10
+            keep = ~nl  # chars belonging to (non-empty) lines
+            starts_mask = keep.copy()
+            starts_mask[1:] &= nl[:-1]
+            ends_mask = keep.copy()
+            ends_mask[:-1] &= nl[1:]
+            doc_start = offsets[:-1]
+            doc_start = doc_start[doc_start < m]
+            starts_mask[doc_start] = keep[doc_start]
+            doc_last = offsets[1:] - 1
+            doc_last = doc_last[(doc_last >= 0) & (doc_last < m)]
+            ends_mask[doc_last] = keep[doc_last]
+            ls = np.flatnonzero(starts_mask)
+            le = np.flatnonzero(ends_mask)
+            if len(ls):
+                lh = segment_poly_hash(cp, ls, le, 31, seed=int(SEED31))
+                ld = np.searchsorted(offsets[1:], ls, side="right")
+                n_lines = np.bincount(ld, minlength=n).astype(np.int64)
+                order = np.lexsort((lh, ld))
+                lds, lhs = ld[order], lh[order]
+                first = np.ones(len(lds), dtype=bool)
+                first[1:] = (lds[1:] != lds[:-1]) | (lhs[1:] != lhs[:-1])
+                n_uniq = np.bincount(lds[first], minlength=n).astype(np.int64)
+        dup_line_milli = (1000 * (n_lines - n_uniq)) // np.maximum(n_lines, 1)
+
+        tb: TokenizedBatch = tokenize_hash(texts)
+        th = tb.tok_hashes
+        n_tok = tb.n_tokens
+        top = np.zeros(n, dtype=np.int64)
+        if len(th) >= 2:
+            tok_doc = np.repeat(np.arange(n), n_tok)
+            valid = tok_doc[:-1] == tok_doc[1:]
+            bh = splitmix64(th[:-1] * SHINGLE_F + th[1:])[valid]
+            bd = tok_doc[:-1][valid]
+            if len(bh):
+                order = np.lexsort((bh, bd))
+                bds, bhs = bd[order], bh[order]
+                first = np.ones(len(bds), dtype=bool)
+                first[1:] = (bds[1:] != bds[:-1]) | (bhs[1:] != bhs[:-1])
+                grp = np.cumsum(first) - 1
+                cnts = np.bincount(grp)
+                np.maximum.at(top, bds[first], cnts)
+        top_bigram_milli = (1000 * top) // np.maximum(n_tok - 1, 1)
+
+        out = batch
+        for name, arr in [
+            ("n_lines", n_lines),
+            ("dup_line_milli", dup_line_milli),
+            ("top_bigram_milli", top_bigram_milli),
         ]:
             out = out.append_column(name, pa.array(arr))
         return out

@@ -609,3 +609,50 @@ def test_kmeans_multi_init(ray_session):
     want = np.array([[0, 0], [8, 8], [-8, 5]], dtype=float)
     for c in cents:
         assert np.min(np.linalg.norm(want - c, axis=1)) < 1.0
+
+
+def test_repetition_features():
+    """Hand-computed Gopher repetition metrics (spec in stages/text)."""
+    from geowave_ray.stages.text import RepetitionFeatures
+
+    texts = [
+        "aaa bbb\naaa bbb\nccc ddd",   # 3 lines, 1 dup line; bigrams: (aaa,bbb)x2 of 5
+        "x\n\nx\n x",                   # lines: x, x, ' x' -> 3 kept, 1 dup
+        "one two three",                # no repetition
+        "",                             # empty doc
+        "w w w w",                      # top bigram (w,w) 3 of 3
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()), "text": texts})
+    out = RepetitionFeatures()(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 3
+    assert out.loc[0, "dup_line_milli"] == 1000 * 1 // 3
+    # doc 0 tokens: aaa bbb aaa bbb ccc ddd -> 5 bigrams, top (aaa,bbb) = 2
+    assert out.loc[0, "top_bigram_milli"] == 1000 * 2 // 5
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "dup_line_milli"] == 333
+    assert out.loc[2, "dup_line_milli"] == 0 and out.loc[2, "top_bigram_milli"] == 500
+    assert out.loc[3, "n_lines"] == 0
+    assert out.loc[3, "dup_line_milli"] == 0 and out.loc[3, "top_bigram_milli"] == 0
+    assert out.loc[4, "top_bigram_milli"] == 1000
+
+
+def test_doc_shingle_rows_distinct(ray_session, docs_table):
+    import ray
+
+    from geowave_ray.stages.dedupe import doc_shingle_rows
+    from geowave_ray.stages.texthash import shingle_hashes, tokenize_hash
+
+    out = doc_shingle_rows(
+        ray.data.from_arrow(docs_table), "text", "doc_id", k=3
+    ).to_pandas()
+    # per-doc distinct, matches a direct per-doc computation
+    texts = [t or "" for t in docs_table.column("text").to_pylist()]
+    tb = tokenize_hash(texts)
+    sh, sho = shingle_hashes(tb, 3)
+    for d in range(len(texts)):
+        want = set(np.unique(sh[sho[d]: sho[d + 1]]).view(np.int64).tolist())
+        got = set(out[out["doc_id"] == d]["sh"].tolist())
+        assert got == want, d
+    # exact dup doc 6 shares ALL shingles with doc 0
+    s0 = set(out[out["doc_id"] == 0]["sh"])
+    s6 = set(out[out["doc_id"] == 6]["sh"])
+    assert s0 == s6 and len(s0) > 0

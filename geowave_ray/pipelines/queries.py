@@ -323,6 +323,59 @@ FROM s2cells GROUP BY s2cell
 """
 
 
+HEX_SIZE = 2.5
+
+
+def q_hex_binned_agg(sf_dir: str):
+    """Binned aggregation over HEXAGONAL cells — the hex-binning semantics
+    of the reference's H3 scheme (H3BinningHelper.java; the h3 lib is
+    banned here) on the equal-angle plane: flat-top axial projection +
+    cube rounding (index/hexgrid.py), exact SQL mirror."""
+    from ..index.hexgrid import hex_cells
+    from ..stages.aggregate import binned_aggregate
+
+    pts = _events_points(sf_dir, with_value=True)
+
+    def add_hex(batch: pa.Table) -> pa.Table:
+        q, r = hex_cells(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            HEX_SIZE,
+        )
+        return batch.append_column("hex_q", pa.array(q)).append_column(
+            "hex_r", pa.array(r)
+        )
+
+    add_hex.__name__ = "hex_encode"
+    out = binned_aggregate(
+        pts.map_batches(add_hex, batch_format="pyarrow"), ["hex_q", "hex_r"], "v_cents"
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hex_q": batch.column("hex_q"),
+                "hex_r": batch.column("hex_r"),
+                "n": batch.column("n"),
+                "sum_v": batch.column("sum_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_hex_binned_agg() -> str:
+    from ..index.hexgrid import hex_cell_cte
+
+    return f"""
+WITH {hex_cell_cte(HEX_SIZE, _PTS_SQL)}
+SELECT hex_q, hex_r,
+       COUNT(*) AS n,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_v
+FROM hxcells GROUP BY hex_q, hex_r
+"""
+
+
 MOSAIC_TS = 8
 MOSAIC_COLOR_MOD = 199
 
@@ -3522,7 +3575,7 @@ QUERIES = {
     "text_search": q_text_search,
     "expr_filter": q_expr_filter,
     "decontaminate": q_decontaminate,
-    "hll_distinct_users": q_hll_distinct_users,
+    "hex_binned_agg": q_hex_binned_agg,
     "windowed_agg": q_windowed_agg,
     "gwql_bbox_agg": q_gwql_bbox_agg,
     "heavy_hitters": q_heavy_hitters,
@@ -3549,6 +3602,7 @@ QUERIES = {
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
     # prior rounds (CORRECTNESS_r01-r03):
     "grid_binned_agg": q_grid_binned_agg,
+    "hll_distinct_users": q_hll_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
@@ -3649,6 +3703,7 @@ ORACLE_SQL = {
     "spatial_temporal_query": SQL_SPATIAL_TEMPORAL,
     "grid_binned_agg": SQL_GRID_BINNED_AGG,
     "s2_binned_agg": _sql_s2_binned_agg(),
+    "hex_binned_agg": _sql_hex_binned_agg(),
     "geohash_binned_agg": _sql_geohash_binned_agg(),
     "geotiff_tiles": SQL_GEOTIFF_TILES,
     "heavy_hitters": _sql_heavy_hitters(),

@@ -142,3 +142,49 @@ def test_geohash_public_vectors():
     assert got[0] == "ezs42"
     got9 = geohash_strings(np.array([-5.603027]), np.array([42.583008]), 9)
     assert got9[0].startswith("ezs42")
+
+
+# ---------------------------------------------------------------- hexgrid
+
+
+def test_hex_nearest_center():
+    """Every point's assigned hex center is the closest among the cell
+    and its 6 neighbors (the defining property of hex binning)."""
+    from geowave_ray.index.hexgrid import HexScheme, hex_cells
+
+    lon, lat = _sample(3000, seed=5)
+    size = 3.0
+    q, r = hex_cells(lon, lat, size)
+    sch = HexScheme(size)
+    cx, cy = sch.center(q, r)
+    d0 = (lon - cx) ** 2 + (lat - cy) ** 2
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nx, ny = sch.center(q + dq, r + dr)
+        dn = (lon - nx) ** 2 + (lat - ny) ** 2
+        assert np.all(d0 <= dn + 1e-12)
+
+
+def test_hex_adjacency_and_packing():
+    from geowave_ray.index.hexgrid import HexScheme
+
+    sch = HexScheme(1.0)
+    nbrs = sch.neighbors(3, -2)
+    assert len(set(nbrs)) == 6 and (3, -2) not in nbrs
+    # packed ids collision-free over a q/r window
+    qs, rs = np.meshgrid(np.arange(-50, 50), np.arange(-50, 50))
+    lonc, latc = sch.center(qs.ravel(), rs.ravel())
+    ids = sch.cell_of(lonc, latc)
+    assert len(np.unique(ids)) == len(ids)
+
+
+def test_hex_center_roundtrip():
+    """Cell centers map back to their own cell."""
+    from geowave_ray.index.hexgrid import HexScheme, hex_cells
+
+    sch = HexScheme(2.0)
+    qs = np.arange(-30, 30, dtype=np.int64)
+    rs = (qs * 7 % 11) - 5
+    lonc, latc = sch.center(qs, rs)
+    q2, r2 = hex_cells(lonc, latc, 2.0)
+    np.testing.assert_array_equal(q2, qs)
+    np.testing.assert_array_equal(r2, rs)

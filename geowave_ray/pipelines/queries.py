@@ -323,6 +323,78 @@ FROM s2cells GROUP BY s2cell
 """
 
 
+MOSAIC_TS = 8
+MOSAIC_COLOR_MOD = 199
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics — per-VECTOR-ZONE summaries of RASTER tiles (the
+    §2.F raster<->vector composition beyond per-cell mosaics): tiles are
+    painted per image (constant color = image_id % 199, making the
+    per-pixel math SQL-checkable; per-pixel merge behavior is unit-tested
+    in tests/test_tiles.py), assigned to zones by the map-side broadcast
+    zone join (payload bytes never shuffle before the per-zone partial
+    combine), and merged per zone with the MEAN band strategy — only one
+    partial tile per zone per block crosses the shuffle."""
+    from ..stages.tiles import _stack_tiles, mosaic_merge
+
+    pts = _events_points(sf_dir)
+    joined = broadcast_spatial_join(
+        pts,
+        zones_from_range(N_ZONES),
+        point_cols=("image_id",),
+        zone_cols=("zone_id",),
+    )
+    ts = MOSAIC_TS
+    nb = ts * ts * 3
+
+    def paint(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        colors = (ids % MOSAIC_COLOR_MOD).astype(np.uint8)
+        tiles = np.repeat(colors[:, None], nb, axis=1)
+        tile_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nb), len(ids), [None, pa.py_buffer(tiles.tobytes())]
+        )
+        return pa.table(
+            {
+                "tier": pa.array(np.zeros(len(ids), dtype=np.uint8)),
+                "cell": batch.column("zone_id"),
+                "image_id": batch.column("image_id"),
+                "tile": tile_col,
+            }
+        )
+
+    paint.__name__ = "zonal_paint"
+    merged = mosaic_merge(
+        joined.map_batches(paint, batch_format="pyarrow"), tile_size=ts, merge="mean"
+    )
+
+    def reduce_to_total(batch: pa.Table) -> pa.Table:
+        tiles = _stack_tiles(batch.column("tile"), nb)
+        return pa.table(
+            {
+                "zone_id": batch.column("cell"),
+                "n_tiles": batch.column("n_merged"),
+                "band_total": pa.array(
+                    tiles.astype(np.int64).sum(axis=1), type=pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(reduce_to_total, batch_format="pyarrow")
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE})
+SELECT z.zone_id, COUNT(*) AS n_tiles,
+       (CAST(SUM(p.image_id % {MOSAIC_COLOR_MOD}) AS BIGINT) // COUNT(*))
+         * {MOSAIC_TS * MOSAIC_TS * 3} AS band_total
+FROM pts p JOIN zones z
+  ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+GROUP BY z.zone_id
+"""
+
+
 HEX_SIZE = 2.5
 
 
@@ -374,10 +446,6 @@ SELECT hex_q, hex_r,
        CAST(SUM(v_cents) AS BIGINT) AS sum_v
 FROM hxcells GROUP BY hex_q, hex_r
 """
-
-
-MOSAIC_TS = 8
-MOSAIC_COLOR_MOD = 199
 
 
 def q_mosaic_merge(sf_dir: str):
@@ -3554,7 +3622,7 @@ QUERIES = {
     "tile_assignment": q_tile_assignment,
     "mosaic_merge": q_mosaic_merge,
     "hilbert_cells": q_hilbert_cells,
-    "dedupe_exact": q_dedupe_exact,
+    "zonal_stats": q_zonal_stats,
     # round-4 rotation (VERDICT r3 item 1): the 8 queries that were only
     # local-gate verified move INTO the window; the 8 they displace are
     # all driver-hash-green in >=2 prior rounds (see overflow block).
@@ -3602,6 +3670,7 @@ QUERIES = {
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
     # prior rounds (CORRECTNESS_r01-r03):
     "grid_binned_agg": q_grid_binned_agg,
+    "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "phash_near_dup": q_phash_near_dup,
@@ -3704,6 +3773,7 @@ ORACLE_SQL = {
     "grid_binned_agg": SQL_GRID_BINNED_AGG,
     "s2_binned_agg": _sql_s2_binned_agg(),
     "hex_binned_agg": _sql_hex_binned_agg(),
+    "zonal_stats": SQL_ZONAL_STATS,
     "geohash_binned_agg": _sql_geohash_binned_agg(),
     "geotiff_tiles": SQL_GEOTIFF_TILES,
     "heavy_hitters": _sql_heavy_hitters(),

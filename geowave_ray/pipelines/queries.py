@@ -3609,6 +3609,92 @@ WHERE event_type LIKE 'c%'
 """
 
 
+_CM_N = 4000
+
+
+def q_cross_modal_dups(sf_dir: str):
+    """Cross-modal dup diagnostic over the image+caption table (north-rule
+    input shape): same-phash pairs with a NEW caption (re-captioned image)
+    and same-caption pairs with a NEW phash (stock-caption reuse).  Two
+    hash-partitioned groupbys + vectorized in-group pair expansion — no
+    all-pairs step (stages/crossmodal.py)."""
+    from ..sources.images import crossmodal_ds
+    from ..stages.crossmodal import within_group_diff_pairs
+
+    ds = crossmodal_ds(_CM_N)
+
+    def tag(kind):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "kind", pa.array(np.repeat(kind, len(batch)))
+            )
+
+        add.__name__ = f"tag_{kind}"
+        return add
+
+    img_dups = within_group_diff_pairs(
+        ds, group_col="phash", diff_col="caption"
+    ).map_batches(tag("same_image_new_caption"), batch_format="pyarrow")
+    cap_dups = within_group_diff_pairs(
+        ds, group_col="caption", diff_col="phash"
+    ).map_batches(tag("same_caption_new_image"), batch_format="pyarrow")
+    return img_dups.union(cap_dups)
+
+
+def _sql_cross_modal_dups() -> str:
+    from ..sources.images import crossmodal_sql_cte
+
+    return f"""
+WITH {crossmodal_sql_cte(_CM_N)}
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       'same_image_new_caption' AS kind
+FROM cm a JOIN cm b
+  ON a.image_id < b.image_id AND a.ph = b.ph AND a.caption <> b.caption
+UNION ALL
+SELECT a.image_id, b.image_id, 'same_caption_new_image'
+FROM cm a JOIN cm b
+  ON a.image_id < b.image_id AND a.caption = b.caption AND a.ph <> b.ph
+"""
+
+
+def q_hard_negatives(sf_dir: str):
+    """CLIP-style hard-negative mining: visually near-dup pairs (banded
+    phash, hamming <= 2, pigeonhole-complete) whose captions are
+    materially different (token-set Jaccard < 0.7).  The Jaccard verify
+    runs only on banding survivors — pair-scale, never all-pairs."""
+    from ..sources.images import crossmodal_ds
+    from ..stages.crossmodal import hard_negative_pairs
+
+    return hard_negative_pairs(crossmodal_ds(_CM_N))
+
+
+def _sql_hard_negatives() -> str:
+    from ..sources.images import crossmodal_sql_cte
+
+    toks = (
+        "list_distinct(list_filter("
+        "regexp_split_to_array(lower(caption), '\\s+'), tk -> tk <> ''))"
+    )
+    return f"""
+WITH {crossmodal_sql_cte(_CM_N)},
+cand AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+  FROM cm a JOIN cm b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+tk AS (SELECT image_id, {toks} AS toks FROM cm),
+scored AS (
+  SELECT c.id_a, c.id_b, c.hamming,
+         (1000 * len(list_intersect(ta.toks, tb.toks)))
+         // (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+           AS jacc_milli
+  FROM cand c
+  JOIN tk ta ON ta.image_id = c.id_a
+  JOIN tk tb ON tb.image_id = c.id_b)
+SELECT id_a, id_b, hamming, jacc_milli FROM scored WHERE jacc_milli < 700
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_anti": q_spatial_join_anti,
@@ -3630,9 +3716,10 @@ QUERIES = {
     "ann_lsh_verified": q_ann_lsh_verified,
     "interval_join": q_interval_join,
     "pack_sequences": q_pack_sequences,
-    "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "minhash_dup_groups": q_minhash_dup_groups,
-    "ngram_jaccard": q_ngram_jaccard,
+    # new in round 4 (never driver-verified — in-window):
+    "cross_modal_dups": q_cross_modal_dups,
+    "hard_negatives": q_hard_negatives,
     "repetition_scores": q_repetition_scores,
     "ivf_store_topk": q_ivf_store_topk,
     "ann_topk": q_ann_topk,
@@ -3668,7 +3755,11 @@ QUERIES = {
     # everything above is DuckDB-hash-verified by the driver, everything
     # here is still covered by scripts/check_oracle.py locally).  The
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
-    # prior rounds (CORRECTNESS_r01-r03):
+    # prior rounds (CORRECTNESS_r01-r03); minhash_dedupe_pairs and
+    # ngram_jaccard (green r1-r3) were displaced late in round 4 by the
+    # new cross-modal operators:
+    "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "grid_binned_agg": q_grid_binned_agg,
     "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
@@ -3750,6 +3841,8 @@ ORACLE_SQL = {
     "simhash": sql_simhash(),
     "minhash_dedupe_pairs": sql_minhash_pairs(),
     "minhash_dup_groups": sql_minhash_groups(),
+    "cross_modal_dups": _sql_cross_modal_dups(),
+    "hard_negatives": _sql_hard_negatives(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),

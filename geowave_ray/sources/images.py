@@ -107,6 +107,93 @@ def zones_from_range(n: int = 200) -> pa.Table:
 _ADJ = ["red", "blue", "tiny", "vast", "old", "new", "dark", "bright"]
 _NOUN = ["harbor", "forest", "dune", "glacier", "market", "bridge", "field", "reef"]
 
+
+# ------------------------------------------------- SQL-replicable crossmodal
+# image+caption rows with CONTROLLED duplication on both modalities:
+#   phash   = splitmix64(j % POOL) xor (1 << (j % 64) when j % 3 == 0)
+#             -> within a pool group hamming is 0/1/2; across groups ~32
+#   caption = caption_pool[(j * 2654435761) % CAPS]
+# so same-image/new-caption and same-caption/new-image pairs both exist and
+# DuckDB can regenerate the exact table (CROSSMODAL_SQL) for the oracle.
+CROSSMODAL_POOL = 512
+CROSSMODAL_CAPS = 797
+
+_CM_CAPTIONS: np.ndarray | None = None
+
+
+def _cm_caption_pool() -> np.ndarray:
+    global _CM_CAPTIONS
+    if _CM_CAPTIONS is None:
+        c = np.arange(CROSSMODAL_CAPS)
+        _CM_CAPTIONS = np.array(
+            [
+                f"a photo of {_ADJ[int(ci) % 8]} {_NOUN[(int(ci) // 8) % 8]}"
+                f" near place-{int(ci) % 100}"
+                for ci in c
+            ]
+        )
+    return _CM_CAPTIONS
+
+
+def crossmodal_batch(ids: np.ndarray) -> pa.Table:
+    """(image_id, phash, caption) for int64 ids — mirror of CROSSMODAL_SQL."""
+    from ..stages.texthash import splitmix64
+
+    j = ids.astype(np.uint64)
+    base = splitmix64(j % np.uint64(CROSSMODAL_POOL))
+    flip = np.where(
+        ids % 3 == 0, np.uint64(1) << (j % np.uint64(64)), np.uint64(0)
+    )
+    ph = (base ^ flip).astype(np.int64)
+    c = (ids * 2654435761) % CROSSMODAL_CAPS
+    return pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.int64()),
+            "phash": pa.array(ph),
+            "caption": pa.array(_cm_caption_pool()[c]),
+        }
+    )
+
+
+def crossmodal_ds(n: int = 4000, override_num_blocks: int | None = None):
+    """Distributed deterministic image+caption table (north-rule shape
+    minus payload bytes; partition-order independent)."""
+    import ray
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return crossmodal_batch(batch.column("id").to_numpy().astype(np.int64))
+
+    gen.__name__ = "crossmodal_gen"
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def crossmodal_sql_cte(n: int = 4000) -> str:
+    """DuckDB CTE body regenerating crossmodal_ds(n) exactly: relation
+    ``cm(image_id, ph HUGEINT, caption)``."""
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64(f"(j % {CROSSMODAL_POOL})::HUGEINT")
+    adj = "[" + ",".join(f"'{a}'" for a in _ADJ) + "]"
+    noun = "[" + ",".join(f"'{w}'" for w in _NOUN) + "]"
+    return f"""
+cm0 AS (
+  SELECT j AS image_id,
+         xor(({sm}),
+             CASE WHEN j % 3 = 0
+                  THEN 1::HUGEINT << CAST(j % 64 AS INTEGER)
+                  ELSE 0::HUGEINT END) AS ph,
+         (j * 2654435761) % {CROSSMODAL_CAPS} AS c
+  FROM range({n}) t(j)),
+cm AS (
+  SELECT image_id, ph,
+         'a photo of ' || {adj}[1 + CAST(c % 8 AS INTEGER)]
+         || ' ' || {noun}[1 + CAST((c // 8) % 8 AS INTEGER)]
+         || ' near place-' || CAST(c % 100 AS VARCHAR) AS caption
+  FROM cm0)
+""".strip()
+
 # three Gaussian hot clusters to exercise skew / salting (FIXTURES F1)
 _CLUSTERS = [(2.35, 48.85), (-74.0, 40.7), (139.7, 35.7)]
 

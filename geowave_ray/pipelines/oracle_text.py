@@ -268,3 +268,32 @@ h AS (SELECT image_id, ({z}) AS z FROM pts)
 SELECT image_id FROM h
 WHERE CAST(xor(z, z >> 31) AS DOUBLE) / 18446744073709551616.0 < {rate}
 """
+
+
+def sql_dsir(
+    target_value: str = "en",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    table: str = "documents",
+) -> str:
+    """Exact mirror of stages/text.dsir_importance: hashed-unigram bucket
+    counts (raw vs target slice), Laplace-smoothed integer weights
+    ``(scale*(t+1)) // (r+1)``, per-doc sum over token instances."""
+    sm = sql_splitmix64("th")
+    return f"""
+WITH {_tok_cte(table)}
+, inst AS (
+  SELECT t.doc_id, d.lang, unnest(t.th) AS th
+  FROM tok t JOIN {table} d USING (doc_id))
+, bk AS (SELECT doc_id, lang, ({sm}) % {n_buckets} AS bkt FROM inst)
+, cnt AS (
+  SELECT bkt, COUNT(*) AS r,
+         COUNT(*) FILTER (lang = '{target_value}') AS tg
+  FROM bk GROUP BY bkt)
+, w AS (SELECT bkt, ({scale}::HUGEINT * (tg + 1)) // (r + 1) AS wgt FROM cnt)
+, sc AS (
+  SELECT bk.doc_id, SUM(w.wgt) AS s
+  FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id)
+SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score
+FROM {table} d LEFT JOIN sc USING (doc_id)
+"""

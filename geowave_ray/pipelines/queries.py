@@ -3695,6 +3695,21 @@ SELECT id_a, id_b, hamming, jacc_milli FROM scored WHERE jacc_milli < 700
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance scores (hashed-unigram features, target = lang='en')
+    over the document corpus — the data-selection-for-LM-training operator
+    (Xie et al. 2023).  Sufficient statistic is O(n_buckets): two map-only
+    passes, zero shuffles (stages/text.dsir_importance)."""
+    import ray
+
+    from ..stages.text import dsir_importance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_importance(ds)
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_anti": q_spatial_join_anti,
@@ -3720,6 +3735,7 @@ QUERIES = {
     # new in round 4 (never driver-verified — in-window):
     "cross_modal_dups": q_cross_modal_dups,
     "hard_negatives": q_hard_negatives,
+    "dsir_weights": q_dsir_weights,
     "repetition_scores": q_repetition_scores,
     "ivf_store_topk": q_ivf_store_topk,
     "ann_topk": q_ann_topk,
@@ -3738,7 +3754,6 @@ QUERIES = {
     "cql_dwithin": q_cql_dwithin,
     "geotiff_tiles": q_geotiff_tiles,
     "geohash_binned_agg": q_geohash_binned_agg,
-    "image_roundtrip": q_image_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "dbscan": q_dbscan,
     "audio_features": q_audio_features,
@@ -3760,6 +3775,7 @@ QUERIES = {
     # new cross-modal operators:
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "image_roundtrip": q_image_roundtrip,
     "grid_binned_agg": q_grid_binned_agg,
     "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
@@ -3806,6 +3822,7 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_quality,
     sql_repetition,
     sql_decontaminate,
+    sql_dsir,
     sql_simhash,
 )
 
@@ -3842,6 +3859,7 @@ ORACLE_SQL = {
     "minhash_dedupe_pairs": sql_minhash_pairs(),
     "minhash_dup_groups": sql_minhash_groups(),
     "cross_modal_dups": _sql_cross_modal_dups(),
+    "dsir_weights": sql_dsir(),
     "hard_negatives": _sql_hard_negatives(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -350,3 +350,80 @@ def pack_sequences(ds, id_col="doc_id", tokens_col="n_tokens", budget=2048, n_bu
         .groupby("bucket")
         .map_groups(_PackGroup(id_col, tokens_col, budget), batch_format="pyarrow")
     )
+
+
+def dsir_importance(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) with hashed-unigram features, integer-exact so the
+    DuckDB oracle hard-verifies it.
+
+    Two streaming passes:
+
+    1. bucket-count pass — per batch, bincount token buckets
+       ``splitmix64(tokhash(token)) % n_buckets`` for the raw corpus and
+       for the target slice (``target_col == target_value``); partials are
+       two length-``n_buckets`` int64 vectors per block, reduced on the
+       driver (bounded: n_blocks x 16 KB — the hll_distinct_users
+       convention) into the weight table
+       ``w_b = (scale * (t_b + 1)) // (r_b + 1)`` (Laplace-smoothed
+       integer log-free ratio).
+    2. scoring pass — broadcast ``w`` via ray.put; each doc's score is the
+       sum of ``w[bucket]`` over its token INSTANCES (vectorized
+       ``np.add.at``); zero-token docs score 0.
+
+    100 TB shape: the sufficient statistic is O(n_buckets) regardless of
+    corpus size, so no shuffle at all — two map-only passes.
+    """
+    import ray
+
+    from .texthash import splitmix64, tokenize_hash
+
+    def _buckets(tb) -> tuple[np.ndarray, np.ndarray]:
+        b = (splitmix64(tb.tok_hashes) % np.uint64(n_buckets)).astype(np.int64)
+        doc_of = np.repeat(np.arange(tb.n_docs), np.diff(tb.tok_offsets))
+        return b, doc_of
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        tb = tokenize_hash(texts)
+        b, doc_of = _buckets(tb)
+        raw = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        is_t = pa.compute.equal(
+            batch.column(target_col), pa.scalar(target_value)
+        ).to_numpy(zero_copy_only=False)
+        tgt = np.bincount(b[is_t[doc_of]], minlength=n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "raw": pa.array([raw], type=pa.large_list(pa.int64())),
+                "tgt": pa.array([tgt], type=pa.large_list(pa.int64())),
+            }
+        )
+
+    partial.__name__ = "dsir_bucket_counts"
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    for r in parts:
+        raw += np.asarray(r["raw"], dtype=np.int64)
+        tgt += np.asarray(r["tgt"], dtype=np.int64)
+    w_ref = ray.put((scale * (tgt + 1)) // (raw + 1))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        tb = tokenize_hash(texts)
+        b, doc_of = _buckets(tb)
+        sc = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(sc, doc_of, w[b])
+        return pa.table({id_col: batch.column(id_col), "dsir_score": pa.array(sc)})
+
+    score.__name__ = "dsir_score"
+    return ds.map_batches(score, batch_format="pyarrow")

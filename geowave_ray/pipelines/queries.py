@@ -3695,6 +3695,64 @@ SELECT id_a, id_b, hamming, jacc_milli FROM scored WHERE jacc_milli < 700
 """
 
 
+_PM_N = 300
+
+
+def q_polygon_measures(sf_dir: str):
+    """Geometry measure functions over WKB polygons: exact integer
+    shoelace area (x2), centroid numerators, bbox, vertex count —
+    vectorized reduceat kernels, map-only (geom/measures.py).  Polygons
+    are formula-generated (integer vertices) so DuckDB replays the
+    arithmetic exactly."""
+    import ray
+
+    from ..geom.measures import polygon_measures
+    from ..geom.wkb import Polygon, to_wkb
+
+    def gen(batch: pa.Table) -> pa.Table:
+        js = batch.column("id").to_numpy().astype(np.int64)
+        wkbs = []
+        for j in js:
+            k = 3 + int(j) % 6
+            i = np.arange(k, dtype=np.int64)
+            x = ((j * 31 + i * 97) % 2001) - 1000
+            y = ((j * 57 + i * 131) % 2001) - 1000
+            shell = np.stack([x, y], axis=1).astype(np.float64)
+            shell = np.vstack([shell, shell[:1]])  # close the ring
+            wkbs.append(to_wkb(Polygon(shell)))
+        return pa.table(
+            {
+                "poly_id": pa.array(js),
+                "wkb": pa.array(wkbs, type=pa.binary()),
+            }
+        )
+
+    gen.__name__ = "polygon_gen"
+    ds = ray.data.range(_PM_N).map_batches(gen, batch_format="pyarrow")
+    return polygon_measures(ds)
+
+
+SQL_POLYGON_MEASURES = f"""
+WITH v AS (
+  SELECT j, unnest(range(3 + (j % 6))) AS i FROM range({_PM_N}) t(j)),
+c AS (
+  SELECT j, i,
+    ((j*31 + i*97) % 2001) - 1000 AS x,
+    ((j*57 + i*131) % 2001) - 1000 AS y,
+    ((j*31 + ((i+1) % (3 + (j % 6))) * 97) % 2001) - 1000 AS xn,
+    ((j*57 + ((i+1) % (3 + (j % 6))) * 131) % 2001) - 1000 AS yn
+  FROM v)
+SELECT j AS poly_id,
+  COUNT(*) AS n_vertices,
+  CAST(SUM(x*yn - xn*y) AS BIGINT) AS area2,
+  CAST(SUM((x + xn) * (x*yn - xn*y)) AS BIGINT) AS cx_num,
+  CAST(SUM((y + yn) * (x*yn - xn*y)) AS BIGINT) AS cy_num,
+  CAST(MIN(x) AS BIGINT) AS minx, CAST(MIN(y) AS BIGINT) AS miny,
+  CAST(MAX(x) AS BIGINT) AS maxx, CAST(MAX(y) AS BIGINT) AS maxy
+FROM c GROUP BY j
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance scores (hashed-unigram features, target = lang='en')
     over the document corpus — the data-selection-for-LM-training operator
@@ -3736,6 +3794,7 @@ QUERIES = {
     "cross_modal_dups": q_cross_modal_dups,
     "hard_negatives": q_hard_negatives,
     "dsir_weights": q_dsir_weights,
+    "polygon_measures": q_polygon_measures,
     "repetition_scores": q_repetition_scores,
     "ivf_store_topk": q_ivf_store_topk,
     "ann_topk": q_ann_topk,
@@ -3757,7 +3816,6 @@ QUERIES = {
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "dbscan": q_dbscan,
     "audio_features": q_audio_features,
-    "spatial_temporal_cells": q_spatial_temporal_cells,
     "store_bbox_query": q_store_bbox_query,
     "store_attr_range": q_store_attr_range,
     "store_mixed_bbox": q_store_mixed_bbox,
@@ -3776,6 +3834,7 @@ QUERIES = {
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "image_roundtrip": q_image_roundtrip,
+    "spatial_temporal_cells": q_spatial_temporal_cells,
     "grid_binned_agg": q_grid_binned_agg,
     "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
@@ -3860,6 +3919,7 @@ ORACLE_SQL = {
     "minhash_dup_groups": sql_minhash_groups(),
     "cross_modal_dups": _sql_cross_modal_dups(),
     "dsir_weights": sql_dsir(),
+    "polygon_measures": SQL_POLYGON_MEASURES,
     "hard_negatives": _sql_hard_negatives(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -3753,6 +3753,65 @@ FROM c GROUP BY j
 """
 
 
+_PYR_GRID = 8  # level-0 tile grid (8x8 tiles of 16x16 px)
+
+
+def q_pyramid_levels(sf_dir: str):
+    """Raster pyramid build over REAL PNG tile payloads: 3 levels of 2x2
+    mean-pool (integer sum//4), one shrinking hash shuffle per level
+    (stages/pyramid.py).  Pixels are formula-derived so DuckDB replays the
+    nested floor-mean arithmetic exactly; output = per-level tile
+    checksums."""
+    import ray
+
+    from ..stages.imaging import encode_image
+    from ..stages.pyramid import build_pyramid
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ks = batch.column("id").to_numpy().astype(np.int64)
+        txs, tys, blobs = [], [], []
+        for k in ks:
+            tx, ty = int(k) % _PYR_GRID, int(k) // _PYR_GRID
+            gx = tx * 16 + np.arange(16, dtype=np.int64)[None, :]
+            gy = ty * 16 + np.arange(16, dtype=np.int64)[:, None]
+            v = ((gx * 11 + gy * 53 + tx * 37 + ty * 29) % 256).astype(np.uint8)
+            txs.append(tx)
+            tys.append(ty)
+            blobs.append(encode_image(v[:, :, None], "png"))
+        return pa.table(
+            {
+                "tx": pa.array(txs, type=pa.int64()),
+                "ty": pa.array(tys, type=pa.int64()),
+                "png": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    gen.__name__ = "pyramid_tile_gen"
+    tiles = ray.data.range(_PYR_GRID * _PYR_GRID).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    return build_pyramid(tiles, n_levels=3)
+
+
+SQL_PYRAMID_LEVELS = f"""
+WITH l0 AS (
+  SELECT gx, gy,
+         (gx*11 + gy*53 + (gx//16)*37 + (gy//16)*29) % 256 AS v
+  FROM range({_PYR_GRID} * 16) a(gx), range({_PYR_GRID} * 16) b(gy)),
+l1 AS (SELECT gx//2 AS gx, gy//2 AS gy, SUM(v)//4 AS v FROM l0 GROUP BY 1, 2),
+l2 AS (SELECT gx//2 AS gx, gy//2 AS gy, SUM(v)//4 AS v FROM l1 GROUP BY 1, 2),
+l3 AS (SELECT gx//2 AS gx, gy//2 AS gy, SUM(v)//4 AS v FROM l2 GROUP BY 1, 2)
+SELECT 0 AS level, gx//16 AS tx, gy//16 AS ty, CAST(SUM(v) AS BIGINT) AS pix_sum
+FROM l0 GROUP BY 2, 3
+UNION ALL
+SELECT 1, gx//16, gy//16, CAST(SUM(v) AS BIGINT) FROM l1 GROUP BY 2, 3
+UNION ALL
+SELECT 2, gx//16, gy//16, CAST(SUM(v) AS BIGINT) FROM l2 GROUP BY 2, 3
+UNION ALL
+SELECT 3, gx//16, gy//16, CAST(SUM(v) AS BIGINT) FROM l3 GROUP BY 2, 3
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance scores (hashed-unigram features, target = lang='en')
     over the document corpus — the data-selection-for-LM-training operator
@@ -3795,9 +3854,9 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "dsir_weights": q_dsir_weights,
     "polygon_measures": q_polygon_measures,
+    "pyramid_levels": q_pyramid_levels,
     "repetition_scores": q_repetition_scores,
     "ivf_store_topk": q_ivf_store_topk,
-    "ann_topk": q_ann_topk,
     "asof_join": q_asof_join,
     "dedup_corpus": q_dedup_corpus,
     "ann_ivf_full": q_ann_ivf_full,
@@ -3834,6 +3893,7 @@ QUERIES = {
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "image_roundtrip": q_image_roundtrip,
+    "ann_topk": q_ann_topk,
     "spatial_temporal_cells": q_spatial_temporal_cells,
     "grid_binned_agg": q_grid_binned_agg,
     "dedupe_exact": q_dedupe_exact,
@@ -3920,6 +3980,7 @@ ORACLE_SQL = {
     "cross_modal_dups": _sql_cross_modal_dups(),
     "dsir_weights": sql_dsir(),
     "polygon_measures": SQL_POLYGON_MEASURES,
+    "pyramid_levels": SQL_PYRAMID_LEVELS,
     "hard_negatives": _sql_hard_negatives(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

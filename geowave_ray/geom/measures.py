@@ -34,25 +34,62 @@ def ring_measures(starts: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> dict:
     """Measures for flattened OPEN rings (closing vertex removed).
 
     ``starts``: int64 start offset of each ring in ``xs``/``ys`` (the last
-    ring ends at ``len(xs)``).  Coordinates must be int64."""
+    ring ends at ``len(xs)``).  Coordinates must be int64.
+
+    Each ring is translated to its bbox min before the shoelace pass:
+    ``area2`` is translation-invariant and the centroid numerators shift
+    back by the exact integer identity ``cx_num = cx_num_local +
+    3*area2*x0`` — so every intermediate stays at EXTENT scale
+    (~4*k*extent^3) instead of coordinate scale.  The naive form's
+    per-term products exceed 2**63 for degree-range coordinates at
+    scale >= ~1e4 and silently rely on int64 modular wraparound
+    cancelling (correct only while the FINAL value fits int64); the
+    translated form never wraps, and a result that genuinely cannot
+    fit int64 raises ValueError instead of returning wrapped garbage."""
     n = len(xs)
+    counts = np.diff(np.append(starts, n))
     ends = np.append(starts[1:], n) - 1  # last-vertex index per ring
-    x_next = np.empty_like(xs)
-    y_next = np.empty_like(ys)
-    x_next[:n - 1] = xs[1:]
-    y_next[:n - 1] = ys[1:]
-    x_next[ends] = xs[starts]  # wrap each ring's last vertex to its first
-    y_next[ends] = ys[starts]
-    cross = xs * y_next - x_next * ys
+    minx = np.minimum.reduceat(xs, starts)
+    miny = np.minimum.reduceat(ys, starts)
+    maxx = np.maximum.reduceat(xs, starts)
+    maxy = np.maximum.reduceat(ys, starts)
+    ext = np.maximum(maxx - minx, maxy - miny).astype(np.float64)
+    if np.any(4.0 * counts * ext**3 > 2.0**62):
+        raise ValueError(
+            "ring_measures: extent*scale too large — the shoelace "
+            "intermediates would exceed int64; reduce `scale`"
+        )
+    xl = xs - np.repeat(minx, counts)
+    yl = ys - np.repeat(miny, counts)
+    x_next = np.empty_like(xl)
+    y_next = np.empty_like(yl)
+    x_next[:n - 1] = xl[1:]
+    y_next[:n - 1] = yl[1:]
+    x_next[ends] = xl[starts]  # wrap each ring's last vertex to its first
+    y_next[ends] = yl[starts]
+    cross = xl * y_next - x_next * yl
+    area2 = np.add.reduceat(cross, starts)
+    cx_loc = np.add.reduceat((xl + x_next) * cross, starts)
+    cy_loc = np.add.reduceat((yl + y_next) * cross, starts)
+    a_f = np.abs(area2).astype(np.float64)
+    if np.any(
+        3.0 * a_f * np.maximum(np.abs(minx), np.abs(miny))
+        + np.maximum(np.abs(cx_loc), np.abs(cy_loc))
+        > 2.0**62
+    ):
+        raise ValueError(
+            "ring_measures: centroid numerator would exceed int64 at this "
+            "coordinate magnitude; reduce `scale`"
+        )
     return {
-        "n_vertices": np.diff(np.append(starts, n)).astype(np.int64),
-        "area2": np.add.reduceat(cross, starts),
-        "cx_num": np.add.reduceat((xs + x_next) * cross, starts),
-        "cy_num": np.add.reduceat((ys + y_next) * cross, starts),
-        "minx": np.minimum.reduceat(xs, starts),
-        "miny": np.minimum.reduceat(ys, starts),
-        "maxx": np.maximum.reduceat(xs, starts),
-        "maxy": np.maximum.reduceat(ys, starts),
+        "n_vertices": counts.astype(np.int64),
+        "area2": area2,
+        "cx_num": cx_loc + 3 * area2 * minx,
+        "cy_num": cy_loc + 3 * area2 * miny,
+        "minx": minx,
+        "miny": miny,
+        "maxx": maxx,
+        "maxy": maxy,
     }
 
 

@@ -819,9 +819,10 @@ def q_decontaminate(sf_dir: str, broadcast_cap: int = 1_000_000):
     count of DISTINCT shared shingles per doc.  Scale shape: the bench
     shingle set is benchmark-scale (tiny next to the corpus), so it
     broadcasts into one membership-filter pass over the streaming corpus
-    shingles; above the cap a left_semi safe_join is the shuffle
-    fallback.  Oracle: oracle_text.sql_decontaminate (same shingle spec
-    as the minhash family)."""
+    shingles; above the cap the shuffle fallback is an inner safe_join
+    against the DEDUPED bench shingle set (semi-join semantics by
+    construction).  Oracle: oracle_text.sql_decontaminate (same shingle
+    spec as the minhash family)."""
     import ray
 
     from ..stages.dedupe import doc_shingle_rows
@@ -844,6 +845,10 @@ def q_decontaminate(sf_dir: str, broadcast_cap: int = 1_000_000):
     sh = sh.materialize()  # shingled once, read twice (bench + corpus)
     bench_sh = sh.map_batches(split(True), batch_format="pyarrow")
     corpus_sh = sh.map_batches(split(False), batch_format="pyarrow")
+    # NOTE: the groupby here is load-bearing, not just a row-counter for
+    # the cap check — it DEDUPES bench shingles so the >cap inner join
+    # below has semi-join semantics (one hit row per corpus shingle, not
+    # one per duplicate bench shingle).
     bench_vals = bench_sh.groupby("sh").count().select_columns(["sh"]).materialize()
     if bench_vals.count() <= broadcast_cap:
         tbl = collect_table(bench_vals)
@@ -853,7 +858,7 @@ def q_decontaminate(sf_dir: str, broadcast_cap: int = 1_000_000):
             else np.zeros(0, dtype=np.uint64)
         )
         hits = broadcast_membership_filter(corpus_sh, vals, "sh", keep_members=True)
-    else:  # bench split larger than the broadcast cap: shuffle semi join
+    else:  # >cap: inner join against the DEDUPED bench shingle set
         hits = safe_join(corpus_sh, bench_vals, "inner", 16, ("sh",))
     counts = hits.groupby("doc_id").count()
 

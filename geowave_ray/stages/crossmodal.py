@@ -19,10 +19,13 @@ the engine's existing kernels:
 
 Scale shape (100 TB): both operators are one hash shuffle on the group
 key (phash / caption / band bucket) followed by in-group vectorized pair
-expansion; group sizes are bounded by ``max_group`` (skew guard — an
-over-cap group logs and is skipped, the same contract as
-``lsh_candidate_pairs(max_bucket=...)``).  The caption Jaccard verify runs
-only on the banding survivors (pair-scale), never all-pairs.
+expansion.  Pair expansion is QUADRATIC in group size (memory AND output
+rows), so ``max_group`` is sized to bound it (~0.5 GB of index arrays at
+the default 8,192); an over-cap group logs and is SKIPPED — unlike
+``lsh_candidate_pairs(max_bucket=...)``, which degrades to star edges,
+because star edges are only valid when pairs feed a connected-components
+pass, not a per-pair diagnostic.  The caption Jaccard verify runs only
+on the banding survivors (pair-scale), never all-pairs.
 """
 
 from __future__ import annotations
@@ -46,11 +49,19 @@ def within_group_diff_pairs(
     group_col: str,
     diff_col: str,
     id_col: str = "image_id",
-    max_group: int = 100_000,
+    max_group: int = 8_192,
 ):
     """All unordered pairs (id_a < id_b) sharing ``group_col`` whose
     ``diff_col`` values DIFFER.  One shuffle on the group key; pair
-    expansion is vectorized (triu indices) per group."""
+    expansion is vectorized (triu indices) per group.
+
+    ``max_group`` bounds the QUADRATIC pair expansion: a group of n
+    costs ~16*n^2/2 bytes of index arrays (the default 8,192 caps that
+    at ~0.5 GB) and up to n^2/2 output rows — an over-cap group is
+    logged and skipped, because its pair set is itself corpus-scale
+    (50k copies of one stock caption = 1.25e9 pairs); downstream
+    consumers wanting those groups should handle them as exact-dup
+    CLASSES (dedupe.exact_dedupe) rather than pair lists."""
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
@@ -85,7 +96,7 @@ def hard_negative_pairs(
     max_hamming: int = 2,
     bands: int = 4,
     jacc_cutoff_milli: int = 700,
-    max_group: int = 100_000,
+    max_group: int = 8_192,
 ):
     """Pairs with phash hamming <= ``max_hamming`` AND caption token-set
     Jaccard strictly below ``jacc_cutoff_milli`` (integer milli-units,

@@ -50,7 +50,7 @@ def test_within_group_diff_pairs_skew_guard(ray_session):
     assert len(out) == 0  # over-cap group skipped, not exploded
 
 
-def test_hard_negative_pairs_exact():
+def test_hard_negative_pairs_exact(ray_session):
     """Brute-force parity on a deterministic table (exactness for
     max_hamming < bands)."""
     from geowave_ray.sources.images import crossmodal_batch

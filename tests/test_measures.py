@@ -60,3 +60,45 @@ def test_polygon_measures_stage_fixed_point(ray_session):
     )
     with pytest.raises(Exception, match="polygon_measures"):
         polygon_measures(ray.data.from_arrow(bad)).to_pandas()
+
+def test_ring_measures_degree_range_no_overflow():
+    """Degree-range coordinates at scale 1e5 previously wrapped the naive
+    int64 centroid numerators; the translated form must match an exact
+    Python-int shoelace."""
+    from geowave_ray.geom.measures import ring_measures
+
+    # a 1-degree box near (179, 85) scaled by 1e5
+    x0, y0, ext = 179_0000_0, 85_0000_0, 100_000  # ints at scale 1e5
+    xs = np.array([x0, x0 + ext, x0 + ext, x0], dtype=np.int64)
+    ys = np.array([y0, y0, y0 + ext, y0 + ext], dtype=np.int64)
+    m = ring_measures(np.array([0], dtype=np.int64), xs, ys)
+
+    def exact(xs, ys):
+        k = len(xs)
+        a2 = cx = cy = 0
+        for i in range(k):
+            j = (i + 1) % k
+            cr = int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+            a2 += cr
+            cx += (int(xs[i]) + int(xs[j])) * cr
+            cy += (int(ys[i]) + int(ys[j])) * cr
+        return a2, cx, cy
+
+    a2, cx, cy = exact(xs, ys)
+    assert int(m["area2"][0]) == a2
+    assert int(m["cx_num"][0]) == cx
+    assert int(m["cy_num"][0]) == cy
+    # translated intermediates stay far below int64 (the naive form's
+    # per-term products exceed 2**63 here and relied on modular
+    # wraparound cancelling; the translated form never wraps at all)
+    assert abs(cx) < 2**61 and abs(a2) < 2**61
+
+
+def test_ring_measures_overflow_guard_raises():
+    from geowave_ray.geom.measures import ring_measures
+
+    big = np.int64(2**31)
+    xs = np.array([0, big, big, 0], dtype=np.int64)
+    ys = np.array([0, 0, big, big], dtype=np.int64)
+    with pytest.raises(ValueError, match="int64"):
+        ring_measures(np.array([0], dtype=np.int64), xs, ys)

@@ -271,14 +271,18 @@ def _knn_join_pass(
     q_cells.__name__ = "knn_query_cells"
     qk = queries_ds.map_batches(q_cells, batch_format="pyarrow")
 
-    # distinct query cells (tiny aggregate over the query side; bounded by
-    # the grid, not the corpus) -> broadcast filter for the data replicas
+    # distinct query cells (aggregate bounded by occupied grid cells, not
+    # the corpus) -> broadcast filter for the data replicas.  Materialize
+    # the small grouped histogram ONCE, count it distributed, and pull it
+    # to the driver only when it is proven under the cap — never an
+    # uncapped take_all (CLAUDE.md collect convention).
     qcell_filter = None
-    qcells = qk.groupby("cell").count().take_all()
-    if len(qcells) <= query_cell_cap:
-        qcell_filter = ray.put(
-            np.sort(np.asarray([r["cell"] for r in qcells], dtype=np.int64))
-        )
+    qcells_ds = qk.groupby("cell").count().select_columns(["cell"]).materialize()
+    if qcells_ds.count() <= query_cell_cap:
+        from .util import collect_table
+
+        cells_np = collect_table(qcells_ds).column("cell").to_numpy(zero_copy_only=False)
+        qcell_filter = ray.put(np.sort(cells_np.astype(np.int64)))
 
     def d_cells(batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)

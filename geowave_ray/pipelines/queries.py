@@ -909,6 +909,97 @@ def q_minhash_dedupe_pairs(sf_dir: str):
 STRATA_RATES = {"en": 0.25, "de": 0.8, "es": 0.6, "fr": 0.8, "zh": 0.5}
 
 
+SUBSTR_L = 32
+
+
+def q_substring_dups(sf_dir: str):
+    """Exact-substring duplication (Lee et al. 2022 suffix-array dedup,
+    windowed form): per-doc count of 32-char window positions whose
+    substring occurs in >= 2 docs.  Hash-prefiltered, string-verified —
+    exact by construction (stages/dedupe.py::exact_substring_dup_counts)."""
+    import ray
+
+    from ..stages.dedupe import exact_substring_dup_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return exact_substring_dup_counts(ds, L=SUBSTR_L)
+
+
+SQL_SUBSTRING_DUPS = f"""
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), {SUBSTR_L}) AS win
+  FROM documents,
+       UNNEST(range(1, GREATEST(length(text) - {SUBSTR_L} + 1, 0) + 1)) AS t(i)
+), d AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT doc_id, COUNT(*) AS n_dup_windows
+FROM w WHERE win IN (SELECT win FROM d) GROUP BY doc_id
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Keyword extraction: per-doc top-3 terms by integer tf-idf
+    ``(tf * 1e6) // df`` (stages/text.py::tfidf_top_terms — one
+    vocabulary shuffle; scoring and top-k are batch-local under the
+    broadcast path because a doc's text lives in one row)."""
+    import ray
+
+    from ..stages.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(ds, k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(score AS BIGINT) AS score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+DOMAIN_CAP_K = 10
+
+
+def q_domain_cap_sample(sf_dir: str):
+    """Per-domain quota sampling: at most K docs per source, smallest
+    doc_id first (the web-corpus "at most K pages per domain" rebalance
+    rule).  Combiner-pruned before the shuffle (stages/analytics.py::
+    per_group_cap) so hot domains never ship their full population."""
+    import ray
+
+    from ..stages.analytics import per_group_cap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return per_group_cap(ds, "source", "doc_id", DOMAIN_CAP_K)
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP_K}
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-stratum deterministic sampling (BahmanEtAlSampleProbabilityFn
     analog: the keep probability is a function of the row's stratum, here
@@ -1556,6 +1647,59 @@ SELECT event_type, COUNT(*) AS n,
        MIN(CAST(FLOOR(value*100) AS BIGINT)) AS min_v,
        MAX(CAST(FLOOR(value*100) AS BIGINT)) AS max_v
 FROM events GROUP BY event_type
+"""
+
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured field extraction + aggregate: pull the integer
+    ``k`` out of the JSON-ish ``props`` string with ONE vectorized RE2
+    pass per batch (stages/extract.py — the adapter-FieldReader analog,
+    AbstractDataAdapter.java field handlers), then a per-event_type
+    integer aggregate.  No shuffle before the final small groupby; rows
+    whose props do not match are dropped by the kernel."""
+    import ray
+
+    from ..stages.aggregate import binned_aggregate
+    from ..stages.extract import extract_int_field
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        out = extract_int_field(batch, "props", r'"k":\s*(?P<v>\d+)', "k")
+        return out.select(["event_type", "k"])
+
+    pre.__name__ = "props_extract_k"
+    out = binned_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"), ["event_type"], "k"
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "sum_k": batch.column("sum_v").cast(pa.int64()),
+                "min_k": batch.column("min_v").cast(pa.int64()),
+                "max_k": batch.column("max_v").cast(pa.int64()),
+            }
+        )
+
+    cast.__name__ = "props_extract_cast"
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_PROPS_EXTRACT = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(NULLIF(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM x WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
@@ -3458,6 +3602,76 @@ GEOTIFF_N = 16
 GEOTIFF_W = 128
 GEOTIFF_TILE = 32
 
+BAND_N = 96  # rasters
+BAND_W = 64  # pixels per side
+BAND_T = 16  # tile side
+BAND_THRESH = 400  # nd_milli >= this counts as "vegetated"
+
+
+def q_band_math(sf_dir: str):
+    """Raster map algebra (the classic NDVI shape): two deterministic
+    bands per raster, per-pixel integer normalized difference
+    ``nd = (|b1-b2| * 1000) // (b1+b2+1)``, reduced per 16x16 tile to
+    (nd_sum, n_veg>=thresh) — band combine -> threshold -> zonal count,
+    the §2.F raster-analytics step beyond mosaics/pyramids (reference
+    analog: RasterTileMergeStrategy consumers do band arithmetic in
+    GeoServer map algebra on GeoWave-served tiles).
+
+    Scale shape: pure map-only — pixels never leave the batch; one row
+    per tile exits.  The whole batch computes in ONE broadcast numpy
+    expression (ids x H x W), no per-image loop.  All arithmetic is
+    non-negative integer (abs before the floor-div) so DuckDB's
+    truncating ``//`` and numpy's flooring ``//`` agree exactly."""
+    import ray
+
+    nt = BAND_W // BAND_T
+
+    def nd_tiles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        y, x = np.mgrid[0:BAND_W, 0:BAND_W]
+        i3 = ids[:, None, None]
+        b1 = (i3 * 31 + y * 7 + x * 3) % 256
+        b2 = (i3 * 17 + y * 5 + x * 11) % 256
+        nd = (np.abs(b1 - b2) * 1000) // (b1 + b2 + 1)
+        t = nd.reshape(n, nt, BAND_T, nt, BAND_T)
+        nd_sum = t.sum(axis=(2, 4))
+        n_veg = (t >= BAND_THRESH).sum(axis=(2, 4))
+        ty, tx = np.mgrid[0:nt, 0:nt]
+        return pa.table(
+            {
+                "raster_id": pa.array(np.repeat(ids, nt * nt)),
+                "tile_x": pa.array(np.tile(tx.ravel(), n).astype(np.int64)),
+                "tile_y": pa.array(np.tile(ty.ravel(), n).astype(np.int64)),
+                "nd_sum": pa.array(nd_sum.reshape(n, -1).ravel().astype(np.int64)),
+                "n_veg": pa.array(n_veg.reshape(n, -1).ravel().astype(np.int64)),
+            }
+        )
+
+    nd_tiles.__name__ = "band_math_nd_tiles"
+    ds = ray.data.range(BAND_N, override_num_blocks=4)
+    return ds.map_batches(nd_tiles, batch_format="pyarrow")
+
+
+SQL_BAND_MATH = f"""
+WITH px AS (
+  SELECT i, x, y,
+         (i * 31 + y * 7 + x * 3) % 256 AS b1,
+         (i * 17 + y * 5 + x * 11) % 256 AS b2
+  FROM generate_series(0, {BAND_N - 1}) t(i),
+       generate_series(0, {BAND_W - 1}) ys(y),
+       generate_series(0, {BAND_W - 1}) xs(x)
+), nd AS (
+  SELECT i, x // {BAND_T} AS tile_x, y // {BAND_T} AS tile_y,
+         (ABS(b1 - b2) * 1000) // (b1 + b2 + 1) AS nd_milli
+  FROM px
+)
+SELECT i AS raster_id, tile_x, tile_y,
+       CAST(SUM(nd_milli) AS BIGINT) AS nd_sum,
+       CAST(SUM(CASE WHEN nd_milli >= {BAND_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_veg
+FROM nd GROUP BY i, tile_x, tile_y
+"""
+
 
 def q_geotiff_tiles(sf_dir: str):
     """Real-world raster FORMAT ingest (VERDICT r3 #7): deterministic
@@ -3836,15 +4050,20 @@ QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     "spatial_join_anti": q_spatial_join_anti,
     "ivf_store_int8": q_ivf_store_int8,
-    "bbox_query": q_bbox_query,
-    "spatial_temporal_query": q_spatial_temporal_query,
+    # round-4 second rotation: substring_dups/tfidf_top_terms/
+    # domain_cap_sample/props_extract/band_math (new, never driver-
+    # verified) take the slots of bbox_query, spatial_temporal_query,
+    # knn, hilbert_cells, tile_assignment — each driver-hash-green in
+    # >=2 prior rounds (CORRECTNESS_r01-r03).
+    "substring_dups": q_substring_dups,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "s2_binned_agg": q_s2_binned_agg,
     "distinct_users": q_distinct_users,
-    "knn": q_knn,
+    "domain_cap_sample": q_domain_cap_sample,
     "knn_join": q_knn_join,
-    "tile_assignment": q_tile_assignment,
+    "props_extract": q_props_extract,
     "mosaic_merge": q_mosaic_merge,
-    "hilbert_cells": q_hilbert_cells,
+    "band_math": q_band_math,
     "zonal_stats": q_zonal_stats,
     # round-4 rotation (VERDICT r3 item 1): the 8 queries that were only
     # local-gate verified move INTO the window; the 8 they displace are
@@ -3894,7 +4113,14 @@ QUERIES = {
     # round-4 rotation displaced these 8 — each driver-hash-green in >=2
     # prior rounds (CORRECTNESS_r01-r03); minhash_dedupe_pairs and
     # ngram_jaccard (green r1-r3) were displaced late in round 4 by the
-    # new cross-modal operators:
+    # new cross-modal operators; bbox_query, spatial_temporal_query, knn,
+    # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
+    # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
+    "bbox_query": q_bbox_query,
+    "spatial_temporal_query": q_spatial_temporal_query,
+    "knn": q_knn,
+    "hilbert_cells": q_hilbert_cells,
+    "tile_assignment": q_tile_assignment,
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "image_roundtrip": q_image_roundtrip,
@@ -3956,6 +4182,11 @@ from .oracle_sfc import (  # noqa: E402
 )
 
 ORACLE_SQL = {
+    "substring_dups": SQL_SUBSTRING_DUPS,
+    "tfidf_top_terms": SQL_TFIDF,
+    "domain_cap_sample": SQL_DOMAIN_CAP,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "band_math": SQL_BAND_MATH,
     "hilbert_cells": sql_hilbert_cells(_PTS_SQL),
     "spatial_temporal_cells": sql_spatial_temporal_cells(_PTS_SQL),
     "tile_assignment": _sql_tile_assignment(),

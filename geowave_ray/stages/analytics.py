@@ -305,6 +305,46 @@ def weighted_sample(ds, rate: float, id_col: str, weight_col: str | None = None,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def per_group_cap(ds, key_col: str, order_col: str, k: int):
+    """Keep the ``k`` rows with the SMALLEST ``order_col`` per ``key_col``
+    (per-domain quota sampling — the web-corpus "at most K pages per
+    domain" rule; deterministic given unique order values).
+
+    Scale shape (100 TB): a vectorized per-batch COMBINER first prunes
+    each input block to <= k rows per key it contains, so the groupby
+    shuffle moves at most k * n_blocks rows per key instead of the full
+    per-key population (hot domains are exactly the ones this bounds);
+    the final per-group kernel then takes the exact global top-k.  Both
+    kernels are one lexsort + one boundary scan — no Python row loops."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        order = batch.column(order_col).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        sel = np.lexsort((order, codes))
+        codes_s = codes[sel]
+        # rank within key: position minus the first position of the key
+        new_key = np.empty(len(sel), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        first_pos = np.maximum.accumulate(np.where(new_key, np.arange(len(sel)), 0))
+        rank = np.arange(len(sel)) - first_pos
+        return batch.take(pa.array(np.sort(sel[rank < k])))
+
+    topk.__name__ = f"per_group_cap_{k}"
+    partial = ds.map_batches(topk, batch_format="pyarrow")
+
+    class _GroupTopK:
+        __name__ = "per_group_cap_final"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            return topk(group)
+
+    return partial.groupby(key_col).map_groups(_GroupTopK(), batch_format="pyarrow")
+
+
 def group_convex_hulls(ds, key_col: str, lon_col: str = "lon", lat_col: str = "lat"):
     """Per-group convex hull -> (key, hull wkb, n_points) (ConvexHullMapReduce)."""
     from ..geom.wkb import LineString, Point, Polygon, to_wkb

@@ -332,3 +332,163 @@ def phash_near_dupes(ds, id_col="image_id", phash_col="phash", max_hamming: int 
         raw_pairs.map_batches(keyed, batch_format="pyarrow"), key_col="pair", id_col="pair"
     )
     return uniq.select_columns(["id_a", "id_b"])
+
+
+def _doc_windows(texts: list[str], L: int):
+    """All length-``L`` codepoint windows across a batch of docs:
+    returns (cp, joined, starts, doc_of) where ``starts`` are global
+    offsets into ``cp``/``joined`` and windows never cross docs."""
+    from .texthash import _codepoints
+
+    cp, offsets = _codepoints(texts)
+    m = len(cp)
+    if m < L:
+        return cp, "", np.zeros(0, np.int64), np.zeros(0, np.int64)
+    p = np.arange(m - L + 1, dtype=np.int64)
+    doc_of = np.searchsorted(offsets, p, "right") - 1
+    valid = p + L <= offsets[doc_of + 1]
+    return cp, "".join(texts), p[valid], doc_of[valid]
+
+
+def exact_substring_dup_counts(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 32,
+    dup_hash_cap: int = 5_000_000,
+    num_partitions: int = 16,
+):
+    """Per-doc count of length-``L`` window POSITIONS whose exact
+    substring also occurs in at least one OTHER doc — the scalable analog
+    of suffix-array exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"; windowed exact match instead of unbounded suffix match).
+    Returns (id, n_dup_windows), docs with zero dup windows omitted.
+
+    EXACT by construction: rolling hashes only PREFILTER; survivors are
+    re-grouped on the real substring, so a hash collision costs one
+    wasted candidate, never a wrong count.
+
+    Scale shape (100 TB):
+    - pass A streams (window_hash, doc, n_pos) rows — 24 bytes per
+      DISTINCT (hash, doc), no strings; one groupby(hash) finds hashes
+      hitting >= 2 docs (corpus-dup scale, tiny next to the corpus).
+    - under ``dup_hash_cap`` those hashes broadcast (ray.put sorted
+      array) and pass B re-streams the corpus, extracting the actual
+      substring ONLY at candidate positions, then one groupby on the
+      string decides exactly.  Above the cap, the hash prefilter is
+      skipped and pass B ships every window string through the same
+      groupby — still exact, one heavier shuffle (the capped-broadcast-
+      with-distributed-fallback convention)."""
+    import pyarrow.compute as pc  # noqa: F401
+    import ray
+
+    from .texthash import segment_poly_hash
+    from .util import collect_table
+
+    BASE = 1099511628211  # FNV prime; any odd base works mod 2**64
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cp, _, starts, doc_of = _doc_windows(texts, L)
+        if len(starts) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+                 "n_pos": pa.array([], pa.int64())}
+            )
+        h = segment_poly_hash(cp, starts, starts + L - 1, BASE).view(np.int64)
+        sel = np.lexsort((h, doc_of))
+        hs, ds_ = h[sel], doc_of[sel]
+        new = np.empty(len(sel), dtype=bool)
+        new[0] = True
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        firsts = np.nonzero(new)[0]
+        counts = np.diff(np.append(firsts, len(sel)))
+        return pa.table(
+            {
+                "h": pa.array(hs[firsts]),
+                id_col: pa.array(ids[ds_[firsts]]),
+                "n_pos": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    pass_a.__name__ = "substr_hash_docs"
+
+    def pass_b(dup_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = [t or "" for t in batch.column(text_col).to_pylist()]
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cp, joined, starts, doc_of = _doc_windows(texts, L)
+            empty = pa.table(
+                {"win": pa.array([], pa.string()), id_col: pa.array([], pa.int64()),
+                 "n_pos": pa.array([], pa.int64())}
+            )
+            if len(starts) == 0:
+                return empty
+            if dup_ref is not None:
+                duph = ray.get(dup_ref)
+                h = segment_poly_hash(cp, starts, starts + L - 1, BASE).view(np.int64)
+                idx = np.searchsorted(duph, h)
+                idx[idx >= len(duph)] = 0
+                keep = duph[idx] == h if len(duph) else np.zeros(len(h), bool)
+                starts, doc_of = starts[keep], doc_of[keep]
+                if len(starts) == 0:
+                    return empty
+            # candidate-scale string extraction (bounded by dup positions
+            # on the broadcast path)
+            wins = [joined[s : s + L] for s in starts]
+            t = pa.table(
+                {"win": pa.array(wins, pa.string()), id_col: pa.array(ids[doc_of])}
+            )
+            g = pa.TableGroupBy(t, ["win", id_col]).aggregate([([], "count_all")])
+            return g.rename_columns(["win", id_col, "n_pos"])
+
+        fn.__name__ = "substr_win_extract"
+        return fn
+
+    class _WinDecide:
+        """Emit (id, n_pos) per doc when the window string spans >= 2 docs
+        ((win, doc) rows are globally unique — a doc lives in one batch)."""
+
+        __name__ = "substr_win_decide"
+
+        def __init__(self, id_col: str):
+            self.id_col = id_col
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            if len(group) < 2:
+                return pa.table(
+                    {self.id_col: pa.array([], pa.int64()),
+                     "n_pos": pa.array([], pa.int64())}
+                )
+            return group.select([self.id_col, "n_pos"])
+
+    a = ds.map_batches(pass_a, batch_format="pyarrow")
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("count()"), 1)).select(["h"])
+
+    only_dup.__name__ = "substr_only_dup_hashes"
+    dup_h = (
+        a.groupby("h").count().map_batches(only_dup, batch_format="pyarrow").materialize()
+    )
+    dup_ref = None
+    if dup_h.count() <= dup_hash_cap:
+        arr = collect_table(dup_h).column("h").to_numpy(zero_copy_only=False)
+        dup_ref = ray.put(np.sort(arr.astype(np.int64)))
+    per_doc = (
+        ds.map_batches(pass_b(dup_ref), batch_format="pyarrow")
+        .groupby("win")
+        .map_groups(_WinDecide(id_col), batch_format="pyarrow")
+        .groupby(id_col)
+        .sum("n_pos")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([id_col, "n_dup_windows"])
+
+    rename.__name__ = "substr_rename"
+    return per_doc.map_batches(rename, batch_format="pyarrow")

@@ -352,6 +352,150 @@ def pack_sequences(ds, id_col="doc_id", tokens_col="n_tokens", budget=2048, n_bu
     )
 
 
+def tfidf_top_terms(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 1_000_000,
+    vocab_cap: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Per-doc top-``k`` terms by integer tf-idf score
+    ``(tf * scale) // df`` (keyword extraction for training-data
+    curation; ties broken by term ascending — fully deterministic, the
+    DuckDB oracle replays the exact integer arithmetic).
+
+    Tokens: ``lower(text)`` split on ``[^a-z0-9]+`` (RE2 and DuckDB
+    regexp_split agree), empties dropped.  Term frequencies are complete
+    per batch (a doc's text lives in ONE row), so tf needs NO shuffle.
+
+    Scale shape (100 TB): df is one pre-aggregated vocabulary groupby
+    (terms, not documents); under ``vocab_cap`` the df table broadcasts
+    via ray.put and scoring + top-k stay per-batch (a doc's tf rows are
+    batch-local, so top-k needs no shuffle either — the whole pipeline
+    is ONE vocabulary-sized shuffle).  Above the cap, df joins back on
+    term (safe_join) and top-k becomes a per-doc groupby (the
+    capped-broadcast-with-distributed-fallback convention)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .util import collect_table, safe_join
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False),
+            np.nan_to_num(lens).astype(np.int64),
+        )
+        t = pa.table({id_col: pa.array(doc_ids), "term": flat})
+        t = t.filter(pc.not_equal(pc.coalesce(t.column("term"), ""), ""))
+        # tf is complete within the batch: one text row per doc
+        return pa.TableGroupBy(t, [id_col, "term"]).aggregate([([], "count_all")])
+
+    explode_tf.__name__ = "tfidf_explode_tf"
+    tf = ds.map_batches(explode_tf, batch_format="pyarrow")
+
+    def pre_df(batch: pa.Table) -> pa.Table:
+        return batch.select(["term"])
+
+    pre_df.__name__ = "tfidf_terms_only"
+    df_ds = tf.map_batches(pre_df, batch_format="pyarrow").groupby("term").count()
+
+    def topk_local(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        docs = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        terms = tbl.column("term").to_numpy(zero_copy_only=False)
+        score = tbl.column("score").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(docs, return_inverse=True)
+        sel = np.lexsort((terms, -score, codes))
+        codes_s = codes[sel]
+        new_doc = np.empty(len(sel), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = codes_s[1:] != codes_s[:-1]
+        first = np.maximum.accumulate(np.where(new_doc, np.arange(len(sel)), 0))
+        keep = np.sort(sel[(np.arange(len(sel)) - first) < k])
+        return pa.table(
+            {
+                id_col: pa.array(docs[keep]),
+                "term": pa.array(terms[keep], pa.string()),
+                "score": pa.array(score[keep]),
+            }
+        )
+
+    df_small = df_ds.materialize()
+    if df_small.count() <= vocab_cap:
+        vt = collect_table(df_small)
+        import pandas as pd
+
+        vocab = pd.DataFrame(
+            {
+                "term": vt.column("term").to_numpy(zero_copy_only=False),
+                "df": vt.column("count()").to_numpy(zero_copy_only=False),
+            }
+        )
+        vocab_ref = ray.put(vocab)
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F401
+
+            v = ray.get(vocab_ref)
+            b = batch.to_pandas().merge(v, on="term", how="inner")
+            scored = pa.table(
+                {
+                    id_col: pa.array(b[id_col].to_numpy()),
+                    "term": pa.array(b["term"].to_numpy(), pa.string()),
+                    "score": pa.array(
+                        (b["count_all"].to_numpy().astype(np.int64) * scale)
+                        // b["df"].to_numpy().astype(np.int64)
+                    ),
+                }
+            )
+            return topk_local(scored)
+
+        score_topk.__name__ = "tfidf_score_topk"
+        return tf.map_batches(score_topk, batch_format="pyarrow")
+
+    # >cap: shuffle join on term, then per-doc exact top-k groupby
+    joined = safe_join(tf, df_small, "inner", num_partitions, on=("term",))
+
+    def to_score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "term": batch.column("term"),
+                "score": pa.array((tfv * scale) // dfv),
+            }
+        )
+
+    to_score.__name__ = "tfidf_score"
+
+    class _TopK:
+        __name__ = "tfidf_topk_group"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            return topk_local(group)
+
+    return (
+        joined.map_batches(to_score, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(_TopK(), batch_format="pyarrow")
+    )
+
+
 def dsir_importance(
     ds,
     text_col: str = "text",

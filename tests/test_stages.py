@@ -656,3 +656,82 @@ def test_doc_shingle_rows_distinct(ray_session, docs_table):
     s0 = set(out[out["doc_id"] == 0]["sh"])
     s6 = set(out[out["doc_id"] == 6]["sh"])
     assert s0 == s6 and len(s0) > 0
+
+
+def test_per_group_cap_exact(ray_session):
+    """Quota sampling: exact global top-k per key even when a key's rows
+    span multiple input blocks (the combiner must not lose candidates)."""
+    import ray
+
+    from geowave_ray.stages.analytics import per_group_cap
+
+    # key "a" rows deliberately split across blocks with interleaved order
+    rows = [
+        {"k": "a", "v": i} for i in [9, 1, 7, 3]
+    ] + [{"k": "b", "v": i} for i in [5, 2]]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    out = per_group_cap(ds, "k", "v", 2).to_pandas().sort_values(["k", "v"])
+    assert list(map(tuple, out.values)) == [("a", 1), ("a", 3), ("b", 2), ("b", 5)]
+    # k larger than the group: everything kept
+    out2 = per_group_cap(ds, "k", "v", 99).to_pandas()
+    assert len(out2) == 6
+
+
+def test_extract_int_field():
+    from geowave_ray.stages.extract import extract_int_field
+
+    t = pa.table(
+        {"props": ['{"k": 7}', "no match", '{"k": 123}'], "x": [1, 2, 3]}
+    )
+    out = extract_int_field(t, "props", r'"k":\s*(?P<v>\d+)', "k")
+    assert out.column("k").to_pylist() == [7, 123]
+    assert out.column("x").to_pylist() == [1, 3]
+    kept = extract_int_field(t, "props", r'"k":\s*(?P<v>\d+)', "k", drop_unmatched=False)
+    assert kept.column("k").to_pylist() == [7, None, 123]
+
+
+def test_tfidf_fallback_matches_broadcast(ray_session, docs_table):
+    """vocab_cap=0 forces the shuffle-join + per-doc-groupby path; it must
+    equal the broadcast path exactly."""
+    import ray
+
+    from geowave_ray.stages.text import tfidf_top_terms
+
+    ds = ray.data.from_arrow(docs_table)
+    a = tfidf_top_terms(ds, k=2).to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = (
+        tfidf_top_terms(ds, k=2, vocab_cap=0)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+    # empty doc (doc 7) emits nothing
+    assert 7 not in set(a["doc_id"])
+
+
+def test_exact_substring_dups_fallback_and_short_docs(ray_session, docs_table):
+    """dup_hash_cap=-1 forces the full string-shuffle path; equals the
+    hash-prefiltered path.  Docs shorter than L emit nothing; the exact
+    dup pair (docs 0 and 6) shares every window."""
+    import ray
+
+    from geowave_ray.stages.dedupe import exact_substring_dup_counts
+
+    ds = ray.data.from_arrow(docs_table)
+    a = (
+        exact_substring_dup_counts(ds, L=32)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        exact_substring_dup_counts(ds, L=32, dup_hash_cap=-1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    docs = dict(zip(a["doc_id"], a["n_dup_windows"]))
+    n_win_doc0 = len(docs_table.column("text")[0].as_py()) - 32 + 1
+    assert docs[0] == n_win_doc0 and docs[6] == n_win_doc0  # exact dups share all
+    assert 7 not in docs  # empty doc
+    # near-dup doc 1 shares the common prefix windows with 0/6
+    assert 0 < docs[1] < n_win_doc0

@@ -356,6 +356,7 @@ def exact_substring_dup_counts(
     id_col: str = "doc_id",
     L: int = 32,
     dup_hash_cap: int = 5_000_000,
+    driver_cap_bytes: int = 256 << 20,
     num_partitions: int = 16,
 ):
     """Per-doc count of length-``L`` window POSITIONS whose exact
@@ -369,17 +370,24 @@ def exact_substring_dup_counts(
     re-grouped on the real substring, so a hash collision costs one
     wasted candidate, never a wrong count.
 
-    Scale shape (100 TB):
-    - pass A streams (window_hash, doc, n_pos) rows — 24 bytes per
-      DISTINCT (hash, doc), no strings; one groupby(hash) finds hashes
-      hitting >= 2 docs (corpus-dup scale, tiny next to the corpus).
-    - under ``dup_hash_cap`` those hashes broadcast (ray.put sorted
-      array) and pass B re-streams the corpus, extracting the actual
-      substring ONLY at candidate positions, then one groupby on the
-      string decides exactly.  Above the cap, the hash prefilter is
-      skipped and pass B ships every window string through the same
-      groupby — still exact, one heavier shuffle (the capped-broadcast-
-      with-distributed-fallback convention)."""
+    Two regimes, gated METADATA-ONLY (``ds.size_bytes()`` — parquet
+    column stats, nothing executes) so the corpus is never pulled to
+    find out it was too big:
+
+    - corpus <= ``driver_cap_bytes``: window-scale distributed aggregates
+      are slower than one driver reduction (millions of singleton groups
+      dominate Ray's hash aggregate), so per-batch blobs of per-doc-
+      distinct hashes reduce on the driver (np.unique — the
+      hll/dsir bounded-partial convention) and the candidate
+      (win, doc, n_pos) rows (dup-scale) finish in one driver groupby.
+    - larger corpora: fully distributed. pass A streams
+      (window_hash, doc, n_pos) rows — 24 bytes per DISTINCT
+      (hash, doc), no strings; one groupby(hash) finds hashes hitting
+      >= 2 docs; under ``dup_hash_cap`` those broadcast and pass B
+      extracts the actual substring ONLY at candidate positions, then
+      one groupby on the string decides exactly.  Above the cap the
+      prefilter is skipped and every window string ships through the
+      same groupby — still exact, one heavier shuffle."""
     import pyarrow.compute as pc  # noqa: F401
     import ray
 
@@ -464,6 +472,46 @@ def exact_substring_dup_counts(
                 )
             return group.select([self.id_col, "n_pos"])
 
+    # ---- regime gate: metadata only, nothing executes -----------------
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if sz is not None and 0 <= sz <= driver_cap_bytes:
+        # small-corpus fast path: driver-reduce the hash histogram
+        def pass_a_blob(batch: pa.Table) -> pa.Table:
+            t = pass_a(batch)
+            hs = t.column("h").to_numpy(zero_copy_only=False)
+            return pa.table({"hs": pa.array([hs], type=pa.large_list(pa.int64()))})
+
+        pass_a_blob.__name__ = "substr_hash_blob"
+        parts = ds.map_batches(pass_a_blob, batch_format="pyarrow").take_all()
+        blobs = [np.asarray(r["hs"], dtype=np.int64) for r in parts]
+        all_h = np.concatenate(blobs) if blobs else np.zeros(0, np.int64)
+        uniq, cnt = np.unique(all_h, return_counts=True)
+        dup_ref = ray.put(uniq[cnt > 1])  # per-doc-distinct => cnt = n_docs
+        cand = collect_table(
+            ds.map_batches(pass_b(dup_ref), batch_format="pyarrow")
+        ).to_pandas()
+        # exact verify: keep windows whose STRING spans >= 2 docs
+        # ((win, doc) rows are globally unique — a doc lives in one batch)
+        n_docs_of_win = cand.groupby("win")["win"].transform("size")
+        out = (
+            cand[n_docs_of_win > 1]
+            .groupby(id_col, as_index=False)["n_pos"]
+            .sum()
+            .sort_values(id_col)
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+                    "n_dup_windows": pa.array(out["n_pos"].to_numpy(), pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed regime -------------------------------------------
     a = ds.map_batches(pass_a, batch_format="pyarrow")
 
     def only_dup(batch: pa.Table) -> pa.Table:

@@ -712,9 +712,11 @@ def test_tfidf_fallback_matches_broadcast(ray_session, docs_table):
 
 
 def test_exact_substring_dups_fallback_and_short_docs(ray_session, docs_table):
-    """dup_hash_cap=-1 forces the full string-shuffle path; equals the
-    hash-prefiltered path.  Docs shorter than L emit nothing; the exact
-    dup pair (docs 0 and 6) shares every window."""
+    """All three regimes agree: driver fast path (default at this size),
+    distributed hash-prefiltered (driver_cap_bytes=-1), and the full
+    string-shuffle fallback (additionally dup_hash_cap=-1).  Docs shorter
+    than L emit nothing; the exact dup pair (docs 0 and 6) shares every
+    window."""
     import ray
 
     from geowave_ray.stages.dedupe import exact_substring_dup_counts
@@ -724,10 +726,15 @@ def test_exact_substring_dups_fallback_and_short_docs(ray_session, docs_table):
         exact_substring_dup_counts(ds, L=32)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
-    b = (
-        exact_substring_dup_counts(ds, L=32, dup_hash_cap=-1)
+    dist = (
+        exact_substring_dup_counts(ds, L=32, driver_cap_bytes=-1)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+    b = (
+        exact_substring_dup_counts(ds, L=32, driver_cap_bytes=-1, dup_hash_cap=-1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(dist)
     assert a.equals(b)
     docs = dict(zip(a["doc_id"], a["n_dup_windows"]))
     n_win_doc0 = len(docs_table.column("text")[0].as_py()) - 32 + 1

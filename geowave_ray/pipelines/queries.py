@@ -1000,6 +1000,75 @@ SELECT doc_id, source FROM (
 """
 
 
+SHARD_COUNT = 64
+SHARD_SEED = 7
+SPLIT_SEED = 99
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Training-corpus assembly: deterministic train/val/test split
+    (hash-threshold, 5%/5%/90%) then a deterministic global shuffle into
+    {SHARD_COUNT} fixed shards per split with an in-shard position — the
+    "shuffle then shard to files" step every training pipeline runs before
+    a write_parquet one-file-per-shard.  Both hashes are batch-local; the
+    only shuffle is the per-(split, shard) rank groupby, and each group is
+    corpus/shards rows (file-sized by construction).  Kernel:
+    stages/analytics.py::shard_assign."""
+    import ray
+
+    from ..stages.analytics import shard_assign
+    from ..stages.texthash import GOLD
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    names = np.array(["val", "test", "train"])
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = (v + np.uint64(SPLIT_SEED)) * np.uint64(GOLD)
+        z ^= z >> np.uint64(31)
+        u = z.astype(np.float64) / 2**64
+        idx = np.where(u < 0.05, 0, np.where(u < 0.10, 1, 2))
+        return batch.append_column("split", pa.array(names[idx]))
+
+    add_split.__name__ = "split_assign"
+    return shard_assign(
+        ds.map_batches(add_split, batch_format="pyarrow"),
+        "doc_id",
+        SHARD_COUNT,
+        seed=SHARD_SEED,
+        by=("split",),
+    )
+
+
+def _sql_shuffle_shards() -> str:
+    from ..stages.texthash import sql_mulmod64
+    from .oracle_text import _GOLD
+
+    m1 = sql_mulmod64(f"(doc_id + {SHARD_SEED})::HUGEINT", f"{_GOLD}::HUGEINT")
+    m2 = sql_mulmod64(f"(doc_id + {SPLIT_SEED})::HUGEINT", f"{_GOLD}::HUGEINT")
+    return f"""
+WITH m AS (
+  SELECT doc_id, ({m1}) AS m1, ({m2}) AS m2 FROM documents
+), h AS (
+  SELECT doc_id,
+         xor(m1, m1 >> 31) AS z,
+         CAST(xor(m2, m2 >> 31) AS DOUBLE) / 18446744073709551616.0 AS u2
+  FROM m
+), s AS (
+  SELECT doc_id, z,
+         CASE WHEN u2 < 0.05 THEN 'val'
+              WHEN u2 < 0.10 THEN 'test'
+              ELSE 'train' END AS split,
+         CAST(z % {SHARD_COUNT} AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, split, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY split, shard
+                               ORDER BY z, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-stratum deterministic sampling (BahmanEtAlSampleProbabilityFn
     analog: the keep probability is a function of the row's stratum, here
@@ -4072,7 +4141,9 @@ QUERIES = {
     "ann_lsh_verified": q_ann_lsh_verified,
     "interval_join": q_interval_join,
     "pack_sequences": q_pack_sequences,
-    "minhash_dup_groups": q_minhash_dup_groups,
+    # round-4 fourth rotation: shuffle_shards (new, never driver-verified)
+    # takes the slot of minhash_dup_groups (driver-hash-green r2+r3):
+    "shuffle_shards": q_shuffle_shards,
     # new in round 4 (never driver-verified — in-window):
     "cross_modal_dups": q_cross_modal_dups,
     "hard_negatives": q_hard_negatives,
@@ -4116,6 +4187,7 @@ QUERIES = {
     # new cross-modal operators; bbox_query, spatial_temporal_query, knn,
     # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
+    "minhash_dup_groups": q_minhash_dup_groups,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
     "knn": q_knn,
@@ -4185,6 +4257,7 @@ ORACLE_SQL = {
     "substring_dups": SQL_SUBSTRING_DUPS,
     "tfidf_top_terms": SQL_TFIDF,
     "domain_cap_sample": SQL_DOMAIN_CAP,
+    "shuffle_shards": _sql_shuffle_shards(),
     "props_extract": SQL_PROPS_EXTRACT,
     "band_math": SQL_BAND_MATH,
     "hilbert_cells": sql_hilbert_cells(_PTS_SQL),

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign"]
 
 
 def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
@@ -370,3 +370,54 @@ def group_convex_hulls(ds, key_col: str, lon_col: str = "lon", lat_col: str = "l
 
     hull.__name__ = "group_hull"
     return ds.groupby(key_col).map_groups(hull, batch_format="pyarrow")
+
+
+def shard_assign(ds, id_col: str, num_shards: int, seed: int = 7, by: tuple = ()):
+    """Deterministic global shuffle -> fixed shard layout: every row gets
+    ``(shard, pos)`` where ``shard = h(id) % num_shards`` and ``pos`` is the
+    row's rank within its shard ordered by the hash (ties by id).  This is
+    the training-corpus assembly step — a reproducible corpus-wide shuffle
+    whose output is a fixed number of equally-loaded shards, each internally
+    hash-ordered, ready for ``write_parquet`` one file per shard (the
+    KSamplerMapReduce randomization discipline applied to corpus assembly;
+    Ray's ``random_shuffle`` is the nondeterministic analog).
+
+    ``by`` adds extra partition columns (e.g. a train/val/test split) so the
+    rank is per ``(*by, shard)``.
+
+    Scale shape (100 TB): the hash/shard assignment is batch-local (zero
+    shuffle); the ONLY shuffle is the groupby, and each group is
+    corpus/num_shards rows — num_shards is chosen so a shard is file-sized
+    (the same knob that bounds the write), so the per-group rank is one
+    argsort over a file-sized group, never a global sort.
+    """
+    from .texthash import GOLD
+
+    def hashshard(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = (v + np.uint64(seed)) * GOLD
+        z ^= z >> np.uint64(31)
+        batch = batch.append_column("_z", pa.array(z, type=pa.uint64()))
+        return batch.append_column(
+            "shard", pa.array((z % np.uint64(num_shards)).astype(np.int64))
+        )
+
+    hashshard.__name__ = f"shard_assign_{num_shards}"
+    keys = [*by, "shard"]
+
+    class _ShardRank:
+        __name__ = "shard_rank"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            z = group.column("_z").to_numpy(zero_copy_only=False)
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            sel = np.lexsort((ids, z))
+            pos = np.empty(len(sel), dtype=np.int64)
+            pos[sel] = np.arange(len(sel))
+            return group.drop_columns(["_z"]).append_column("pos", pa.array(pos))
+
+    return (
+        ds.map_batches(hashshard, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(_ShardRank(), batch_format="pyarrow")
+    )

@@ -742,3 +742,36 @@ def test_exact_substring_dups_fallback_and_short_docs(ray_session, docs_table):
     assert 7 not in docs  # empty doc
     # near-dup doc 1 shares the common prefix windows with 0/6
     assert 0 < docs[1] < n_win_doc0
+
+
+def test_shard_assign():
+    """shard = hash % S batch-locally; pos is an exact rank by (hash, id)
+    within each (by, shard) group — verified against a numpy replay."""
+    import ray
+
+    from geowave_ray.stages.analytics import shard_assign
+    from geowave_ray.stages.texthash import GOLD
+
+    n, S, seed = 1000, 8, 7
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.where(ids % 3 == 0, "a", "b")
+    t = pa.table({"id": ids, "g": grp})
+    out = (
+        shard_assign(ray.data.from_arrow(t).repartition(5), "id", S, seed=seed, by=("g",))
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(out) == n and set(out.columns) == {"id", "g", "shard", "pos"}
+    z = (ids.astype(np.uint64) + np.uint64(seed)) * GOLD
+    z ^= z >> np.uint64(31)
+    shard = (z % np.uint64(S)).astype(np.int64)
+    assert (out["shard"].to_numpy() == shard).all()
+    import pandas as pd
+
+    ref = pd.DataFrame({"id": ids, "g": grp, "shard": shard, "z": z})
+    ref["pos"] = ref.groupby(["g", "shard"])["z"].rank(method="first").astype(np.int64) - 1
+    # rank by z alone suffices here (distinct ids -> distinct z w.h.p.);
+    # assert per-group positions are a permutation AND match the replay
+    m = out.merge(ref[["id", "pos"]], on="id", suffixes=("", "_ref"))
+    assert (m["pos"] == m["pos_ref"]).all()
+    for (_, _), grp_df in out.groupby(["g", "shard"]):
+        assert sorted(grp_df["pos"]) == list(range(len(grp_df)))

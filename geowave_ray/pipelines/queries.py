@@ -681,6 +681,60 @@ def q_hilbert_cells(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_trajectory_stats(sf_dir: str):
+    """Per-user track statistics: order each user's derived points by
+    (ts, event_id) and reduce consecutive steps to n_points / sum of
+    squared step lengths / max squared step, all in exact integer
+    centi-degrees (the trajectory-analytics shape of the reference's
+    spatial-temporal track use cases).  One groupby shuffle; per-group
+    kernel is argsort + vectorized diff (stages/analytics.py::
+    trajectory_stats)."""
+    import ray
+
+    from ..stages.analytics import trajectory_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "ix": pa.array((ev * 7919 + us) % 36000 - 18000),
+                "iy": pa.array((ev * 104729 + us * 13) % 18000 - 9000),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+    return trajectory_stats(pts, "user_id", "ts", "ix", "iy", "event_id")
+
+
+SQL_TRAJECTORY_STATS = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS ix,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS iy
+  FROM events
+), s AS (
+  SELECT user_id,
+         ix - LAG(ix) OVER w AS dx,
+         iy - LAG(iy) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COALESCE(SUM(dx * dx + dy * dy), 0) AS BIGINT) AS path_sq_sum,
+       CAST(COALESCE(MAX(dx * dx + dy * dy), 0) AS BIGINT) AS max_step_sq
+FROM s GROUP BY user_id
+"""
+
+
 # ----------------------------------------------------------------- documents
 def q_dedupe_exact(sf_dir: str):
     import ray
@@ -4117,7 +4171,9 @@ def q_dsir_weights(sf_dir: str):
 
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
-    "spatial_join_anti": q_spatial_join_anti,
+    # round-4 fourth rotation: trajectory_stats (new, never driver-verified)
+    # takes the slot of spatial_join_anti (driver-hash-green r1+r2+r3):
+    "trajectory_stats": q_trajectory_stats,
     "ivf_store_int8": q_ivf_store_int8,
     # round-4 second rotation: substring_dups/tfidf_top_terms/
     # domain_cap_sample/props_extract/band_math (new, never driver-
@@ -4187,6 +4243,7 @@ QUERIES = {
     # new cross-modal operators; bbox_query, spatial_temporal_query, knn,
     # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
+    "spatial_join_anti": q_spatial_join_anti,
     "minhash_dup_groups": q_minhash_dup_groups,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
@@ -4258,6 +4315,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF,
     "domain_cap_sample": SQL_DOMAIN_CAP,
     "shuffle_shards": _sql_shuffle_shards(),
+    "trajectory_stats": SQL_TRAJECTORY_STATS,
     "props_extract": SQL_PROPS_EXTRACT,
     "band_math": SQL_BAND_MATH,
     "hilbert_cells": sql_hilbert_cells(_PTS_SQL),

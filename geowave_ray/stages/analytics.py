@@ -394,6 +394,8 @@ def shard_assign(ds, id_col: str, num_shards: int, seed: int = 7, by: tuple = ()
     from .texthash import GOLD
 
     def hashshard(batch: pa.Table) -> pa.Table:
+        # strip pandas metadata so Ray's schema-dedup cache can hash it
+        batch = batch.replace_schema_metadata(None)
         v = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         z = (v + np.uint64(seed)) * GOLD
         z ^= z >> np.uint64(31)
@@ -421,3 +423,46 @@ def shard_assign(ds, id_col: str, num_shards: int, seed: int = 7, by: tuple = ()
         .groupby(keys)
         .map_groups(_ShardRank(), batch_format="pyarrow")
     )
+
+
+def trajectory_stats(ds, key_col: str, ts_col: str, x_col: str, y_col: str, order_col: str):
+    """Per-entity track statistics over integer coordinates: order each
+    entity's points by ``(ts, tiebreak)`` and reduce the consecutive steps
+    to (n_points, sum of squared step lengths, max squared step) — the
+    trajectory-analytics shape of the reference's spatial-temporal use
+    cases (SpatialTemporalQuery over per-entity tracks;
+    core/geotime/.../SpatialTemporalDimensionalityTypeProvider.java).
+    Integer arithmetic throughout so the result is exactly SQL-replayable
+    (no trig / float accumulation-order hazards).
+
+    Scale shape (100 TB): one groupby shuffle; each group is one entity's
+    track (bounded by per-entity activity — the same per-key skew
+    assumption as sessionize, documented there).  The per-group kernel is
+    one argsort + one vectorized diff.
+    """
+
+    class _TrackReduce:
+        __name__ = "trajectory_stats"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype("int64")
+            oid = group.column(order_col).to_numpy(zero_copy_only=False)
+            x = group.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            y = group.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((oid, ts))  # ts, ties by the unique row id
+            x, y = x[sel], y[sel]
+            if len(x) > 1:
+                d = (np.diff(x)) ** 2 + (np.diff(y)) ** 2
+                tot, mx = int(d.sum()), int(d.max())
+            else:
+                tot = mx = 0
+            return pa.table(
+                {
+                    key_col: group.column(key_col).slice(0, 1),
+                    "n_points": pa.array([len(x)], type=pa.int64()),
+                    "path_sq_sum": pa.array([tot], type=pa.int64()),
+                    "max_step_sq": pa.array([mx], type=pa.int64()),
+                }
+            )
+
+    return ds.groupby(key_col).map_groups(_TrackReduce(), batch_format="pyarrow")

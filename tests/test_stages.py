@@ -775,3 +775,29 @@ def test_shard_assign():
     assert (m["pos"] == m["pos_ref"]).all()
     for (_, _), grp_df in out.groupby(["g", "shard"]):
         assert sorted(grp_df["pos"]) == list(range(len(grp_df)))
+
+
+def test_trajectory_stats():
+    """Steps follow (ts, tiebreak) order; squared-step sum/max are exact."""
+    import ray
+
+    from geowave_ray.stages.analytics import trajectory_stats
+
+    t = pa.table(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "ts": [10, 30, 20, 5, 5, 9],  # user 1 out of order; user 2 ties
+            "eid": [0, 1, 2, 4, 3, 5],    # tie for user 2 broken by eid: 3 then 4
+            "x": [0, 10, 3, 0, 7, 2],
+            "y": [0, 0, 4, 1, 1, 2],
+        }
+    )
+    out = (
+        trajectory_stats(ray.data.from_arrow(t).repartition(3), "u", "ts", "x", "y", "eid")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    # user 1 path: (0,0)->(3,4)->(10,0): steps 25 and 65
+    # user 2 path: eid 3 (7,1) -> eid 4 (0,1): step 49
+    assert out["n_points"].tolist() == [3, 2, 1]
+    assert out["path_sq_sum"].tolist() == [90, 49, 0]
+    assert out["max_step_sq"].tolist() == [65, 49, 0]

@@ -735,6 +735,89 @@ FROM s GROUP BY user_id
 """
 
 
+RECT_CELL = 512  # centi-degrees: ~5.1 deg grid, ~1 replica per box
+
+
+def q_rect_join(sf_dir: str):
+    """Extent-extent (rectangle) spatial join: event-derived boxes vs
+    order-derived boxes, exact integer centi-degree envelopes.  PBSM
+    grid cogroup with the reporting-point exactly-once rule — the
+    geometry-extent join regime of the reference's TieredSpatialJoin
+    (stages/join.py::rect_join)."""
+    import ray
+
+    from ..stages.join import rect_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def ev_boxes(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        x0 = (e * 7919 + u) % 36000 - 18000
+        y0 = (e * 104729 + u * 13) % 18000 - 9000
+        return pa.table(
+            {
+                "image_id": batch.column("event_id"),
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x0 + e % 97 + 5),
+                "y1": pa.array(y0 + e % 53 + 5),
+            }
+        )
+
+    def od_boxes(batch: pa.Table) -> pa.Table:
+        o = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        x0 = (o * 7919 + c) % 36000 - 18000
+        y0 = (o * 104729 + c * 13) % 18000 - 9000
+        return pa.table(
+            {
+                "order_id": batch.column("o_orderkey"),
+                "x0": pa.array(x0),
+                "y0": pa.array(y0),
+                "x1": pa.array(x0 + o % 89 + 5),
+                "y1": pa.array(y0 + o % 59 + 5),
+            }
+        )
+
+    ev_boxes.__name__ = "event_boxes"
+    od_boxes.__name__ = "order_boxes"
+    return rect_join(
+        ev.map_batches(ev_boxes, batch_format="pyarrow"),
+        od.map_batches(od_boxes, batch_format="pyarrow"),
+        cell_size=RECT_CELL,
+        left_cols=("image_id",),
+        right_cols=("order_id",),
+    )
+
+
+SQL_RECT_JOIN = """
+WITH l AS (
+  SELECT event_id AS image_id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS x0,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS y0,
+         (event_id * 7919 + user_id) % 36000 - 18000 + event_id % 97 + 5 AS x1,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 + event_id % 53 + 5 AS y1
+  FROM events
+), r AS (
+  SELECT o_orderkey AS order_id,
+         (o_orderkey * 7919 + o_custkey) % 36000 - 18000 AS x0,
+         (o_orderkey * 104729 + o_custkey * 13) % 18000 - 9000 AS y0,
+         (o_orderkey * 7919 + o_custkey) % 36000 - 18000 + o_orderkey % 89 + 5 AS x1,
+         (o_orderkey * 104729 + o_custkey * 13) % 18000 - 9000 + o_orderkey % 59 + 5 AS y1
+  FROM orders
+)
+SELECT l.image_id, r.order_id
+FROM l JOIN r
+  ON l.x0 <= r.x1 AND r.x0 <= l.x1 AND l.y0 <= r.y1 AND r.y0 <= l.y1
+"""
+
+
 # ----------------------------------------------------------------- documents
 def q_dedupe_exact(sf_dir: str):
     import ray
@@ -4171,9 +4254,11 @@ def q_dsir_weights(sf_dir: str):
 
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
-    # round-4 fourth rotation: trajectory_stats (new, never driver-verified)
-    # takes the slot of spatial_join_anti (driver-hash-green r1+r2+r3):
+    # round-4 fourth rotation: trajectory_stats and rect_join (new, never
+    # driver-verified) take the slots of spatial_join_anti (driver-hash-
+    # green r1+r2+r3) and knn_join (green r2+r3):
     "trajectory_stats": q_trajectory_stats,
+    "rect_join": q_rect_join,
     "ivf_store_int8": q_ivf_store_int8,
     # round-4 second rotation: substring_dups/tfidf_top_terms/
     # domain_cap_sample/props_extract/band_math (new, never driver-
@@ -4185,7 +4270,6 @@ QUERIES = {
     "s2_binned_agg": q_s2_binned_agg,
     "distinct_users": q_distinct_users,
     "domain_cap_sample": q_domain_cap_sample,
-    "knn_join": q_knn_join,
     "props_extract": q_props_extract,
     "mosaic_merge": q_mosaic_merge,
     "band_math": q_band_math,
@@ -4244,6 +4328,7 @@ QUERIES = {
     # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
     "spatial_join_anti": q_spatial_join_anti,
+    "knn_join": q_knn_join,
     "minhash_dup_groups": q_minhash_dup_groups,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
@@ -4316,6 +4401,7 @@ ORACLE_SQL = {
     "domain_cap_sample": SQL_DOMAIN_CAP,
     "shuffle_shards": _sql_shuffle_shards(),
     "trajectory_stats": SQL_TRAJECTORY_STATS,
+    "rect_join": SQL_RECT_JOIN,
     "props_extract": SQL_PROPS_EXTRACT,
     "band_math": SQL_BAND_MATH,
     "hilbert_cells": sql_hilbert_cells(_PTS_SQL),

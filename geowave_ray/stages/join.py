@@ -417,3 +417,140 @@ def cell_shuffle_join(
         _CellJoinGroup(point_cols, zone_cols), batch_format="pyarrow"
     )
     return matches
+
+
+class _RectCellGroup:
+    """map_groups fn for the PBSM rectangle-join cogroup: one grid cell's
+    left boxes vs its right boxes.  Exactly-once output via the classic
+    reporting-point rule: a pair is emitted only by the cell containing
+    the MIN corner of the pair's intersection, so replicated boxes never
+    produce duplicate pairs and no dedup shuffle is needed (Patel/DeWitt
+    partition-based spatial-merge; the reference's TieredSpatialJoin
+    achieves the same with tier-dedup — analytics/spark/.../
+    TieredSpatialJoin.java)."""
+
+    __name__ = "rect_cell_group"
+
+    def __init__(self, cell_size, left_cols, right_cols, max_group_pairs):
+        self.g = int(cell_size)
+        self.left_cols = list(left_cols)
+        self.right_cols = list(right_cols)
+        self.max_pairs = int(max_group_pairs)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0))
+        rt = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                **{c: pa.array([], group.schema.field(c).type) for c in self.left_cols},
+                **{c: pa.array([], group.schema.field(c).type) for c in self.right_cols},
+            }
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return empty
+        if len(lt) * len(rt) > self.max_pairs:
+            raise ValueError(
+                f"rect_join cell with {len(lt)}x{len(rt)} boxes exceeds "
+                f"max_group_pairs={self.max_pairs}; shrink cell_size or salt "
+                "the hot cell (see broadcast regime in salt_cells)"
+            )
+        lx0 = lt.column("_x0").to_numpy(zero_copy_only=False)[:, None]
+        ly0 = lt.column("_y0").to_numpy(zero_copy_only=False)[:, None]
+        lx1 = lt.column("_x1").to_numpy(zero_copy_only=False)[:, None]
+        ly1 = lt.column("_y1").to_numpy(zero_copy_only=False)[:, None]
+        rx0 = rt.column("_x0").to_numpy(zero_copy_only=False)[None, :]
+        ry0 = rt.column("_y0").to_numpy(zero_copy_only=False)[None, :]
+        rx1 = rt.column("_x1").to_numpy(zero_copy_only=False)[None, :]
+        ry1 = rt.column("_y1").to_numpy(zero_copy_only=False)[None, :]
+        hit = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+        # reporting-point rule: intersection min corner must be in THIS cell
+        cx = int(group.column("_cx")[0].as_py())
+        cy = int(group.column("_cy")[0].as_py())
+        ix = np.maximum(lx0, rx0)
+        iy = np.maximum(ly0, ry0)
+        hit &= (np.floor_divide(ix, self.g) == cx) & (np.floor_divide(iy, self.g) == cy)
+        li, ri = np.nonzero(hit)
+        if len(li) == 0:
+            return empty
+        out = {}
+        for c in self.left_cols:
+            out[c] = lt.column(c).take(pa.array(li))
+        for c in self.right_cols:
+            out[c] = rt.column(c).take(pa.array(ri))
+        return pa.table(out)
+
+
+def rect_join(
+    left_ds,
+    right_ds,
+    cell_size: int,
+    left_cols: tuple,
+    right_cols: tuple,
+    box_cols: tuple = ("x0", "y0", "x1", "y1"),
+    max_group_pairs: int = 4_000_000,
+):
+    """Extent (rectangle) intersection join of TWO datasets over integer
+    coordinates: emit (left_cols x right_cols) for every pair of closed
+    boxes that intersect.  Both sides carry ``box_cols`` (int min-x/min-y/
+    max-x/max-y; inverted boxes are empty and match nothing).
+
+    Scale shape (100 TB): each box replicates only to the grid cells it
+    covers (``cell_size`` bounds the fan-out); ONE union + groupby(cell)
+    shuffle; per-cell candidates are verified with a vectorized
+    all-pairs envelope test bounded by ``max_group_pairs`` (the same
+    quadratic-expansion guard as crossmodal pair mining), and the
+    reporting-point rule makes output exactly-once with no dedup pass.
+    This is the 2-D analog of interval_join's bucket replication.
+    """
+
+    x0c, y0c, x1c, y1c = box_cols
+
+    def _prep(keep_cols, side_val):
+        def prep(batch: pa.Table) -> pa.Table:
+            batch = batch.replace_schema_metadata(None)
+            x0 = batch.column(x0c).to_numpy(zero_copy_only=False).astype(np.int64)
+            y0 = batch.column(y0c).to_numpy(zero_copy_only=False).astype(np.int64)
+            x1 = batch.column(x1c).to_numpy(zero_copy_only=False).astype(np.int64)
+            y1 = batch.column(y1c).to_numpy(zero_copy_only=False).astype(np.int64)
+            g = int(cell_size)
+            cx0, cx1 = np.floor_divide(x0, g), np.floor_divide(x1, g)
+            cy0, cy1 = np.floor_divide(y0, g), np.floor_divide(y1, g)
+            rx = np.maximum(cx1 - cx0 + 1, 0)
+            ry = np.maximum(cy1 - cy0 + 1, 0)
+            reps = np.where((x1 >= x0) & (y1 >= y0), rx * ry, 0).astype(np.int64)
+            idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+            k = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            ryi = ry[idx]
+            cx = cx0[idx] + k // np.maximum(ryi, 1)
+            cy = cy0[idx] + k % np.maximum(ryi, 1)
+            out = batch.select(list(keep_cols)).take(pa.array(idx))
+            out = out.append_column("_x0", pa.array(x0[idx]))
+            out = out.append_column("_y0", pa.array(y0[idx]))
+            out = out.append_column("_x1", pa.array(x1[idx]))
+            out = out.append_column("_y1", pa.array(y1[idx]))
+            out = out.append_column("_cx", pa.array(cx))
+            out = out.append_column("_cy", pa.array(cy))
+            out = out.append_column(
+                "_cell", pa.array((cx << np.int64(32)) ^ (cy & np.int64(0xFFFFFFFF)))
+            )
+            out = out.append_column(
+                "_side", pa.array(np.full(len(idx), side_val, np.int8))
+            )
+            # pad the other side's columns so the union schemas align
+            other = right_cols if side_val == 0 else left_cols
+            for c in other:
+                out = out.append_column(c, pa.nulls(len(idx), pa.int64()))
+            return out.select(sorted(out.column_names))
+
+        prep.__name__ = f"rect_prep_{'left' if side_val == 0 else 'right'}"
+        return prep
+
+    lp = left_ds.map_batches(_prep(left_cols, 0), batch_format="pyarrow")
+    rp = right_ds.map_batches(_prep(right_cols, 1), batch_format="pyarrow")
+    return lp.union(rp).groupby("_cell").map_groups(
+        _RectCellGroup(cell_size, left_cols, right_cols, max_group_pairs),
+        batch_format="pyarrow",
+    )

@@ -801,3 +801,63 @@ def test_trajectory_stats():
     assert out["n_points"].tolist() == [3, 2, 1]
     assert out["path_sq_sum"].tolist() == [90, 49, 0]
     assert out["max_step_sq"].tolist() == [65, 49, 0]
+
+
+def test_rect_join_exactly_once_and_edges():
+    """Boxes spanning multiple grid cells emit each pair ONCE (reporting-
+    point rule); touching edges match (closed boxes); inverted boxes are
+    empty; oversize cells raise."""
+    import ray
+
+    from geowave_ray.stages.join import rect_join
+
+    left = pa.table(
+        {
+            "lid": [1, 2, 3, 4],
+            "x0": [0, 100, 0, 50],
+            "y0": [0, 100, 0, 50],
+            # box 1 spans many 10-unit cells; box 3 is inverted (empty)
+            "x1": [95, 105, -1, 50],
+            "y1": [95, 105, -1, 50],
+        }
+    )
+    right = pa.table(
+        {
+            "rid": [10, 20, 30],
+            "x0": [90, 95, 200],
+            "y0": [90, 0, 200],
+            "x1": [120, 96, 210],
+            "y1": [120, 1, 210],
+        }
+    )
+    out = (
+        rect_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right),
+            cell_size=10,
+            left_cols=("lid",),
+            right_cols=("rid",),
+        )
+        .to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+    )
+    # brute-force reference
+    import itertools
+
+    exp = []
+    for i, j in itertools.product(range(4), range(3)):
+        lx0, ly0, lx1, ly1 = (left.column(c)[i].as_py() for c in ("x0", "y0", "x1", "y1"))
+        rx0, ry0, rx1, ry1 = (right.column(c)[j].as_py() for c in ("x0", "y0", "x1", "y1"))
+        if lx1 >= lx0 and ly1 >= ly0 and lx0 <= rx1 and rx0 <= lx1 and ly0 <= ry1 and ry0 <= ly1:
+            exp.append((left.column("lid")[i].as_py(), right.column("rid")[j].as_py()))
+    assert list(map(tuple, out.to_numpy())) == sorted(exp)
+    assert (1, 10) in exp and (1, 20) in exp  # overlap + edge-touch both present
+
+    with pytest.raises(Exception, match="max_group_pairs"):
+        rect_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            cell_size=10,
+            left_cols=("lid",),
+            right_cols=("rid",),
+            max_group_pairs=0,
+        ).materialize()

@@ -16,7 +16,7 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["PartitionManifest", "write_partitioned", "resumable_write"]
+__all__ = ["PartitionManifest", "write_partitioned", "resumable_write", "write_shards"]
 
 CODE_VERSION = "geowave-ray-0.1"
 
@@ -109,4 +109,56 @@ def resumable_write(
             wall_s=time.time() - t0,
             input=pid,
         )
+    return manifest
+
+
+def write_shards(
+    ds,
+    root: str,
+    id_col: str,
+    num_shards: int,
+    seed: int = 7,
+    by: tuple = (),
+) -> PartitionManifest:
+    """Training-corpus shard writer: ``stages.analytics.shard_assign`` the
+    rows (deterministic hash shard + in-shard rank) and stream them to one
+    parquet directory per ``(*by, shard)`` via ``write_parquet
+    (partition_cols=...)`` — the "shuffle then shard to files" output
+    layout, resumable at stage granularity (a complete manifest skips the
+    whole write; per-partition rows/bytes are recorded as lineage).
+
+    Scale shape (100 TB): one groupby shuffle (see shard_assign), then the
+    write streams — no driver materialization; num_shards is the file-size
+    knob.  Never one giant file.
+    """
+    from ..stages.analytics import shard_assign
+
+    manifest = PartitionManifest(root)
+    if manifest.is_complete("_shards"):
+        return manifest
+    t0 = time.time()
+    out = shard_assign(ds, id_col, num_shards, seed=seed, by=by)
+    part_cols = [*by, "shard"]
+    out.write_parquet(root, partition_cols=part_cols)
+    parts: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        pfiles = [f for f in files if f.endswith(".parquet")]
+        if not pfiles:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        parts[rel] = {
+            "rows": sum(
+                pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+                for f in pfiles
+            ),
+            "bytes": sum(os.path.getsize(os.path.join(dirpath, f)) for f in pfiles),
+            "files": len(pfiles),
+        }
+    manifest.record(
+        "_shards",
+        wall_s=time.time() - t0,
+        num_shards=num_shards,
+        seed=seed,
+        partitions=parts,
+    )
     return manifest

@@ -1,5 +1,6 @@
 """Statistics manifest, GeoJSON IO, partitioned writes, KDE."""
 
+import os
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -190,3 +191,39 @@ def test_differing_visibility_and_max_duplicates_stats(ray_session):
         ray.data.from_arrow(t), lon_col=None, lat_col=None, vis_cols=("vis_f1",)
     )
     assert m2.differing_visibility_count == 3
+
+
+def test_write_shards_layout_and_resume(tmp_path):
+    """One parquet directory per (split, shard); manifest lineage records
+    per-partition rows/bytes; a second call is a no-op resume."""
+    import ray
+
+    from geowave_ray.state.manifest import write_shards
+
+    ids = pa.table(
+        {
+            "doc_id": pa.array(range(200), type=pa.int64()),
+            "split": pa.array(["train" if i % 4 else "val" for i in range(200)]),
+        }
+    )
+    root = str(tmp_path / "shards")
+    m1 = write_shards(
+        ray.data.from_arrow(ids).repartition(3), root, "doc_id", 4, by=("split",)
+    )
+    e = m1.entries["_shards"]
+    parts = e["partitions"]
+    assert sum(p["rows"] for p in parts.values()) == 200
+    assert all("shard=" in k for k in parts)
+    assert any(k.startswith("split=val") for k in parts)
+    # every file is readable and carries the pos column
+    import pyarrow.parquet as pq_
+
+    some = next(iter(parts))
+    f = [x for x in os.listdir(os.path.join(root, some)) if x.endswith(".parquet")][0]
+    t = pq_.read_table(os.path.join(root, some, f))
+    assert "pos" in t.column_names and "doc_id" in t.column_names
+    # resume: second call returns without rewriting (recorded_at unchanged)
+    m2 = write_shards(
+        ray.data.from_arrow(ids), root, "doc_id", 4, by=("split",)
+    )
+    assert m2.entries["_shards"]["recorded_at"] == e["recorded_at"]

@@ -3814,6 +3814,69 @@ BAND_T = 16  # tile side
 BAND_THRESH = 400  # nd_milli >= this counts as "vegetated"
 
 
+FOCAL_T = 32  # tile side (pixels)
+FOCAL_NT = 8  # tiles per raster side
+
+
+def q_focal_stats(sf_dir: str):
+    """3x3 focal mean over a tiled raster with DISTRIBUTED HALO EXCHANGE:
+    every tile ships only its 1-pixel borders to its <=8 neighbors (one
+    groupby shuffle, perimeter not area), each cogroup assembles the
+    (T+2)^2 frame and computes the integer focal mean; global-edge
+    pixels use in-bounds neighborhoods only.  The focal map-algebra step
+    beyond band_math's pixel-local ops (stages/focal.py)."""
+    import ray
+
+    from ..stages.focal import focal_mean_stats
+
+    T, NT = FOCAL_T, FOCAL_NT
+
+    def make_tiles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        tx = ids % NT
+        ty = ids // NT
+        y, x = np.mgrid[0:T, 0:T]
+        gx = tx[:, None, None] * T + x
+        gy = ty[:, None, None] * T + y
+        p = ((gx * 7 + gy * 11 + gx * gy) % 256).astype(np.uint8)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "pixels": pa.array(
+                    [p[i].tobytes() for i in range(n)], type=pa.binary()
+                ),
+            }
+        )
+
+    make_tiles.__name__ = "focal_make_tiles"
+    tiles = ray.data.range(NT * NT, override_num_blocks=4).map_batches(
+        make_tiles, batch_format="pyarrow"
+    )
+    return focal_mean_stats(tiles, T)
+
+
+SQL_FOCAL_STATS = f"""
+WITH px AS (
+  SELECT x, y, (x * 7 + y * 11 + x * y) % 256 AS p
+  FROM generate_series(0, {FOCAL_T * FOCAL_NT - 1}) xs(x),
+       generate_series(0, {FOCAL_T * FOCAL_NT - 1}) ys(y)
+), d AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) t(dx, dy)
+), nb AS (
+  SELECT a.x, a.y, SUM(b.p) AS s, COUNT(*) AS c
+  FROM px a CROSS JOIN d JOIN px b ON b.x = a.x + d.dx AND b.y = a.y + d.dy
+  GROUP BY a.x, a.y
+)
+SELECT x // {FOCAL_T} AS tile_x, y // {FOCAL_T} AS tile_y,
+       CAST(SUM(s // c) AS BIGINT) AS focal_sum,
+       CAST(MAX(s // c) AS BIGINT) AS focal_max
+FROM nb GROUP BY 1, 2
+"""
+
+
 def q_band_math(sf_dir: str):
     """Raster map algebra (the classic NDVI shape): two deterministic
     bands per raster, per-pixel integer normalized difference
@@ -4259,6 +4322,8 @@ QUERIES = {
     # green r1+r2+r3) and knn_join (green r2+r3):
     "trajectory_stats": q_trajectory_stats,
     "rect_join": q_rect_join,
+    # focal_stats (new) takes the slot of dbscan (driver-hash-green r2+r3):
+    "focal_stats": q_focal_stats,
     "ivf_store_int8": q_ivf_store_int8,
     # round-4 second rotation: substring_dups/tfidf_top_terms/
     # domain_cap_sample/props_extract/band_math (new, never driver-
@@ -4308,7 +4373,6 @@ QUERIES = {
     "geotiff_tiles": q_geotiff_tiles,
     "geohash_binned_agg": q_geohash_binned_agg,
     "jpeg_roundtrip": q_jpeg_roundtrip,
-    "dbscan": q_dbscan,
     "audio_features": q_audio_features,
     "store_bbox_query": q_store_bbox_query,
     "store_attr_range": q_store_attr_range,
@@ -4329,6 +4393,7 @@ QUERIES = {
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
+    "dbscan": q_dbscan,
     "minhash_dup_groups": q_minhash_dup_groups,
     "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
@@ -4402,6 +4467,7 @@ ORACLE_SQL = {
     "shuffle_shards": _sql_shuffle_shards(),
     "trajectory_stats": SQL_TRAJECTORY_STATS,
     "rect_join": SQL_RECT_JOIN,
+    "focal_stats": SQL_FOCAL_STATS,
     "props_extract": SQL_PROPS_EXTRACT,
     "band_math": SQL_BAND_MATH,
     "hilbert_cells": sql_hilbert_cells(_PTS_SQL),

@@ -861,3 +861,54 @@ def test_rect_join_exactly_once_and_edges():
             right_cols=("rid",),
             max_group_pairs=0,
         ).materialize()
+
+
+def test_focal_mean_halo_exchange():
+    """Per-tile focal stats equal a whole-raster brute force: interior
+    pixels see all 9 neighbors across tile borders; global-edge pixels
+    use in-bounds-only neighborhoods."""
+    import ray
+
+    from geowave_ray.stages.focal import focal_mean_stats
+
+    T, NT = 4, 3
+    W = T * NT
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 256, size=(W, W), dtype=np.uint8)  # [y, x]
+
+    rows = []
+    for ty in range(NT):
+        for tx in range(NT):
+            rows.append(
+                (tx, ty, raster[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T].tobytes())
+            )
+    t = pa.table(
+        {
+            "tile_x": pa.array([r[0] for r in rows], pa.int64()),
+            "tile_y": pa.array([r[1] for r in rows], pa.int64()),
+            "pixels": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+    out = (
+        focal_mean_stats(ray.data.from_arrow(t).repartition(4), T)
+        .to_pandas().sort_values(["tile_y", "tile_x"]).reset_index(drop=True)
+    )
+    # brute force over the full raster
+    pad_v = np.zeros((W + 2, W + 2), np.int64)
+    pad_m = np.zeros((W + 2, W + 2), np.int64)
+    pad_v[1:-1, 1:-1] = raster
+    pad_m[1:-1, 1:-1] = 1
+    s = np.zeros((W, W), np.int64)
+    c = np.zeros((W, W), np.int64)
+    for oy in (0, 1, 2):
+        for ox in (0, 1, 2):
+            s += pad_v[oy : oy + W, ox : ox + W] * pad_m[oy : oy + W, ox : ox + W]
+            c += pad_m[oy : oy + W, ox : ox + W]
+    focal = s // c
+    exp = []
+    for ty in range(NT):
+        for tx in range(NT):
+            f = focal[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+            exp.append((tx, ty, int(f.sum()), int(f.max())))
+    got = list(map(tuple, out[["tile_x", "tile_y", "focal_sum", "focal_max"]].to_numpy()))
+    assert got == exp

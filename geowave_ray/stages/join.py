@@ -502,6 +502,10 @@ def rect_join(
     quadratic-expansion guard as crossmodal pair mining), and the
     reporting-point rule makes output exactly-once with no dedup pass.
     This is the 2-D analog of interval_join's bucket replication.
+
+    Carried id columns (``left_cols`` / ``right_cols``) must be int64:
+    the cross-side union pads the absent side with int64 nulls (checked
+    per batch; widen the pad map here if another type is ever needed).
     """
 
     x0c, y0c, x1c, y1c = box_cols
@@ -509,6 +513,13 @@ def rect_join(
     def _prep(keep_cols, side_val):
         def prep(batch: pa.Table) -> pa.Table:
             batch = batch.replace_schema_metadata(None)
+            for c in keep_cols:
+                if not pa.types.is_integer(batch.schema.field(c).type):
+                    raise ValueError(
+                        f"rect_join carried column {c!r} must be int64 "
+                        f"(got {batch.schema.field(c).type}); the union pad "
+                        "assumes integer ids"
+                    )
             x0 = batch.column(x0c).to_numpy(zero_copy_only=False).astype(np.int64)
             y0 = batch.column(y0c).to_numpy(zero_copy_only=False).astype(np.int64)
             x1 = batch.column(x1c).to_numpy(zero_copy_only=False).astype(np.int64)

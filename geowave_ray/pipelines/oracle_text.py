@@ -297,3 +297,49 @@ WITH {_tok_cte(table)}
 SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score
 FROM {table} d LEFT JOIN sc USING (doc_id)
 """
+
+
+def sql_boilerplate(chunk_len: int = 3, min_count: int = 3,
+                    table: str = "documents", text_col: str = "text") -> str:
+    """Exact mirror of stages/text.boilerplate_filter: chunk hashes are
+    splitmix64 of the base-SHINGLE_F Horner fold over each consecutive
+    ``chunk_len``-token-hash window; chunks with global count >=
+    ``min_count`` are boilerplate; kept_fold re-folds the kept chunk
+    hashes in document order."""
+    L = int(chunk_len)
+    fold = (
+        f"list_reduce(list_prepend(0::HUGEINT,"
+        f" th[(j-1)*{L}+1 : least(j*{L}, len(th))]),"
+        f" (a, c) -> (a * {_F}::HUGEINT + c) % {M64_SQL})"
+    )
+    smix = sql_splitmix64(fold)
+    kfold = (
+        f"list_reduce(list_prepend(0::HUGEINT,"
+        f" coalesce(list(h ORDER BY j) FILTER (WHERE NOT boiler),"
+        f" []::HUGEINT[])),"
+        f" (a, c) -> (a * {_F}::HUGEINT + c) % {M64_SQL})"
+    )
+    return f"""
+WITH {_tok_cte(table, text_col)}
+, ch AS (
+  SELECT doc_id, j, {smix} AS h
+  FROM (SELECT doc_id, th,
+               unnest(range(1, (len(th) + {L} - 1) // {L} + 1)) AS j
+        FROM tok WHERE len(th) > 0)
+)
+, freq AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h)
+, mk AS (
+  SELECT c.doc_id, c.j, c.h, (f.c >= {int(min_count)}) AS boiler
+  FROM ch c JOIN freq f ON f.h = c.h)
+, agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler,
+         {kfold} AS fold
+  FROM mk GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(a.n_boiler, 0) AS BIGINT) AS n_boiler,
+       {_to_int64('COALESCE(a.fold, 0::HUGEINT)')} AS kept_fold
+FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""

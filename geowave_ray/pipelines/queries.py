@@ -931,6 +931,22 @@ def q_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "n_punct", "n_stop", "quality_milli"])
 
 
+def q_boilerplate_lines(sf_dir: str):
+    """CCNet-style global boilerplate removal (Wenzek et al. 2020 line
+    dedup, on 3-token chunks): chunks repeated >= 3 times corpus-wide
+    are boilerplate; per-doc output carries the kept-sequence checksum.
+    Two passes — combiner-pruned frequency groupby, then a broadcast
+    scoring stream (stages/text.boilerplate_filter)."""
+    import ray
+
+    from ..stages.text import boilerplate_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return boilerplate_filter(ds, chunk_len=3, min_count=3)
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition quality rules (duplicate-line fraction +
     top-2-gram dominance) — integer milli-unit outputs with a full
@@ -4391,6 +4407,9 @@ QUERIES = {
     # new cross-modal operators; bbox_query, spatial_temporal_query, knn,
     # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
+    # wave-5 (round 4, post-rotation): oracle-backed but never driver-
+    # verified — kept in overflow until the round-5 rotation:
+    "boilerplate_lines": q_boilerplate_lines,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4450,6 +4469,7 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_minhash_pairs,
     sql_quality,
     sql_repetition,
+    sql_boilerplate,
     sql_decontaminate,
     sql_dsir,
     sql_simhash,
@@ -4490,6 +4510,7 @@ ORACLE_SQL = {
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
     "langid": sql_langid(),
     "repetition_scores": sql_repetition(),
+    "boilerplate_lines": sql_boilerplate(chunk_len=3, min_count=3),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

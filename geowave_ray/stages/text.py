@@ -571,3 +571,261 @@ def dsir_importance(
 
     score.__name__ = "dsir_score"
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- boilerplate
+def chunk_hash_arrays(tb: TokenizedBatch, chunk_len: int):
+    """Fixed-width token-chunk hashes for a tokenized batch: the doc text
+    is cut into consecutive ``chunk_len``-token chunks (last chunk may be
+    shorter); chunk hash = splitmix64 of the base-SHINGLE_F Horner fold
+    (acc0=0) over the chunk's token hashes.  Returns
+    ``(doc_of_chunk, chunk_idx, hashes)`` — all chunks of all docs in
+    doc-major order, fully vectorized (segment_poly_hash prefix trick)."""
+    from .texthash import SHINGLE_F, segment_poly_hash, splitmix64
+
+    L = int(chunk_len)
+    n_tok = tb.n_tokens
+    n_chunks = -(-n_tok // L)
+    total = int(n_chunks.sum())
+    doc_of = np.repeat(np.arange(tb.n_docs, dtype=np.int64), n_chunks)
+    if total == 0:
+        return doc_of, np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    ci = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    o = tb.tok_offsets[:-1][doc_of]
+    starts = o + ci * L
+    ends = np.minimum(starts + L, tb.tok_offsets[1:][doc_of]) - 1
+    h = splitmix64(segment_poly_hash(tb.tok_hashes, starts, ends, int(SHINGLE_F)))
+    return doc_of, ci, h
+
+
+class ChunkCounter:
+    """Pass-1 combiner for boilerplate detection: per-batch partial
+    (chunk_hash, c) counts, pre-aggregated with np.unique so the global
+    frequency groupby shuffles only distinct-hash rows per batch."""
+
+    def __init__(self, text_col: str = "text", chunk_len: int = 3):
+        self.text_col = text_col
+        self.L = int(chunk_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tb = tokenize_hash([t or "" for t in batch.column(self.text_col).to_pylist()])
+        _, _, h = chunk_hash_arrays(tb, self.L)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {"chunk_hash": pa.array(uh.view(np.int64)), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+
+class BoilerplateScorer:
+    """Pass-2 broadcast scorer: marks each doc's chunks against the
+    ray.put boilerplate hash set and emits per-doc
+    (id, n_chunks, n_boiler, kept_fold) where kept_fold is the
+    order-sensitive base-SHINGLE_F Horner fold over the KEPT (non-
+    boilerplate) chunk hashes — a checksum of the cleaned document."""
+
+    def __init__(self, boiler_ref, text_col: str = "text", id_col: str = "doc_id",
+                 chunk_len: int = 3):
+        import ray
+
+        self.boiler = np.sort(np.asarray(ray.get(boiler_ref), dtype=np.int64))
+        self.text_col = text_col
+        self.id_col = id_col
+        self.L = int(chunk_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .texthash import SHINGLE_F, segment_poly_hash
+
+        tb = tokenize_hash([t or "" for t in batch.column(self.text_col).to_pylist()])
+        doc_of, _, h = chunk_hash_arrays(tb, self.L)
+        hi = h.view(np.int64)
+        n = tb.n_docs
+        if len(self.boiler):
+            pos = np.clip(np.searchsorted(self.boiler, hi), 0, len(self.boiler) - 1)
+            is_b = self.boiler[pos] == hi
+        else:
+            is_b = np.zeros(len(hi), dtype=bool)
+        n_chunks = np.bincount(doc_of, minlength=n).astype(np.int64)
+        n_boiler = np.bincount(doc_of, weights=is_b, minlength=n).astype(np.int64)
+        kept = ~is_b
+        kh, kd = h[kept], doc_of[kept]  # doc-major order preserved
+        cnts = np.bincount(kd, minlength=n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(cnts, out=offs[1:])
+        fold = np.zeros(n, dtype=np.uint64)
+        ne = offs[1:] > offs[:-1]
+        if ne.any():
+            fold[ne] = segment_poly_hash(
+                kh, offs[:-1][ne], offs[1:][ne] - 1, int(SHINGLE_F)
+            )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_chunks": pa.array(n_chunks),
+                "n_boiler": pa.array(n_boiler),
+                "kept_fold": pa.array(fold.view(np.int64)),
+            }
+        )
+
+
+class ChunkRows:
+    """Fallback explode stage: one (id, ci, chunk_hash) row per chunk,
+    plus a ci=-1 marker row per doc so tokenless docs survive the
+    groupby (the marker carries chunk_hash=0 and is skipped by the
+    fold)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 chunk_len: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.L = int(chunk_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tb = tokenize_hash([t or "" for t in batch.column(self.text_col).to_pylist()])
+        doc_of, ci, h = chunk_hash_arrays(tb, self.L)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out_ids = np.concatenate([ids[doc_of], ids])
+        out_ci = np.concatenate([ci, np.full(n, -1, np.int64)])
+        out_h = np.concatenate([h.view(np.int64), np.zeros(n, np.int64)])
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                "ci": pa.array(out_ci),
+                "chunk_hash": pa.array(out_h),
+            }
+        )
+
+
+class _BoilerFold:
+    """Per-doc group finalizer for the fallback path: ordered fold over
+    kept chunks (``_b`` null = kept).  Bounded by one doc's chunk count."""
+
+    __name__ = "boilerplate_fold"
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .texthash import SHINGLE_F, segment_poly_hash
+
+        ci = group.column("ci").to_numpy(zero_copy_only=False)
+        h = group.column("chunk_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = pc.fill_null(group.column("_b"), 0).to_numpy(zero_copy_only=False)
+        order = np.argsort(ci, kind="stable")
+        real = ci[order] >= 0
+        hs = h[order][real]
+        bs = b[order][real] != 0
+        kept = hs[~bs]
+        if len(kept):
+            fold = int(segment_poly_hash(kept, np.array([0]), np.array([len(kept) - 1]),
+                                         int(SHINGLE_F))[0])
+        else:
+            fold = 0
+        return pa.table(
+            {
+                self.id_col: group.column(self.id_col).slice(0, 1),
+                "n_chunks": pa.array([int(real.sum())], pa.int64()),
+                "n_boiler": pa.array([int(bs.sum())], pa.int64()),
+                "kept_fold": pa.array(
+                    np.array([fold], dtype=np.uint64).view(np.int64)
+                ),
+            }
+        )
+
+
+def boilerplate_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_len: int = 3,
+    min_count: int = 3,
+    broadcast_cap: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """CCNet-style global boilerplate-chunk removal (Wenzek et al. 2020's
+    corpus-level line dedup, adapted to ``chunk_len``-token chunks since
+    the bench corpus is single-line): two passes over the corpus —
+
+    1. global chunk-frequency count (per-batch np.unique combiner, ONE
+       groupby over distinct-hash partials);
+    2. mark chunks whose global count >= ``min_count`` as boilerplate and
+       emit per-doc (n_chunks, n_boiler, kept_fold).
+
+    Scale shape (100 TB): the boilerplate set is tiny next to the corpus
+    (only chunks repeated >= min_count times), so under ``broadcast_cap``
+    it broadcasts (ray.put + per-batch searchsorted) and pass 2 streams
+    with NO shuffle; above the cap the fallback explodes chunks to rows
+    and marks them with a sentinel-mode safe_join (fully streaming)
+    followed by one per-doc groupby.  A chunk hash colliding with the
+    two reserved sentinel ints (2 of 2**64 values) would self-filter;
+    the broadcast path has no such caveat."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .util import collect_table, safe_join, stage_fn
+
+    counts = ds.map_batches(
+        stage_fn(ChunkCounter, text_col=text_col, chunk_len=chunk_len),
+        batch_format="pyarrow",
+    )
+    freq = counts.groupby("chunk_hash").sum("c")
+
+    def boiler_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("sum(c)"), min_count)
+        return batch.filter(keep).select(["chunk_hash"])
+
+    boiler_only.__name__ = "boiler_only"
+    boiler = freq.map_batches(boiler_only, batch_format="pyarrow").materialize()
+    if boiler.count() <= broadcast_cap:
+        tbl = collect_table(boiler)
+        arr = (
+            tbl.column("chunk_hash").to_numpy(zero_copy_only=False)
+            if tbl is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+        ref = ray.put(arr)
+        return ds.map_batches(
+            stage_fn(
+                BoilerplateScorer,
+                boiler_ref=ref,
+                text_col=text_col,
+                id_col=id_col,
+                chunk_len=chunk_len,
+            ),
+            batch_format="pyarrow",
+        )
+    # > cap: streaming sentinel-mode left join marks boilerplate chunks,
+    # then ONE per-doc groupby folds the kept sequence.
+    rows = ds.map_batches(
+        stage_fn(ChunkRows, text_col=text_col, id_col=id_col, chunk_len=chunk_len),
+        batch_format="pyarrow",
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk_hash": batch.column("chunk_hash"),
+                "_b": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    flag.__name__ = "boiler_flag"
+    marked = safe_join(
+        rows,
+        boiler.map_batches(flag, batch_format="pyarrow"),
+        "left_outer",
+        num_partitions,
+        on=("chunk_hash",),
+        sentinel=-(1 << 62),
+        left_schema=pa.schema(
+            [(id_col, pa.int64()), ("ci", pa.int64()), ("chunk_hash", pa.int64())]
+        ),
+        right_schema=pa.schema([("chunk_hash", pa.int64()), ("_b", pa.int64())]),
+    )
+    return marked.groupby(id_col).map_groups(
+        _BoilerFold(id_col=id_col), batch_format="pyarrow"
+    )

@@ -912,3 +912,57 @@ def test_focal_mean_halo_exchange():
             exp.append((tx, ty, int(f.sum()), int(f.max())))
     got = list(map(tuple, out[["tile_x", "tile_y", "focal_sum", "focal_max"]].to_numpy()))
     assert got == exp
+
+
+def test_boilerplate_filter_paths_agree(ray_session, docs_table):
+    """Broadcast and sentinel-join fallback paths produce identical
+    per-doc results, and a slow reference fold agrees."""
+    import ray
+
+    from geowave_ray.stages.text import boilerplate_filter
+    from geowave_ray.stages.texthash import SHINGLE_F, splitmix64, token_hashes_single
+
+    def run(cap):
+        ds = ray.data.from_arrow(docs_table)
+        df = boilerplate_filter(
+            ds, chunk_len=3, min_count=2, broadcast_cap=cap
+        ).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    fast = run(2_000_000)
+    slow = run(0)  # forces the sentinel-join fallback
+    assert fast.equals(slow)
+
+    # slow reference for one doc: the exact-dup pair (docs 0 and 6) makes
+    # all their chunks global-count>=2 -> fully boilerplate
+    import numpy as np
+
+    texts = docs_table.column("text").to_pylist()
+    from collections import Counter
+
+    def chunks_of(t):
+        th = token_hashes_single(t)
+        out = []
+        for j in range(0, len(th), 3):
+            acc = np.uint64(0)
+            for h in th[j : j + 3]:
+                acc = acc * SHINGLE_F + h
+            out.append(int(splitmix64(np.array([acc], dtype=np.uint64))[0]))
+        return out
+
+    counts = Counter(c for t in texts for c in chunks_of(t))
+    for _, row in fast.iterrows():
+        ch = chunks_of(texts[int(row.doc_id)])
+        boiler = [c for c in ch if counts[c] >= 2]
+        kept = [c for c in ch if counts[c] < 2]
+        assert row.n_chunks == len(ch)
+        assert row.n_boiler == len(boiler)
+        acc = np.uint64(0)
+        for c in kept:
+            acc = acc * SHINGLE_F + np.uint64(c)
+        assert np.int64(row.kept_fold) == acc.astype(np.int64)
+    # the exact-dup doc is fully boilerplate, the empty doc is all zeros
+    assert fast.loc[fast.doc_id == 6, "n_boiler"].iloc[0] == fast.loc[
+        fast.doc_id == 6, "n_chunks"
+    ].iloc[0] > 0
+    assert (fast.loc[fast.doc_id == 7, ["n_chunks", "n_boiler", "kept_fold"]] == 0).all().all()

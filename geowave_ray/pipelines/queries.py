@@ -947,6 +947,78 @@ def q_boilerplate_lines(sf_dir: str):
     return boilerplate_filter(ds, chunk_len=3, min_count=3)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction over the document corpus (training-data scrub pass):
+    count + replace email / phone / IPv4 patterns with typed tokens in ONE
+    vectorized RE2 pass per pattern (stages/text.PiiRedactor).  The bench
+    corpus carries no PII, so the input is first augmented with a
+    deterministic doc_id-derived PII suffix (input synthesis, same
+    discipline as the engine-synthesized image/phash pools) that the SQL
+    oracle regenerates exactly; the redaction operator itself is the thing
+    under test and is fully general."""
+    import ray
+
+    from ..stages.text import PiiRedactor
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        # Input synthesis only (not the operator under test): append a
+        # deterministic PII suffix derived from doc_id.  The string build
+        # is a bounded comprehension over the synth rows, mirrored 1:1 by
+        # the oracle's CASE/concat expressions.
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids.tolist(), texts):
+            if i % 2 == 0:
+                t += f" contact u{i}@ex{i % 7}.com"
+            if i % 3 == 0:
+                t += f" call +1-555-{i % 10000:04d}"
+            if i % 5 == 0:
+                t += f" ip 10.{i % 256}.{(i * 7) % 256}.{i % 100}"
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    synth.__name__ = "pii_synth"
+    return ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        stage_fn(PiiRedactor), batch_format="pyarrow"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from ..stages.text import PII_PATTERNS
+
+    pats = {n: p for n, p, _ in PII_PATTERNS}
+    toks = {n: t for n, _, t in PII_PATTERNS}
+    red = "t"
+    for n, _, _ in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pats[n]}', '{toks[n]}', 'g')"
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{pats[n]}')) AS n_{n}" for n in pats
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 2 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {red} AS text_red
+FROM aug
+"""
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition quality rules (duplicate-line fraction +
     top-2-gram dominance) — integer milli-unit outputs with a full
@@ -4410,6 +4482,7 @@ QUERIES = {
     # wave-5 (round 4, post-rotation): oracle-backed but never driver-
     # verified — kept in overflow until the round-5 rotation:
     "boilerplate_lines": q_boilerplate_lines,
+    "pii_redact": q_pii_redact,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4511,6 +4584,7 @@ ORACLE_SQL = {
     "langid": sql_langid(),
     "repetition_scores": sql_repetition(),
     "boilerplate_lines": sql_boilerplate(chunk_len=3, min_count=3),
+    "pii_redact": _sql_pii_redact(),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

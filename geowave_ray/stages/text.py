@@ -829,3 +829,52 @@ def boilerplate_filter(
     return marked.groupby(id_col).map_groups(
         _BoilerFold(id_col=id_col), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------- PII
+# Training-data PII scrubbing (no direct GeoWave analog — this is part of
+# the LLM-pipeline operator family layered on the engine, like langid /
+# quality scoring above).  Patterns are RE2 syntax so pyarrow's compute
+# kernels and DuckDB's regexp_* (both RE2) agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+class PiiRedactor:
+    """Vectorized PII redaction over a text column.
+
+    Per batch: ONE ``count_substring_regex`` pass per pattern over the
+    original text (match counts are defined against the input, so they are
+    order-independent), then sequential ``replace_substring_regex`` passes
+    (email -> phone -> ip; the replacement tokens contain no digits or
+    '@', so earlier replacements cannot create or destroy later matches).
+    All kernels are Arrow-native — no Python row loops; the compiled RE2
+    programs live inside Arrow's kernel cache, and the stage instance is
+    cached per worker via stages/util.stage_fn.
+
+    Output: input columns minus ``text_col``, plus ``n_<name>`` int64
+    match counts and ``out_col`` (the redacted text).
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_red"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column(self.text_col)
+        cols: dict[str, pa.Array] = {
+            n: batch.column(n) for n in batch.column_names if n != self.text_col
+        }
+        red = arr
+        for name, pat, tok in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(arr, pattern=pat), pa.int64()
+            )
+            red = pc.replace_substring_regex(red, pattern=pat, replacement=tok)
+        cols[self.out_col] = red
+        return pa.table(cols)

@@ -966,3 +966,30 @@ def test_boilerplate_filter_paths_agree(ray_session, docs_table):
         fast.doc_id == 6, "n_chunks"
     ].iloc[0] > 0
     assert (fast.loc[fast.doc_id == 7, ["n_chunks", "n_boiler", "kept_fold"]] == 0).all().all()
+
+
+def test_pii_redactor():
+    from geowave_ray.stages.text import PiiRedactor
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob.smith+x@sub.example.org now",
+                    "call +1-555-0142 or +44-555-9999 at 192.168.0.1",
+                    "nothing to scrub here 300.1.2 1.2.3",
+                ]
+            ),
+        }
+    )
+    out = PiiRedactor()(batch)
+    assert out.column_names == ["doc_id", "n_email", "n_phone", "n_ip", "text_red"]
+    red = out.column("text_red").to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "call <PHONE> or <PHONE> at <IP>"
+    assert red[2] == "nothing to scrub here 300.1.2 1.2.3"
+    assert out.column("n_email").to_pylist() == [1, 0, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0]
+    assert out.column("n_ip").to_pylist() == [0, 1, 0]
+    assert out.column("n_ip").type == pa.int64()

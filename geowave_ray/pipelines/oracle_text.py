@@ -343,3 +343,26 @@ SELECT t.doc_id,
        {_to_int64('COALESCE(a.fold, 0::HUGEINT)')} AS kept_fold
 FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
+
+
+def sql_chunk_tokens(window: int = 40, stride: int = 30) -> str:
+    """Exact replay of stages/text.TokenChunker: per-doc token-hash list
+    (shared tok CTE), chunk starts at 0, stride, 2*stride, ...; chunk
+    checksum = splitmix64(sum of window token hashes mod 2**64)."""
+    w, s = window, stride
+    n_ch = f"CAST(ceil(len(th) / {s}.0) AS BIGINT)"
+    hi = f"least(len(th), i*{s} + {w})"
+    seg_sum = f"(list_sum(list_slice(th, i*{s} + 1, {hi})) % {M64_SQL})"
+    u = (
+        f"list_transform(range(0, {n_ch}), i -> struct_pack("
+        f"ci := i, nt := {hi} - i*{s}, sg := {seg_sum}))"
+    )
+    return f"""
+WITH {_tok_cte()},
+ch AS (
+  SELECT doc_id, unnest({u}) AS u
+  FROM tok WHERE len(th) > 0)
+SELECT doc_id, u.ci AS chunk_idx, u.nt AS n_tok,
+       {_to_int64(sql_splitmix64("u.sg"))} AS chunk_hash
+FROM ch
+"""

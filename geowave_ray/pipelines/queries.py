@@ -1019,6 +1019,26 @@ FROM aug
 """
 
 
+def q_chunk_tokens(sf_dir: str):
+    """Overlapping token-window chunking (training context-window prep):
+    40-token chunks at stride 30 per document, one row per chunk with an
+    exact mod-2**64 content checksum (stages/text.TokenChunker).  Batch-
+    local, zero shuffle; the DuckDB oracle replays tokenization, window
+    arithmetic and the prefix-sum checksum exactly
+    (oracle_text.sql_chunk_tokens)."""
+    import ray
+
+    from ..stages.text import TokenChunker
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        stage_fn(TokenChunker, window=40, stride=30), batch_format="pyarrow"
+    )
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition quality rules (duplicate-line fraction +
     top-2-gram dominance) — integer milli-unit outputs with a full
@@ -4483,6 +4503,7 @@ QUERIES = {
     # verified — kept in overflow until the round-5 rotation:
     "boilerplate_lines": q_boilerplate_lines,
     "pii_redact": q_pii_redact,
+    "chunk_tokens": q_chunk_tokens,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4543,6 +4564,7 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_quality,
     sql_repetition,
     sql_boilerplate,
+    sql_chunk_tokens,
     sql_decontaminate,
     sql_dsir,
     sql_simhash,
@@ -4585,6 +4607,7 @@ ORACLE_SQL = {
     "repetition_scores": sql_repetition(),
     "boilerplate_lines": sql_boilerplate(chunk_len=3, min_count=3),
     "pii_redact": _sql_pii_redact(),
+    "chunk_tokens": sql_chunk_tokens(window=40, stride=30),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -878,3 +878,61 @@ class PiiRedactor:
             red = pc.replace_substring_regex(red, pattern=pat, replacement=tok)
         cols[self.out_col] = red
         return pa.table(cols)
+
+
+class TokenChunker:
+    """Overlapping token-window document chunking (the context-window prep
+    step of a training pipeline: long documents become ``window``-token
+    chunks advancing by ``stride`` tokens, so consecutive chunks overlap by
+    ``window - stride`` tokens).
+
+    Fully vectorized: one tokenize_hash pass per batch, chunk boundaries
+    from arithmetic over the flat token array, and each chunk's content
+    checksum from a single uint64 prefix-sum (mod-2**64 wraparound IS the
+    spec, so the DuckDB oracle replays it exactly), finalized with
+    splitmix64.  One output row per chunk:
+    (id_col, chunk_idx, n_tok, chunk_hash); docs with zero tokens emit no
+    chunks.  Scale shape: chunking is embarrassingly batch-local — no
+    shuffle, output ~len/stride rows per doc.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        window: int = 40,
+        stride: int = 30,
+    ):
+        if not (0 < stride <= window):
+            raise ValueError("require 0 < stride <= window")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .texthash import splitmix64
+
+        texts = batch.column(self.text_col).to_pylist()
+        tb = tokenize_hash(texts)
+        n_tok = tb.n_tokens
+        n_chunks = -(-n_tok // self.stride)  # ceil; 0-token docs -> 0 chunks
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(tb.n_docs, dtype=np.int64), n_chunks)
+        chunk_base = np.zeros(tb.n_docs + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=chunk_base[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - chunk_base[doc_idx]
+        starts = tb.tok_offsets[doc_idx] + chunk_idx * self.stride
+        ends = np.minimum(starts + self.window, tb.tok_offsets[doc_idx + 1])
+        csum = np.zeros(len(tb.tok_hashes) + 1, dtype=np.uint64)
+        np.cumsum(tb.tok_hashes, out=csum[1:])  # wraps mod 2**64 by design
+        chash = splitmix64(csum[ends] - csum[starts]).astype(np.int64)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(chunk_idx),
+                "n_tok": pa.array(ends - starts),
+                "chunk_hash": pa.array(chash),
+            }
+        )

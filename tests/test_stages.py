@@ -993,3 +993,28 @@ def test_pii_redactor():
     assert out.column("n_phone").to_pylist() == [0, 2, 0]
     assert out.column("n_ip").to_pylist() == [0, 1, 0]
     assert out.column("n_ip").type == pa.int64()
+
+
+def test_token_chunker():
+    import pytest
+
+    from geowave_ray.stages.text import TokenChunker
+    from geowave_ray.stages.texthash import splitmix64, token_hashes_single
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array(["a b c d e f g", "   ", "x y"]),
+        }
+    )
+    out = TokenChunker(window=4, stride=3)(b)
+    assert out.column("doc_id").to_pylist() == [7, 7, 7, 9]
+    assert out.column("chunk_idx").to_pylist() == [0, 1, 2, 0]
+    assert out.column("n_tok").to_pylist() == [4, 4, 1, 2]
+    # checksum of doc 7 chunk 1 == splitmix64(sum of token hashes 3..6)
+    th = token_hashes_single("a b c d e f g")
+    want = int(splitmix64(np.array([th[3:7].sum()], dtype=np.uint64))[0])
+    got = out.column("chunk_hash").to_pylist()[1] % (1 << 64)
+    assert got == want
+    with pytest.raises(ValueError):
+        TokenChunker(window=4, stride=5)

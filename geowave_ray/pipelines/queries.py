@@ -1479,6 +1479,35 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN graph over the embedding corpus (every vector is
+    a query; self edge excluded) — the candidate-generation primitive for
+    embedding dedup and diversity sampling.  Queries broadcast in capped
+    chunks while the data side streams (stages/ann.knn_graph); the DuckDB
+    oracle is the literal self-join definition."""
+    import ray
+
+    from ..stages.ann import knn_graph
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_graph(ds, k=5)
+
+
+SQL_KNN_GRAPH = """
+WITH scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(b.embedding, a.embedding) AS c
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+ranked AS (
+  SELECT src_id, nbr_id,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY c DESC, nbr_id) AS rank
+  FROM scored)
+SELECT src_id, nbr_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     import ray
 
@@ -4504,6 +4533,7 @@ QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "pii_redact": q_pii_redact,
     "chunk_tokens": q_chunk_tokens,
+    "knn_graph": q_knn_graph,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4608,6 +4638,7 @@ ORACLE_SQL = {
     "boilerplate_lines": sql_boilerplate(chunk_len=3, min_count=3),
     "pii_redact": _sql_pii_redact(),
     "chunk_tokens": sql_chunk_tokens(window=40, stride=30),
+    "knn_graph": SQL_KNN_GRAPH,
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -254,3 +254,106 @@ def ivf_topk(
 
     candidates = ds.map_batches(stage_fn(_Assign), batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+class _FinalGraphTopK:
+    """Merge per-batch partial candidates for one source vector: order by
+    (cosine DESC, id ASC), drop the self edge, keep k."""
+
+    __name__ = "final_graph_topk"
+
+    def __init__(self, k: int, id_col: str):
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        ids = group.column(self.id_col).to_numpy(zero_copy_only=False)
+        src = group.column("query_id")[0].as_py()
+        order = np.lexsort((ids, -s))
+        sel = order[ids[order] != src][: self.k]
+        return pa.table(
+            {
+                "src_id": pa.array(np.full(len(sel), src, dtype=np.int64)),
+                "nbr_id": pa.array(ids[sel]),
+                "rank": pa.array(np.arange(1, len(sel) + 1)),
+            }
+        )
+
+
+def knn_graph(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_cap: int = 100_000,
+):
+    """Exact k-nearest-neighbor graph over an embedding column (cosine):
+    every vector is a query; output (src_id, nbr_id, rank) with rank
+    1..k by (similarity DESC, nbr_id ASC), self edge excluded — the
+    candidate-generation primitive for embedding dedup / diversity
+    sampling (NNMapReduce shape, analytics/.../nn/NNMapReduce.java:1,
+    in embedding space instead of geometry space).
+
+    Scale shape: the query side IS the dataset.  Up to ``broadcast_cap``
+    query vectors per pass are broadcast once (ray.put) while the data
+    side STREAMS — one matmul + partial top-(k+1) per batch, then ONE
+    groupby per pass.  Above the cap, query blocks are processed in
+    cap-sized chunks pulled one chunk at a time from the materialized
+    blocks (driver never holds more than a chunk): ceil(n/cap) streaming
+    passes — the honest cost of an EXACT graph.  The approximate scale
+    path is lsh_topk / ivf_topk with the corpus as queries."""
+    import ray
+
+    from .util import stage_fn
+
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    blocks: list = []  # (ref, num_rows)
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                blocks.append((ref, meta.num_rows))
+
+    chunks: list[list] = [[]]
+    rows = 0
+    for ref, n in blocks:
+        if chunks[-1] and rows + n > broadcast_cap:
+            chunks.append([])
+            rows = 0
+        chunks[-1].append(ref)
+        rows += n
+
+    out = None
+    for refs in chunks:
+        if not refs:
+            continue
+        tables = [t for t in ray.get(refs) if len(t)]
+        if not tables:
+            continue
+        t = pa.concat_tables(tables)
+        queries = {
+            "query_id": t.column(id_col).to_numpy(zero_copy_only=False),
+            "vecs": _vec_matrix(t.column(vec_col)),
+        }
+        q_ref = ray.put(queries)
+        partials = mat.map_batches(
+            stage_fn(
+                _BatchCosineTopK, q_ref=q_ref, k=k + 1, id_col=id_col, vec_col=vec_col
+            ),
+            batch_format="pyarrow",
+        )
+        ranked = partials.groupby("query_id").map_groups(
+            _FinalGraphTopK(k, id_col), batch_format="pyarrow"
+        )
+        out = ranked if out is None else out.union(ranked)
+    if out is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return out

@@ -1018,3 +1018,42 @@ def test_token_chunker():
     assert got == want
     with pytest.raises(ValueError):
         TokenChunker(window=4, stride=5)
+
+
+def test_knn_graph_chunked_and_ties(ray_session):
+    import ray
+
+    from geowave_ray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(11)
+    n, d = 60, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float64)
+    vecs[7] = vecs[3]  # exact duplicate -> tie at cosine 1.0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32(), d)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    # tiny cap forces the multi-chunk exact fallback
+    out = (
+        knn_graph(ds, k=3, broadcast_cap=16)
+        .to_pandas()
+        .sort_values(["src_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n * 3
+    # reference: brute force numpy
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    nm = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for src in [0, 3, 7, 59]:
+        s = sims[src].copy()
+        order = np.lexsort((np.arange(n), -s))
+        want = [i for i in order if i != src][:3]
+        got = out[out.src_id == src].sort_values("rank").nbr_id.tolist()
+        assert got == want, (src, got, want)
+    # the duplicate pair must be each other's rank-1 neighbor
+    assert out[(out.src_id == 3) & (out["rank"] == 1)].nbr_id.iloc[0] == 7
+    assert out[(out.src_id == 7) & (out["rank"] == 1)].nbr_id.iloc[0] == 3

@@ -366,3 +366,35 @@ SELECT doc_id, u.ci AS chunk_idx, u.nt AS n_tok,
        {_to_int64(sql_splitmix64("u.sg"))} AS chunk_hash
 FROM ch
 """
+
+
+def sql_lm_score(
+    n_buckets: int = 1024, n_big_buckets: int = 16384, scale: int = 1_000_000
+) -> str:
+    """Exact replay of stages/text.lm_score: hashed unigram/bigram bucket
+    counts over the whole corpus, then per-doc integer conditional-
+    probability sum (scale * c_bigram) // c_unigram(prev)."""
+    bu = f"({sql_splitmix64('th[i]')}) % {n_buckets}::HUGEINT"
+    acc = f"((({sql_mulmod64('th[i]', f'{_F}::HUGEINT')})) + th[i+1]) % {M64_SQL}"
+    bb = f"({sql_splitmix64(acc)}) % {n_big_buckets}::HUGEINT"
+    uni_b = f"({sql_splitmix64('h')}) % {n_buckets}::HUGEINT"
+    return f"""
+WITH {_tok_cte()},
+uni AS (SELECT unnest(list_transform(th, h -> {uni_b})) AS b FROM tok),
+cu AS (SELECT b, COUNT(*)::HUGEINT AS c FROM uni GROUP BY b),
+bigr AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(th)),
+      i -> struct_pack(bu := {bu}, bb := {bb}))) AS u
+  FROM tok WHERE len(th) >= 2),
+cb AS (SELECT u.bb AS b, COUNT(*)::HUGEINT AS c FROM bigr GROUP BY u.bb),
+sc AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+         SUM(({scale}::HUGEINT * cb.c) // cu.c) AS s
+  FROM bigr g
+  JOIN cu ON cu.b = g.u.bu
+  JOIN cb ON cb.b = g.u.bb
+  GROUP BY g.doc_id)
+SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS lm_score
+FROM tok t LEFT JOIN sc ON sc.doc_id = t.doc_id
+"""

@@ -1039,6 +1039,22 @@ def q_chunk_tokens(sf_dir: str):
     )
 
 
+def q_lm_score(sf_dir: str):
+    """Hashed-bigram LM quality scoring (CCNet-style, Wenzek et al. 2020):
+    fit bounded bucket counts on the corpus (O(n_buckets) sufficient
+    statistic, map-only), then score each doc's integer conditional-
+    probability sum (stages/text.lm_score).  Full sketch-replay DuckDB
+    oracle (oracle_text.sql_lm_score)."""
+    import ray
+
+    from ..stages.text import lm_score
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_score(ds)
+
+
 def q_repetition_scores(sf_dir: str):
     """Gopher-style repetition quality rules (duplicate-line fraction +
     top-2-gram dominance) — integer milli-unit outputs with a full
@@ -4534,6 +4550,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "chunk_tokens": q_chunk_tokens,
     "knn_graph": q_knn_graph,
+    "lm_score": q_lm_score,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4596,6 +4613,7 @@ from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_boilerplate,
     sql_chunk_tokens,
     sql_decontaminate,
+    sql_lm_score,
     sql_dsir,
     sql_simhash,
 )
@@ -4639,6 +4657,7 @@ ORACLE_SQL = {
     "pii_redact": _sql_pii_redact(),
     "chunk_tokens": sql_chunk_tokens(window=40, stride=30),
     "knn_graph": SQL_KNN_GRAPH,
+    "lm_score": sql_lm_score(),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -936,3 +936,99 @@ class TokenChunker:
                 "chunk_hash": pa.array(chash),
             }
         )
+
+
+def lm_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    n_big_buckets: int = 16384,
+    scale: int = 1_000_000,
+):
+    """CCNet-style hashed-bigram language-model quality score (Wenzek et
+    al. 2020 score docs with an LM; here the LM is a hashed bigram model
+    fit on the corpus itself, integer-exact so the DuckDB oracle
+    hard-verifies it).
+
+    Buckets: unigram ``bu = splitmix64(tokhash(w)) % n_buckets``; bigram
+    ``bb = splitmix64((tokhash(w1)*SHINGLE_F + tokhash(w2)) mod 2**64) %
+    n_big_buckets`` (the k=2 shingle combine).  Two streaming passes:
+
+    1. count pass — per batch, bincount unigram and bigram buckets; the
+       partials are two bounded int64 vectors per block, driver-reduced
+       (the dsir/hll bounded-partial convention: sufficient statistic is
+       O(n_buckets), independent of corpus size).
+    2. score pass — broadcast both count vectors; per doc,
+       ``lm_score = sum over bigram instances of
+       (scale * c_bigram[bb]) // c_unigram[bu(w1)]`` (an integer
+       conditional-probability proxy; larger = more predictable text)
+       plus ``n_bigrams``.  Docs with < 2 tokens score 0.
+
+    100 TB shape: no shuffle at all — two map-only passes.  Per-term
+    values are bounded by scale * corpus_bigram_count; int64-safe for any
+    corpus under ~9e12 bigrams at the default scale."""
+    import ray
+
+    from .texthash import SHINGLE_F, splitmix64, tokenize_hash
+
+    def _buckets(tb):
+        th = tb.tok_hashes
+        doc_of = np.repeat(np.arange(tb.n_docs), np.diff(tb.tok_offsets))
+        bu = (splitmix64(th) % np.uint64(n_buckets)).astype(np.int64)
+        if len(th) >= 2:
+            valid = doc_of[:-1] == doc_of[1:]
+            acc = th[:-1] * SHINGLE_F + th[1:]  # uint64 wrap by design
+            bb = (splitmix64(acc[valid]) % np.uint64(n_big_buckets)).astype(np.int64)
+            bu_prev = bu[:-1][valid]
+            big_doc = doc_of[:-1][valid]
+        else:
+            bb = np.zeros(0, np.int64)
+            bu_prev = bb
+            big_doc = bb
+        return bu, bb, bu_prev, big_doc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        bu, bb, _, _ = _buckets(tokenize_hash(texts))
+        return pa.table(
+            {
+                "cu": pa.array(
+                    [np.bincount(bu, minlength=n_buckets).astype(np.int64)],
+                    type=pa.large_list(pa.int64()),
+                ),
+                "cb": pa.array(
+                    [np.bincount(bb, minlength=n_big_buckets).astype(np.int64)],
+                    type=pa.large_list(pa.int64()),
+                ),
+            }
+        )
+
+    partial.__name__ = "lm_bucket_counts"
+    cu = np.zeros(n_buckets, dtype=np.int64)
+    cb = np.zeros(n_big_buckets, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        cu += np.asarray(r["cu"], dtype=np.int64)
+        cb += np.asarray(r["cb"], dtype=np.int64)
+    counts_ref = ray.put((cu, cb))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cu_, cb_ = ray.get(counts_ref)
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        tb = tokenize_hash(texts)
+        _, bb, bu_prev, big_doc = _buckets(tb)
+        terms = (scale * cb_[bb]) // cu_[bu_prev]
+        sc = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(sc, big_doc, terms)
+        nb = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(nb, big_doc, 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bigrams": pa.array(nb),
+                "lm_score": pa.array(sc),
+            }
+        )
+
+    score.__name__ = "lm_score"
+    return ds.map_batches(score, batch_format="pyarrow")

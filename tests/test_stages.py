@@ -1057,3 +1057,44 @@ def test_knn_graph_chunked_and_ties(ray_session):
     # the duplicate pair must be each other's rank-1 neighbor
     assert out[(out.src_id == 3) & (out["rank"] == 1)].nbr_id.iloc[0] == 7
     assert out[(out.src_id == 7) & (out["rank"] == 1)].nbr_id.iloc[0] == 3
+
+
+def test_lm_score_reference(ray_session):
+    import ray
+
+    from geowave_ray.stages.text import lm_score
+    from geowave_ray.stages.texthash import SHINGLE_F, splitmix64, token_hashes_single
+
+    docs = ["a b a b c", "a b", "z", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    out = (
+        lm_score(ray.data.from_arrow(t).repartition(2), n_buckets=64, n_big_buckets=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_bigrams.tolist() == [4, 1, 0, 0]
+    assert out.lm_score.tolist()[2:] == [0, 0]
+    # slow reference: global bucket counts then per-doc sum
+    cu = np.zeros(64, np.int64)
+    cb = np.zeros(256, np.int64)
+    per_doc = []
+    for d in docs:
+        th = token_hashes_single(d)
+        bu = (splitmix64(th) % np.uint64(64)).astype(np.int64)
+        cu += np.bincount(bu, minlength=64)
+        if len(th) >= 2:
+            acc = th[:-1] * SHINGLE_F + th[1:]
+            bb = (splitmix64(acc) % np.uint64(256)).astype(np.int64)
+            cb += np.bincount(bb, minlength=256)
+            per_doc.append((bu[:-1], bb))
+        else:
+            per_doc.append((None, None))
+    for i, (bu_prev, bb) in enumerate(per_doc):
+        want = 0 if bb is None else int(((1_000_000 * cb[bb]) // cu[bu_prev]).sum())
+        assert out.lm_score.tolist()[i] == want

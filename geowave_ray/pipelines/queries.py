@@ -1436,6 +1436,103 @@ def _sql_dedup_corpus() -> str:
     )
 
 
+class _DropNonBest:
+    """Per dup-group canonical selection: keep the member with the highest
+    quality (ties -> smallest doc_id), emit the doc_ids to DROP."""
+
+    __name__ = "drop_non_best"
+
+    def __init__(self, quality_col: str = "n_chars"):
+        self.quality_col = quality_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        q = group.column(self.quality_col).to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        best = np.lexsort((ids, -q))[0]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[best] = False
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+
+def q_dedup_keep_best(sf_dir: str, broadcast_cap: int = 1_000_000):
+    """Near-dup removal with QUALITY-AWARE canonical selection: per dup
+    group keep the highest-quality member (n_chars DESC, doc_id ASC tie-
+    break) instead of the min-id representative — the policy real training
+    pipelines use (keep the longest/cleanest duplicate).  Same scale shape
+    as dedup_corpus: tiny confirmed-dup side joined to per-doc quality via
+    a streaming sentinel-mode join, per-group argmax, then one broadcast
+    anti-filter over the corpus (Bloom+exact-residual fallback above the
+    cap)."""
+    import ray
+
+    from ..stages.components import connected_components_min_label
+    from ..stages.dedupe import lsh_candidate_pairs, minhash_signatures
+    from ..stages.util import broadcast_membership_filter, collect_table, safe_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = minhash_signatures(ds, text_col="text", id_col="doc_id")
+    pairs = lsh_candidate_pairs(sigs, id_col="doc_id")
+    labels = connected_components_min_label(pairs, a_col="id_a", b_col="id_b")
+
+    def member_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "dup_group": batch.column("label")}
+        )
+
+    member_cols.__name__ = "dup_member_cols"
+    members = labels.map_batches(member_cols, batch_format="pyarrow")
+    quality = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    j = safe_join(
+        members,
+        quality,
+        "inner",
+        16,
+        on=("doc_id",),
+        sentinel=-(1 << 62),
+        left_schema=pa.schema([("doc_id", pa.int64()), ("dup_group", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+    drops = (
+        j.groupby("dup_group")
+        .map_groups(_DropNonBest(), batch_format="pyarrow")
+        .materialize()
+    )
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if drops.count() <= broadcast_cap:
+        tbl = collect_table(drops)
+        drop_arr = (
+            tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            if tbl is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+        return broadcast_membership_filter(
+            corpus, drop_arr, "doc_id", keep_members=False
+        )
+    from ..stages.util import bloom_anti_filter
+
+    return bloom_anti_filter(corpus, drops, "doc_id", num_partitions=16)
+
+
+def _sql_dedup_keep_best() -> str:
+    from .oracle_text import sql_minhash_groups
+
+    groups = sql_minhash_groups()
+    return f"""
+WITH m AS (
+  SELECT g.doc_id, g.dup_group, d.n_chars
+  FROM ({groups}) g JOIN documents d ON d.doc_id = g.doc_id),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY dup_group
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.doc_id = d.doc_id AND r.rn > 1)
+"""
+
+
 def q_minhash_dup_groups(sf_dir: str):
     """LSH duplicate GROUPS: connected components of the band-equality
     candidate graph via distributed min-label propagation (the scale path
@@ -4551,6 +4648,7 @@ QUERIES = {
     "chunk_tokens": q_chunk_tokens,
     "knn_graph": q_knn_graph,
     "lm_score": q_lm_score,
+    "dedup_keep_best": q_dedup_keep_best,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4658,6 +4756,7 @@ ORACLE_SQL = {
     "chunk_tokens": sql_chunk_tokens(window=40, stride=30),
     "knn_graph": SQL_KNN_GRAPH,
     "lm_score": sql_lm_score(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

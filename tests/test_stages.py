@@ -1098,3 +1098,18 @@ def test_lm_score_reference(ray_session):
     for i, (bu_prev, bb) in enumerate(per_doc):
         want = 0 if bb is None else int(((1_000_000 * cb[bb]) // cu[bu_prev]).sum())
         assert out.lm_score.tolist()[i] == want
+
+
+def test_drop_non_best_tiebreak():
+    from geowave_ray.pipelines.queries import _DropNonBest
+
+    g = pa.table(
+        {
+            "doc_id": pa.array([10, 4, 8], pa.int64()),
+            "dup_group": pa.array([4, 4, 4], pa.int64()),
+            "n_chars": pa.array([50, 50, 20], pa.int64()),
+        }
+    )
+    out = _DropNonBest()(g)
+    # quality tie 50/50 -> keep smaller doc_id (4); drop 10 and 8
+    assert sorted(out.column("doc_id").to_pylist()) == [8, 10]

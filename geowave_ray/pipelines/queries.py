@@ -511,6 +511,117 @@ FROM binned GROUP BY cell
 """
 
 
+RETILE_BITS = 8
+RETILE_SRC_TS = 16
+RETILE_DST_TS = 32
+
+
+def q_retile_tiles(sf_dir: str):
+    """RasterTileResize end-to-end with a full SQL oracle (closes the one
+    §2.F row that had only unit evidence — RasterTileResizeJobRunner,
+    extensions/adapters/raster/.../resize/RasterTileResizeJobRunner.java):
+    constant-color 16x16 tiles at Hilbert tier 8 are re-tiled to 32x32
+    tiles at tier 7 (stages/resize.retile — slice + cover + groupby merge).
+    Because tier-7 cells nest tier-8 cells exactly and the re-tile is a
+    resolution-preserving stitch, each output tile's band total is
+    sum over child cells of merged_color * 16*16*3 — which the oracle
+    recomputes with TWO Hilbert state-machine folds (tier 8 and tier 7)
+    over the same points."""
+    from ..stages.encode import CellEncoder
+    from ..stages.resize import retile
+    from ..stages.tiles import mosaic_merge
+    from ..stages.util import stage_fn
+
+    pts = _events_points(sf_dir)
+    cells = pts.map_batches(
+        stage_fn(CellEncoder, bits=RETILE_BITS), batch_format="pyarrow"
+    )
+    ts = RETILE_SRC_TS
+    nb = ts * ts * 3
+
+    def paint(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        colors = (ids % MOSAIC_COLOR_MOD).astype(np.uint8)
+        tiles = np.repeat(colors[:, None], nb, axis=1)
+        tile_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nb), len(ids), [None, pa.py_buffer(tiles.tobytes())]
+        )
+        return pa.table(
+            {
+                "tier": batch.column("tier"),
+                "cell": batch.column("cell"),
+                "image_id": batch.column("image_id"),
+                "tile": tile_col,
+            }
+        )
+
+    paint.__name__ = "retile_paint"
+    src = mosaic_merge(
+        cells.map_batches(paint, batch_format="pyarrow"), tile_size=ts, merge="sum"
+    )
+    dst = retile(
+        src,
+        src_tile_size=ts,
+        dst_tier=RETILE_BITS - 1,
+        dst_tile_size=RETILE_DST_TS,
+        max_bits=RETILE_BITS,
+    )
+    dnb = RETILE_DST_TS * RETILE_DST_TS * 3
+
+    def reduce_to_total(batch: pa.Table) -> pa.Table:
+        from ..stages.tiles import _stack_tiles
+
+        tiles = _stack_tiles(batch.column("tile"), dnb)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "n_merged": batch.column("n_merged").cast(pa.int64()),
+                "band_total": pa.array(
+                    tiles.astype(np.int64).sum(axis=1), type=pa.int64()
+                ),
+            }
+        )
+
+    reduce_to_total.__name__ = "retile_reduce"
+    return dst.map_batches(reduce_to_total, batch_format="pyarrow")
+
+
+def _sql_retile_tiles() -> str:
+    from .oracle_sfc import sql_hilbert_fold
+
+    b = 1 << RETILE_BITS
+    cx = (
+        f"GREATEST(CAST(CEIL((LEAST(GREATEST(lon, -180), 180) + 180.0) / 360.0"
+        f" * {b}) AS BIGINT) - 1, 0)"
+    )
+    cy = (
+        f"GREATEST(CAST(CEIL((LEAST(GREATEST(lat, -90), 90) + 180.0) / 360.0"
+        f" * {b}) AS BIGINT) - 1, 0)"
+    )
+    tables, fold_src = sql_hilbert_fold(2, RETILE_BITS, ["cx", "cy"])
+    _, fold_dst = sql_hilbert_fold(2, RETILE_BITS - 1, ["cx2", "cy2"])
+    quad = RETILE_SRC_TS * RETILE_SRC_TS * 3
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+ht AS {tables},
+c AS (SELECT image_id % {MOSAIC_COLOR_MOD} AS color, {cx} AS cx, {cy} AS cy
+      FROM pts),
+src AS (
+  SELECT CAST({fold_src} AS BIGINT) AS scell,
+         cx >> 1 AS cx2, cy >> 1 AS cy2,
+         LEAST(CAST(SUM(color) AS BIGINT), 255) AS mcolor
+  FROM c CROSS JOIN ht
+  GROUP BY 1, 2, 3)
+SELECT CAST({fold_dst} AS BIGINT) AS cell,
+       COUNT(*) AS n_merged,
+       CAST(SUM(mcolor) * {quad} AS BIGINT) AS band_total
+FROM src CROSS JOIN ht
+GROUP BY 1
+"""
+
+
 def q_lod_subsample(sf_dir: str):
     """One representative (min image_id) per LOD cell — per-batch Arrow
     hash-aggregate partial + NATIVE groupby min final (no per-cell Python,
@@ -4649,6 +4760,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "lm_score": q_lm_score,
     "dedup_keep_best": q_dedup_keep_best,
+    "retile_tiles": q_retile_tiles,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4757,6 +4869,7 @@ ORACLE_SQL = {
     "knn_graph": SQL_KNN_GRAPH,
     "lm_score": sql_lm_score(),
     "dedup_keep_best": _sql_dedup_keep_best(),
+    "retile_tiles": _sql_retile_tiles(),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

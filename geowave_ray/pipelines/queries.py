@@ -4676,6 +4676,202 @@ def q_dsir_weights(sf_dir: str):
     return dsir_importance(ds)
 
 
+# ------------------------------------------------------- wave-5 additions
+def q_histogram_counts(sf_dir: str):
+    """FixedBinNumericHistogramStatistic end-to-end (statistics/field/
+    FixedBinNumericHistogramStatistic.java): 64 fixed bins over
+    events.value with power-of-two edges (lo=0, hi=512), so the bin index
+    trunc(value/8) is EXACT in binary floating point and the DuckDB oracle
+    matches bit-for-bit.  Mergeable partial sketches per block, driver-
+    reduced (O(n_bins) sufficient statistic — the hll/dsir convention)."""
+    import ray
+
+    from ..stages.aggregate import FixedBinHistogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    n_bins = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = FixedBinHistogram(0.0, 512.0, n_bins).add(
+            batch.column("value").to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"counts": pa.array([h.counts], pa.large_list(pa.int64()))})
+
+    partial.__name__ = "histogram_partial"
+    h = FixedBinHistogram(0.0, 512.0, n_bins)
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        h.merge(
+            FixedBinHistogram(
+                0.0, 512.0, n_bins, counts=np.asarray(r["counts"], dtype=np.int64)
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n": pa.array(h.counts),
+            }
+        )
+    )
+
+
+SQL_HISTOGRAM_COUNTS = """
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(trunc(value / 8) AS BIGINT), 0), 63) AS bin
+  FROM events),
+c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+SELECT gs.i AS bin, coalesce(c.n, 0) AS n
+FROM generate_series(0, 63) gs(i) LEFT JOIN c ON c.bin = gs.i
+"""
+
+
+def q_visibility_filter(sf_dir: str):
+    """Row + field visibility end-to-end (core/store/.../data/visibility
+    VisibilityExpression semantics): each event carries an Accumulo-style
+    label expression synthesized from its event_type; a reader with auths
+    {public, ops, internal} sees only satisfied rows, and the ``value``
+    field (visibility 'admin') is nulled, not dropped.  The oracle
+    evaluates every expression's boolean explicitly over the same auth
+    list."""
+    import ray
+
+    from ..stages.visibility import apply_visibility
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    vis_map = {
+        "click": "public",
+        "view": "admin&ops",
+        "purchase": "(sales|ops)&internal",
+        "signup": "sales|ops",
+        "error": "",
+    }
+
+    def attach(batch: pa.Table) -> pa.Table:
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        dv = [vis_map[v] for v in enc.dictionary.to_pylist()]
+        vis = pa.DictionaryArray.from_arrays(enc.indices, pa.array(dv)).cast(
+            pa.string()
+        )
+        return batch.append_column("visibility", vis)
+
+    attach.__name__ = "visibility_attach"
+    out = apply_visibility(
+        ds.map_batches(attach, batch_format="pyarrow"),
+        auths={"public", "ops", "internal"},
+        field_vis={"value": "admin"},
+    )
+    return out.select_columns(["event_id", "event_type", "value"])
+
+
+SQL_VISIBILITY_FILTER = """
+WITH v AS (
+  SELECT event_id, event_type,
+    CASE event_type
+      WHEN 'click' THEN 'public'
+      WHEN 'view' THEN 'admin&ops'
+      WHEN 'purchase' THEN '(sales|ops)&internal'
+      WHEN 'signup' THEN 'sales|ops'
+      ELSE '' END AS vis
+  FROM events),
+a AS (SELECT ['public', 'ops', 'internal'] AS auths)
+SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+FROM v CROSS JOIN a
+WHERE vis = ''
+   OR (vis = 'public' AND list_contains(auths, 'public'))
+   OR (vis = 'admin&ops' AND list_contains(auths, 'admin')
+       AND list_contains(auths, 'ops'))
+   OR (vis = '(sales|ops)&internal'
+       AND (list_contains(auths, 'sales') OR list_contains(auths, 'ops'))
+       AND list_contains(auths, 'internal'))
+   OR (vis = 'sales|ops'
+       AND (list_contains(auths, 'sales') OR list_contains(auths, 'ops')))
+"""
+
+
+KMEANS_ASSIGN_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Exact companion to the rows-only kmeans_clusters (the quantiles/
+    heavy_hitters pattern): ONE Lloyd's assignment step against K
+    deterministic integer centi-degree centroids — per-point argmin of
+    integer squared distance (ties -> smallest k), reduced to per-centroid
+    (n, sum_cx, sum_cy).  The sufficient statistic is O(K), driver-reduced
+    from per-batch partials; the oracle replays the argmin with a
+    ROW_NUMBER over the same integer arithmetic."""
+    import ray
+
+    K = KMEANS_ASSIGN_K
+    kx = (np.arange(K, dtype=np.int64) * 7919) % 36000 - 18000
+    ky = (np.arange(K, dtype=np.int64) * 104729) % 18000 - 9000
+    pts = _events_points(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cx = np.floor(
+            batch.column("lon").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cy = np.floor(
+            batch.column("lat").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d2 = (cx[:, None] - kx) ** 2 + (cy[:, None] - ky) ** 2
+        a = np.argmin(d2, axis=1)  # first min -> smallest k on ties
+        n = np.bincount(a, minlength=K).astype(np.int64)
+        sx = np.zeros(K, dtype=np.int64)
+        sy = np.zeros(K, dtype=np.int64)
+        np.add.at(sx, a, cx)
+        np.add.at(sy, a, cy)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.large_list(pa.int64())),
+                "sx": pa.array([sx], pa.large_list(pa.int64())),
+                "sy": pa.array([sy], pa.large_list(pa.int64())),
+            }
+        )
+
+    partial.__name__ = "kmeans_assign_partial"
+    n = np.zeros(K, dtype=np.int64)
+    sx = np.zeros(K, dtype=np.int64)
+    sy = np.zeros(K, dtype=np.int64)
+    for r in pts.map_batches(partial, batch_format="pyarrow").take_all():
+        n += np.asarray(r["n"], dtype=np.int64)
+        sx += np.asarray(r["sx"], dtype=np.int64)
+        sy += np.asarray(r["sy"], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(K, dtype=np.int64)),
+                "n": pa.array(n),
+                "sum_cx": pa.array(sx),
+                "sum_cy": pa.array(sy),
+            }
+        )
+    )
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (SELECT image_id, CAST(FLOOR(lon * 100) AS BIGINT) AS cx,
+             CAST(FLOOR(lat * 100) AS BIGINT) AS cy FROM pts),
+c AS (SELECT i AS k, (i * 7919) % 36000 - 18000 AS kx,
+             (i * 104729) % 18000 - 9000 AS ky
+      FROM generate_series(0, {KMEANS_ASSIGN_K - 1}) t(i)),
+d AS (SELECT p.image_id, p.cx, p.cy, c.k,
+             (p.cx - c.kx) * (p.cx - c.kx) + (p.cy - c.ky) * (p.cy - c.ky) AS d2
+      FROM p CROSS JOIN c),
+g AS (SELECT cx, cy, k FROM (
+        SELECT cx, cy, k,
+               ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d2, k) AS rn
+        FROM d) WHERE rn = 1),
+s AS (SELECT k, COUNT(*) AS n, SUM(cx) AS sum_cx, SUM(cy) AS sum_cy
+      FROM g GROUP BY k)
+SELECT gs.i AS k, coalesce(s.n, 0) AS n,
+       coalesce(s.sum_cx, 0) AS sum_cx, coalesce(s.sum_cy, 0) AS sum_cy
+FROM generate_series(0, {KMEANS_ASSIGN_K - 1}) gs(i) LEFT JOIN s ON s.k = gs.i
+"""
+
+
 QUERIES = {
     "spatial_join_pairs": q_spatial_join_pairs,
     # round-4 fourth rotation: trajectory_stats and rect_join (new, never
@@ -4761,6 +4957,9 @@ QUERIES = {
     "lm_score": q_lm_score,
     "dedup_keep_best": q_dedup_keep_best,
     "retile_tiles": q_retile_tiles,
+    "histogram_counts": q_histogram_counts,
+    "visibility_filter": q_visibility_filter,
+    "kmeans_assign": q_kmeans_assign,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -4870,6 +5069,9 @@ ORACLE_SQL = {
     "lm_score": sql_lm_score(),
     "dedup_keep_best": _sql_dedup_keep_best(),
     "retile_tiles": _sql_retile_tiles(),
+    "histogram_counts": SQL_HISTOGRAM_COUNTS,
+    "visibility_filter": SQL_VISIBILITY_FILTER,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

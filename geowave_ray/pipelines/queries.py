@@ -511,7 +511,7 @@ FROM binned GROUP BY cell
 """
 
 
-RETILE_BITS = 8
+RETILE_BITS = 6
 RETILE_SRC_TS = 16
 RETILE_DST_TS = 32
 
@@ -1591,10 +1591,40 @@ def q_dedup_keep_best(sf_dir: str, broadcast_cap: int = 1_000_000):
         )
 
     member_cols.__name__ = "dup_member_cols"
-    members = labels.map_batches(member_cols, batch_format="pyarrow")
+    members = labels.map_batches(member_cols, batch_format="pyarrow").materialize()
     quality = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if members.count() <= broadcast_cap:
+        # members are the CONFIRMED duplicates — tiny next to the corpus.
+        # Broadcast their id set to semi-filter the quality stream (one
+        # map-only pass), then the per-group argmax is a vectorized
+        # driver reduction over <= cap rows: no hash join, no per-group
+        # map_groups.
+        mem_tbl = collect_table(members)
+        if mem_tbl is None:
+            return corpus
+        m_ids = mem_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        m_grp = mem_tbl.column("dup_group").to_numpy(zero_copy_only=False)
+        q_tbl = collect_table(
+            broadcast_membership_filter(quality, m_ids, "doc_id", keep_members=True)
+        )
+        q_ids = q_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        q_chars = q_tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        o = np.argsort(q_ids)
+        chars = q_chars[o][np.searchsorted(q_ids[o], m_ids)]
+        order = np.lexsort((m_ids, -chars, m_grp))
+        g_sorted = m_grp[order]
+        first = np.flatnonzero(np.r_[True, g_sorted[1:] != g_sorted[:-1]])
+        best = np.zeros(len(order), dtype=bool)
+        best[first] = True
+        drop_arr = m_ids[order[~best]]
+        return broadcast_membership_filter(
+            corpus, drop_arr, "doc_id", keep_members=False
+        )
+    # > cap: streaming sentinel-mode join attaches quality, per-group
+    # argmax via map_groups, then the Bloom + exact-residual anti-filter.
     j = safe_join(
         members,
         quality,
@@ -1610,17 +1640,6 @@ def q_dedup_keep_best(sf_dir: str, broadcast_cap: int = 1_000_000):
         .map_groups(_DropNonBest(), batch_format="pyarrow")
         .materialize()
     )
-    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    if drops.count() <= broadcast_cap:
-        tbl = collect_table(drops)
-        drop_arr = (
-            tbl.column("doc_id").to_numpy(zero_copy_only=False)
-            if tbl is not None
-            else np.zeros(0, dtype=np.int64)
-        )
-        return broadcast_membership_filter(
-            corpus, drop_arr, "doc_id", keep_members=False
-        )
     from ..stages.util import bloom_anti_filter
 
     return bloom_anti_filter(corpus, drops, "doc_id", num_partitions=16)

@@ -62,19 +62,26 @@ class _BatchCosineTopK:
         sims = _normalize(vecs) @ self.qm.T  # (N, q)
         ids = batch.column(self.id_col)
         k = min(self.k, len(batch))
-        out_q, out_i, out_s = [], [], []
-        for j in range(sims.shape[1]):
-            s = sims[:, j]
-            part = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
-            out_q.extend([self.qids[j]] * len(part))
-            out_i.append(part)
-            out_s.append(s[part])
-        pi = np.concatenate(out_i)
+        nq = sims.shape[1]
+        if k < len(vecs):
+            # ONE argpartition across all queries (axis 0) — no per-query
+            # Python loop (the loop dominated wall time at one query per
+            # corpus vector, e.g. knn_graph)
+            part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
+        else:
+            part = np.broadcast_to(
+                np.arange(len(vecs))[:, None], (len(vecs), nq)
+            )  # (N, q)
+        qcol = np.broadcast_to(
+            np.asarray(self.qids)[None, :], part.shape
+        ).ravel(order="F")
+        pi = part.ravel(order="F")
+        scol = np.take_along_axis(sims, part, axis=0).ravel(order="F")
         return pa.table(
             {
-                "query_id": pa.array(out_q),
+                "query_id": pa.array(qcol),
                 self.id_col: ids.take(pa.array(pi)),
-                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "cosine": pa.array(scol, type=pa.float64()),
             }
         )
 
@@ -256,27 +263,60 @@ def ivf_topk(
     return brute_force_topk(candidates, queries, k, id_col=id_col, vec_col=vec_col)
 
 
-class _FinalGraphTopK:
-    """Merge per-batch partial candidates for one source vector: order by
-    (cosine DESC, id ASC), drop the self edge, keep k."""
+def _group_positions(sorted_keys: np.ndarray) -> np.ndarray:
+    """Position of each element within its run of equal (sorted) keys."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    first = np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1]])
+    runs = np.diff(np.r_[first, n])
+    return np.arange(n, dtype=np.int64) - np.repeat(first, runs)
 
-    __name__ = "final_graph_topk"
+
+class _GraphTrim:
+    """Vectorized multi-query top-k trim within ONE batch: keep the k best
+    (cosine DESC, id ASC) candidates per query_id.  Associative — safe to
+    apply at every tree level of the candidate merge."""
+
+    __name__ = "graph_trim"
 
     def __init__(self, k: int, id_col: str):
         self.k = k
         self.id_col = id_col
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        s = group.column("cosine").to_numpy(zero_copy_only=False)
-        ids = group.column(self.id_col).to_numpy(zero_copy_only=False)
-        src = group.column("query_id")[0].as_py()
-        order = np.lexsort((ids, -s))
-        sel = order[ids[order] != src][: self.k]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        s = batch.column("cosine").to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s, q))
+        pos = _group_positions(q[order])
+        return batch.take(pa.array(order[pos < self.k]))
+
+
+class _GraphFinalize:
+    """Single-block finalize: drop self edges, keep k per query, rank."""
+
+    __name__ = "graph_finalize"
+
+    def __init__(self, k: int, id_col: str):
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        s = batch.column("cosine").to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        nonself = ids != q
+        q, s, ids = q[nonself], s[nonself], ids[nonself]
+        order = np.lexsort((ids, -s, q))
+        pos = _group_positions(q[order])
+        keep = pos < self.k
+        sel = order[keep]
         return pa.table(
             {
-                "src_id": pa.array(np.full(len(sel), src, dtype=np.int64)),
+                "src_id": pa.array(q[sel].astype(np.int64)),
                 "nbr_id": pa.array(ids[sel]),
-                "rank": pa.array(np.arange(1, len(sel) + 1)),
+                "rank": pa.array(pos[keep] + 1),
             }
         )
 
@@ -342,8 +382,21 @@ def knn_graph(
             ),
             batch_format="pyarrow",
         )
-        ranked = partials.groupby("query_id").map_groups(
-            _FinalGraphTopK(k, id_col), batch_format="pyarrow"
+        # tree-combine instead of a per-query groupby (map_groups costs
+        # ~ms per group — prohibitive at one group per vector): trim is
+        # associative, so repartition(64) -> per-block trim bounds every
+        # block at <= chunk_queries * (k+1) rows regardless of input
+        # block count, and the single finalize block stays
+        # broadcast_cap-bounded by construction.
+        trimmed = partials.repartition(64).map_batches(
+            stage_fn(_GraphTrim, k=k + 1, id_col=id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        ranked = trimmed.repartition(1).map_batches(
+            stage_fn(_GraphFinalize, k=k, id_col=id_col),
+            batch_format="pyarrow",
+            batch_size=None,
         )
         out = ranked if out is None else out.union(ranked)
     if out is None:

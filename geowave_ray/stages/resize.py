@@ -30,6 +30,77 @@ class _Slicer:
         self.dst_ts = dst_tile_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        tiers_all = batch.column("tier").to_numpy(zero_copy_only=False)
+        if (
+            len(batch)
+            and self.dst_ts == 2 * self.src_ts
+            and (tiers_all == self.dst_tier + 1).all()
+        ):
+            return self._halving_fast_path(batch)
+        return self._general(batch)
+
+    def _halving_fast_path(self, batch: pa.Table) -> pa.Table:
+        """Vectorized canonical halving re-tile (dst tier = src tier - 1,
+        dst tile = 2x src tile): tier-(t-1) cells nest tier-t cells, so
+        every source tile lands whole in ONE quadrant of one target tile —
+        a pure pixel-block copy, no per-tile cover search.  Produces the
+        same fragments as the general path (verified by the parity test in
+        tests/test_pyramid.py) with one stacked NumPy scatter per batch."""
+        from ..index.dimensions import norm_to_cell_min
+
+        ts, dts = self.src_ts, self.dst_ts
+        n = len(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False)
+        tier = self.dst_tier + 1
+        los, his = self.strategy.decode_cells(tier, cells.astype(np.uint64))
+        lox, loy = los
+        hix, hiy = his
+        bins = np.int64(1 << tier)
+        ccx = norm_to_cell_min(
+            self.strategy.dims[0].normalize((lox + hix) / 2.0), bins
+        ).astype(np.int64)
+        ccy = norm_to_cell_min(
+            self.strategy.dims[1].normalize((loy + hiy) / 2.0), bins
+        ).astype(np.int64)
+        qx = ccx & 1
+        qy = ccy & 1
+        dst_cells = self.strategy.curve(self.dst_tier).encode(
+            [(ccx >> 1).astype(np.uint64), (ccy >> 1).astype(np.uint64)]
+        )
+        nb = ts * ts * 3
+        from .tiles import _stack_tiles
+
+        src = _stack_tiles(batch.column("tile"), nb).reshape(n, ts, ts, 3)
+        frags = np.zeros((n, dts, dts, 3), dtype=np.uint8)
+        # dst row block: qy=1 (upper half-extent) -> rows [0, ts); qy=0 ->
+        # rows [ts, 2ts).  dst col block: qx*ts.
+        for ry in (0, 1):
+            for rx in (0, 1):
+                m = (qy == ry) & (qx == rx)
+                if m.any():
+                    rr = (1 - ry) * ts
+                    cc = rx * ts
+                    frags[np.flatnonzero(m), rr : rr + ts, cc : cc + ts] = src[m]
+        ids_col = (
+            batch.column("image_id")
+            if "image_id" in batch.column_names
+            else pa.array(["?"] * n)
+        )
+        dnb = dts * dts * 3
+        offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int64) * dnb).tobytes())
+        tile_col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n, [None, offsets, pa.py_buffer(frags.tobytes())]
+        )
+        return pa.table(
+            {
+                "tier": pa.array(np.full(n, self.dst_tier, dtype=np.uint8)),
+                "cell": pa.array(dst_cells.astype(np.uint64), type=pa.uint64()),
+                "image_id": ids_col,
+                "tile": tile_col,
+            }
+        )
+
+    def _general(self, batch: pa.Table) -> pa.Table:
         out_cell, out_frag, out_ids = [], [], []
         tiers = batch.column("tier").to_numpy(zero_copy_only=False)
         cells = batch.column("cell").to_numpy(zero_copy_only=False)

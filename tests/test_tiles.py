@@ -214,3 +214,39 @@ def test_mosaic_merge_pipeline_combiner(ray_session):
     # nodata path still routes through the plain groupby
     nd = mosaic_merge(ds, tile_size=ts, merge="nodata").to_pandas()
     assert len(nd) == len(np.unique(cells))
+
+
+def test_slicer_halving_fast_path_parity():
+    """The vectorized halving fast path must emit exactly the fragments the
+    general per-tile path emits (same dst cells, same pixel placement)."""
+    import pyarrow as pa
+
+    from geowave_ray.stages.resize import _Slicer
+
+    rng = np.random.default_rng(5)
+    bits, ts = 6, 8
+    from geowave_ray.index.tiered import spatial_strategy
+
+    strat = spatial_strategy(bits)
+    n = 40
+    gx = rng.integers(0, 1 << bits, n).astype(np.uint64)
+    # latitude is a half-range dimension: only cells in [b/4, 3b/4) are
+    # reachable from real points — out-of-domain cells are undefined input
+    gy = rng.integers((1 << bits) // 4, 3 * (1 << bits) // 4, n).astype(np.uint64)
+    cells = strat.curve(bits).encode([gx, gy])
+    tiles = [rng.integers(0, 256, ts * ts * 3, dtype=np.uint8).tobytes() for _ in range(n)]
+    batch = pa.table(
+        {
+            "tier": pa.array(np.full(n, bits, dtype=np.uint8)),
+            "cell": pa.array(cells, type=pa.uint64()),
+            "image_id": pa.array([f"t{i}" for i in range(n)]),
+            "tile": pa.array(tiles, type=pa.large_binary()),
+        }
+    )
+    sl = _Slicer(src_tile_size=ts, dst_tier=bits - 1, dst_tile_size=2 * ts, max_bits=bits)
+    fast = sl(batch)
+    slow = sl._general(batch)
+    assert fast.column("cell").to_pylist() == slow.column("cell").to_pylist()
+    assert fast.column("tier").to_pylist() == slow.column("tier").to_pylist()
+    for a, b in zip(fast.column("tile").to_pylist(), slow.column("tile").to_pylist()):
+        assert a == b

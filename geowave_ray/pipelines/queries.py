@@ -4809,6 +4809,61 @@ WHERE vis = ''
 """
 
 
+def q_geojson_ingest(sf_dir: str):
+    """GeoJSON sink + source roundtrip at driver grade (the reference's
+    GeoTools vector-format ingest surface, extensions/formats/geotools-
+    vector): stream the derived points out as FeatureCollection files,
+    re-ingest them with read_geojson, and emit each feature's id plus its
+    integer centi-degree coordinates recovered FROM THE WKB — so the
+    oracle (the same arithmetic over the original events) proves the
+    geometry and properties survived the format roundtrip exactly
+    (JSON float repr roundtrips IEEE doubles)."""
+    import os
+    import shutil
+
+    from ..sources.io import read_geojson, write_geojson
+
+    out_dir = f"/tmp/geowave_ray_gj_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pts = _events_points(sf_dir)
+    write_geojson(pts, out_dir)
+    back = read_geojson(out_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        wkb = batch.column("wkb").combine_chunks()
+        n = len(wkb)
+        flat = wkb.cast(pa.large_binary())
+        buf = np.frombuffer(
+            flat.buffers()[2], dtype=np.uint8, count=flat.buffers()[2].size
+        )
+        offs = np.frombuffer(flat.buffers()[1], dtype=np.int64, count=n + 1)
+        if not ((offs[1:] - offs[:-1]) == 21).all():
+            raise ValueError("expected 21-byte little-endian point WKB")
+        rows = buf[offs[0] : offs[-1]].reshape(n, 21)
+        if not (rows[:, 0] == 1).all():
+            raise ValueError("expected little-endian WKB")
+        lon = rows[:, 5:13].copy().view("<f8").ravel()
+        lat = rows[:, 13:21].copy().view("<f8").ravel()
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").cast(pa.int64()),
+                "cx": pa.array(np.floor(lon * 100).astype(np.int64)),
+                "cy": pa.array(np.floor(lat * 100).astype(np.int64)),
+            }
+        )
+
+    decode.__name__ = "geojson_decode"
+    return back.map_batches(decode, batch_format="pyarrow")
+
+
+SQL_GEOJSON_INGEST = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id, CAST(FLOOR(lon * 100) AS BIGINT) AS cx,
+       CAST(FLOOR(lat * 100) AS BIGINT) AS cy
+FROM pts
+"""
+
+
 KMEANS_ASSIGN_K = 8
 
 
@@ -4979,6 +5034,7 @@ QUERIES = {
     "histogram_counts": q_histogram_counts,
     "visibility_filter": q_visibility_filter,
     "kmeans_assign": q_kmeans_assign,
+    "geojson_ingest": q_geojson_ingest,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -5091,6 +5147,7 @@ ORACLE_SQL = {
     "histogram_counts": SQL_HISTOGRAM_COUNTS,
     "visibility_filter": SQL_VISIBILITY_FILTER,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "geojson_ingest": SQL_GEOJSON_INGEST,
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -1113,3 +1113,14 @@ def test_drop_non_best_tiebreak():
     out = _DropNonBest()(g)
     # quality tie 50/50 -> keep smaller doc_id (4); drop 10 and 8
     assert sorted(out.column("doc_id").to_pylist()) == [8, 10]
+
+
+def test_dedup_keep_best_paths_agree(ray_session):
+    """broadcast path (cap large) and sentinel-join fallback (cap=0) must
+    keep exactly the same documents."""
+    from geowave_ray.pipelines.queries import q_dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(q_dedup_keep_best(sf).to_pandas()["doc_id"].tolist())
+    b = sorted(q_dedup_keep_best(sf, broadcast_cap=0).to_pandas()["doc_id"].tolist())
+    assert a == b and len(a) > 0

@@ -826,6 +826,71 @@ def q_trajectory_stats(sf_dir: str):
     return trajectory_stats(pts, "user_id", "ts", "ix", "iy", "event_id")
 
 
+TRAJ_RESAMPLE_STEP_US = 86_400_000_000  # 1 day
+
+
+def q_trajectory_resample(sf_dir: str):
+    """Per-user track resampling onto a fixed daily grid: linearly
+    interpolated integer positions between the bracketing events (stages/
+    analytics.trajectory_resample — track densification, the prep step
+    for map-matching / movement analytics over the reference's
+    spatial-temporal tracks).  Integer-exact interpolation via shifted
+    non-negative coordinates so DuckDB's truncating division matches;
+    LEAD-window segment oracle."""
+    import ray
+
+    from ..stages.analytics import trajectory_resample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "ix": pa.array((ev * 7919 + us) % 36000 - 18000),
+                "iy": pa.array((ev * 104729 + us * 13) % 18000 - 9000),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords_rs"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+    return trajectory_resample(
+        pts, "user_id", "ts", "ix", "iy", "event_id", TRAJ_RESAMPLE_STEP_US
+    )
+
+
+_S_US = TRAJ_RESAMPLE_STEP_US
+SQL_TRAJECTORY_RESAMPLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         (event_id * 7919 + user_id) % 36000 AS xs,
+         (event_id * 104729 + user_id * 13) % 18000 + 9000 AS ys
+  FROM events),
+s AS (
+  SELECT user_id, t, xs, ys,
+         LEAD(t) OVER w AS t2, LEAD(xs) OVER w AS xs2, LEAD(ys) OVER w AS ys2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+seg AS (
+  SELECT user_id, unnest(range((t + {_S_US} - 1) // {_S_US},
+                               (t2 + {_S_US} - 1) // {_S_US})) AS g,
+         t, xs, ys, t2, xs2, ys2
+  FROM s WHERE t2 IS NOT NULL)
+SELECT user_id, g,
+       (xs * (t2 - g * {_S_US}) + xs2 * (g * {_S_US} - t)) // (t2 - t) - 18000 AS cx,
+       (ys * (t2 - g * {_S_US}) + ys2 * (g * {_S_US} - t)) // (t2 - t) - 18000 AS cy
+FROM seg
+UNION ALL
+SELECT user_id, t // {_S_US} AS g, xs - 18000 AS cx, ys - 18000 AS cy
+FROM s WHERE t2 IS NULL AND t % {_S_US} = 0
+"""
+
+
 SQL_TRAJECTORY_STATS = """
 WITH p AS (
   SELECT user_id, ts, event_id,
@@ -4809,6 +4874,67 @@ WHERE vis = ''
 """
 
 
+class _GroupQuantiles:
+    """Exact per-group discrete quantiles over integer cents: element at
+    index ((n-1)*q)//100 of the sorted values (deterministic, SQL-
+    replayable via list_sort)."""
+
+    __name__ = "group_quantiles"
+
+    def __init__(self, qs=(50, 90, 99)):
+        self.qs = qs
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        c = np.sort(group.column("c").to_numpy(zero_copy_only=False))
+        n = len(c)
+        out = {
+            "event_type": group.column("event_type").slice(0, 1),
+            "n": pa.array([n], pa.int64()),
+        }
+        for q in self.qs:
+            out[f"p{q}_cents"] = pa.array([int(c[((n - 1) * q) // 100])], pa.int64())
+        return pa.table(out)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (the grouped, exact companion to the
+    rows-only TDigest value_quantiles — the quantiles_exact discipline
+    applied per event_type): integer-cents values, discrete quantile =
+    sorted[((n-1)*q)//100].  Exactness requires co-locating each group
+    (one groupby shuffle) — the approximate no-shuffle path at corpus
+    scale is the mergeable TDigest."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"event_type": batch.column("event_type"), "c": pa.array(v)})
+
+    cents.__name__ = "quantile_cents"
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(_GroupQuantiles(), batch_format="pyarrow")
+    )
+
+
+SQL_GROUP_QUANTILES = """
+WITH x AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+g AS (SELECT event_type, list_sort(list(c)) AS l, COUNT(*) AS n
+      FROM x GROUP BY event_type)
+SELECT event_type, n,
+       l[((n - 1) * 50) // 100 + 1] AS p50_cents,
+       l[((n - 1) * 90) // 100 + 1] AS p90_cents,
+       l[((n - 1) * 99) // 100 + 1] AS p99_cents
+FROM g
+"""
+
+
 def q_geojson_ingest(sf_dir: str):
     """GeoJSON sink + source roundtrip at driver grade (the reference's
     GeoTools vector-format ingest surface, extensions/formats/geotools-
@@ -5035,6 +5161,8 @@ QUERIES = {
     "visibility_filter": q_visibility_filter,
     "kmeans_assign": q_kmeans_assign,
     "geojson_ingest": q_geojson_ingest,
+    "group_quantiles": q_group_quantiles,
+    "trajectory_resample": q_trajectory_resample,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -5148,6 +5276,8 @@ ORACLE_SQL = {
     "visibility_filter": SQL_VISIBILITY_FILTER,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "geojson_ingest": SQL_GEOJSON_INGEST,
+    "group_quantiles": SQL_GROUP_QUANTILES,
+    "trajectory_resample": SQL_TRAJECTORY_RESAMPLE,
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -466,3 +466,84 @@ def trajectory_stats(ds, key_col: str, ts_col: str, x_col: str, y_col: str, orde
             )
 
     return ds.groupby(key_col).map_groups(_TrackReduce(), batch_format="pyarrow")
+
+
+def trajectory_resample(
+    ds,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    step_us: int,
+    coord_shift: int = 18000,
+):
+    """Per-entity track resampling onto a fixed global time grid: for each
+    grid instant T = g*step_us inside an entity's [first_ts, last_ts],
+    emit the linearly interpolated position between the bracketing points
+    (the track-densification / map-matching prep step of the reference's
+    spatial-temporal analytics).
+
+    Integer-exact interpolation: with shifted non-negative coordinates
+    xs = x + coord_shift,
+    ``xi = (xs_prev*(t_next-T) + xs_next*(T-t_prev)) // (t_next-t_prev)
+    - coord_shift`` — the numerator is non-negative, so NumPy floor
+    division and DuckDB's truncating ``//`` agree (negative numerators
+    would NOT: DuckDB truncates toward zero).  Duplicate timestamps
+    resolve to the LAST point in (ts, order_col) order, and a grid
+    instant equal to a point's timestamp returns that point exactly.
+
+    Scale shape: one groupby shuffle, per-group kernel is one lexsort +
+    two searchsorted (same per-entity skew assumption as
+    trajectory_stats)."""
+
+    class _Resample:
+        __name__ = "trajectory_resample"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype("int64")
+            oid = group.column(order_col).to_numpy(zero_copy_only=False)
+            x = group.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            y = group.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((oid, ts))
+            t, xs, ys = ts[sel], x[sel] + coord_shift, y[sel] + coord_shift
+            g0 = -(-t[0] // step_us)
+            g1 = t[-1] // step_us
+            if g1 < g0:
+                return pa.table(
+                    {
+                        key_col: group.column(key_col).slice(0, 0),
+                        "g": pa.array([], pa.int64()),
+                        "cx": pa.array([], pa.int64()),
+                        "cy": pa.array([], pa.int64()),
+                    }
+                )
+            T = np.arange(g0, g1 + 1, dtype=np.int64) * step_us
+            j = np.searchsorted(t, T, side="right") - 1  # last idx with t <= T
+            exact = t[j] == T
+            xi = np.empty(len(T), dtype=np.int64)
+            yi = np.empty(len(T), dtype=np.int64)
+            xi[exact] = xs[j[exact]]
+            yi[exact] = ys[j[exact]]
+            m = ~exact
+            if m.any():
+                jp = j[m]
+                dt = t[jp + 1] - t[jp]
+                w1 = t[jp + 1] - T[m]
+                w2 = T[m] - t[jp]
+                xi[m] = (xs[jp] * w1 + xs[jp + 1] * w2) // dt
+                yi[m] = (ys[jp] * w1 + ys[jp + 1] * w2) // dt
+            key_scalar = group.column(key_col)[0]
+            return pa.table(
+                {
+                    key_col: pa.array(
+                        np.full(len(T), key_scalar.as_py()),
+                        type=group.schema.field(key_col).type,
+                    ),
+                    "g": pa.array(np.arange(g0, g1 + 1, dtype=np.int64)),
+                    "cx": pa.array(xi - coord_shift),
+                    "cy": pa.array(yi - coord_shift),
+                }
+            )
+
+    return ds.groupby(key_col).map_groups(_Resample(), batch_format="pyarrow")

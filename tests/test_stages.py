@@ -1124,3 +1124,50 @@ def test_dedup_keep_best_paths_agree(ray_session):
     a = sorted(q_dedup_keep_best(sf).to_pandas()["doc_id"].tolist())
     b = sorted(q_dedup_keep_best(sf, broadcast_cap=0).to_pandas()["doc_id"].tolist())
     assert a == b and len(a) > 0
+
+
+def test_trajectory_resample_edges(ray_session):
+    import ray
+
+    from geowave_ray.stages.analytics import trajectory_resample
+
+    S = 10  # grid step (us)
+    rows = {
+        # user 1: two points bracketing grid instants, one exact hit
+        "user_id": [1, 1, 2, 2, 2, 3],
+        "ts": [5, 25, 10, 10, 30, 20],  # user 2 has duplicate ts=10
+        "ix": [0, 100, 7, 9, 29, 4],
+        "iy": [10, 50, 1, 3, 23, 6],
+        "event_id": [1, 2, 1, 2, 3, 1],
+    }
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "ix": pa.array(rows["ix"], pa.int64()),
+            "iy": pa.array(rows["iy"], pa.int64()),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+        }
+    )
+    out = (
+        trajectory_resample(
+            ray.data.from_arrow(t), "user_id", "ts", "ix", "iy", "event_id", S
+        )
+        .to_pandas()
+        .sort_values(["user_id", "g"])
+        .reset_index(drop=True)
+    )
+    got = {(r.user_id, r.g): (r.cx, r.cy) for r in out.itertuples()}
+    # user 1: grid at t=10 -> interp (5->25): x = 0 + 100*5//20 = 25
+    assert got[(1, 1)] == (25, 20)
+    # grid at t=20: x = 0 + 100*15//20 = 75
+    assert got[(1, 2)] == (75, 40)
+    # user 2: exact hit at t=10 must take the LAST duplicate (event_id 2)
+    assert got[(2, 1)] == (9, 3)
+    # t=20 interp from the last duplicate: 9 + (29-9)*10//20 = 19
+    assert got[(2, 2)] == (19, 13)
+    # t=30 exact hit on the final point
+    assert got[(2, 3)] == (29, 23)
+    # user 3: single event at t=20 (divisible) -> exactly one sample
+    assert got[(3, 2)] == (4, 6)
+    assert len(got) == 6

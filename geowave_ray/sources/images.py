@@ -434,3 +434,84 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     upper = half(pts[::-1])
     ring = np.array(lower[:-1] + upper[:-1] + [lower[0]], dtype=np.float64)
     return ring
+
+
+# Blob-pool universe for the pooled bench payloads: w = 8 + (h>>8)%9*4
+# (9 sizes), fmt png/fjpg.  Indexing: idx = seed*18 + size_idx*2 + fmt_idx.
+POOL_SIZES = tuple(range(8, 44, 4))
+_POOL_FMTS = ("png", "fjpg")
+
+
+def build_blob_pool(byte_pool: int, num_blocks: int = 64):
+    """Distributed one-time build of the pooled payload universe
+    (byte_pool seeds x 9 sizes x 2 formats), returned as an object-store
+    ref of ONE ordered LargeBinary array so synth workers assemble byte
+    columns with a vectorized take() instead of each worker re-encoding
+    the whole pool (the per-worker cache build was a constant ~6-11 s
+    Amdahl term in the bench's render phase — it did not shrink with
+    worker count)."""
+    import ray
+
+    from ..stages.imaging import encode_image
+
+    n = byte_pool * len(POOL_SIZES) * len(_POOL_FMTS)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_numpy().astype(np.int64)
+        blobs = []
+        for i in idx.tolist():
+            seed, rest = divmod(i, len(POOL_SIZES) * len(_POOL_FMTS))
+            size_idx, fmt_idx = divmod(rest, len(_POOL_FMTS))
+            blobs.append(
+                encode_image(
+                    _make_pixels(seed, POOL_SIZES[size_idx]), _POOL_FMTS[fmt_idx]
+                )
+            )
+        return pa.table(
+            {"idx": pa.array(idx), "blob": pa.array(blobs, pa.large_binary())}
+        )
+
+    enc.__name__ = "blob_pool_encode"
+    ds = ray.data.range(n, override_num_blocks=num_blocks).map_batches(
+        enc, batch_format="pyarrow"
+    )
+    from ..stages.util import collect_table
+
+    t = collect_table(ds)
+    t = t.take(pa.compute.sort_indices(t.column("idx")))
+    return ray.put(t.column("blob").combine_chunks())
+
+
+def synth_images_ds_pooled(
+    n: int,
+    byte_pool: int,
+    pool_ref,
+    override_num_blocks: int | None = None,
+):
+    """synth_images_ds(with_bytes=True) against a pre-built broadcast blob
+    pool: the byte column is pool.take(idx) — fully vectorized, no
+    per-worker encode cache."""
+    import ray
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    n_f = len(_POOL_FMTS)
+    n_sf = len(POOL_SIZES) * n_f
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        pool = _ray.get(pool_ref)  # plasma-cached per worker, zero-copy
+        ids = batch.column("id").to_numpy().astype(np.int64)
+        t = _images_batch(ids, with_bytes=False, byte_pool=None)
+        f = _row_arrays(ids)
+        size_idx = ((f["w"].astype(np.int64)) - POOL_SIZES[0]) // 4
+        fmt_idx = np.where(f["fmt_png"], 0, 1)
+        idx = (ids % byte_pool) * n_sf + size_idx * n_f + fmt_idx
+        blobs = pool.take(pa.array(idx))
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["bytes"] = blobs
+        order = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
+        return pa.table({k: cols[k] for k in order})
+
+    gen.__name__ = "synth_images_pooled"
+    return ds.map_batches(gen, batch_format="pyarrow")

@@ -68,8 +68,11 @@ def main() -> None:
     metrics["join"] = manifest.entries["join"]
 
     if not manifest.is_complete("tiles"):
+        from geowave_ray.sources.images import build_blob_pool, synth_images_ds_pooled
+
         t0 = time.time()
-        images = synth_images_ds(args.render, with_bytes=True, byte_pool=4096)
+        pool_ref = build_blob_pool(4096)
+        images = synth_images_ds_pooled(args.render, 4096, pool_ref)
         tiles = images.map_batches(
             stage_fn(TileRenderStage, pixel_res_deg=1e-4), batch_format="pyarrow"
         )

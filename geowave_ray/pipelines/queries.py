@@ -2931,6 +2931,94 @@ def q_image_roundtrip(sf_dir: str):
 
 
 
+AUGMENT_N = 1000
+
+
+def q_image_augment(sf_dir: str):
+    """Image augmentation plumbing at driver grade (the multimodal
+    transform family: flip / rotate / crop before training): decode the
+    PNG rows of the synthetic pool and verify the augmentation laws on
+    real pixels — double-hflip and rot90^4 are identities, band sums are
+    permutation-invariant under flips/rotations, the centered crop equals
+    the direct slice, and the AUGMENTED image survives a PNG re-encode
+    roundtrip exactly.  Same verdict-table discipline as image_roundtrip /
+    jpeg_roundtrip (pixel noise is intentionally not SQL-derivable); the
+    oracle regenerates the id set via the shared splitmix64 fmt rule."""
+    from ..sources.images import synth_images_ds
+    from ..stages.imaging import (
+        center_crop,
+        decode_image,
+        encode_image,
+        hflip,
+        rot90,
+        vflip,
+    )
+
+    ds = synth_images_ds(AUGMENT_N, with_bytes=True, byte_pool=None)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("fmt"), pa.scalar("png"))
+        batch = batch.filter(keep)
+        ids, flips, rots, crops, reencs = [], [], [], [], []
+        for i in range(len(batch)):
+            arr = decode_image(batch.column("bytes")[i].as_py())
+            ids.append(batch.column("image_id")[i].as_py())
+            s = arr.astype(np.int64).sum(axis=(0, 1))
+            flips.append(
+                bool(
+                    np.array_equal(hflip(hflip(arr)), arr)
+                    and np.array_equal(hflip(arr).astype(np.int64).sum(axis=(0, 1)), s)
+                    and np.array_equal(vflip(arr).astype(np.int64).sum(axis=(0, 1)), s)
+                )
+            )
+            rots.append(
+                bool(
+                    np.array_equal(rot90(arr, 4), arr)
+                    and np.array_equal(
+                        rot90(arr, 1).astype(np.int64).sum(axis=(0, 1)), s
+                    )
+                )
+            )
+            h, w = arr.shape[:2]
+            ch, cw = h // 2, w // 2
+            c = center_crop(arr, ch, cw)
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            crops.append(
+                bool(
+                    c.shape == (ch, cw, 3)
+                    and np.array_equal(c, arr[y0 : y0 + ch, x0 : x0 + cw])
+                )
+            )
+            aug = rot90(hflip(arr), 1)
+            reencs.append(
+                bool(np.array_equal(decode_image(encode_image(aug, "png")), aug))
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "flip_ok": pa.array(flips),
+                "rot_ok": pa.array(rots),
+                "crop_ok": pa.array(crops),
+                "reenc_ok": pa.array(reencs),
+            }
+        )
+
+    verify.__name__ = "augment_verify"
+    return ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _sql_image_augment() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    return f"""
+SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS image_id,
+       true AS flip_ok, true AS rot_ok, true AS crop_ok, true AS reenc_ok
+FROM range({AUGMENT_N}) t(j)
+WHERE ({sm}) % 2 = 0
+"""
+
+
 JPEG_RT_N = 400
 
 
@@ -5163,6 +5251,7 @@ QUERIES = {
     "geojson_ingest": q_geojson_ingest,
     "group_quantiles": q_group_quantiles,
     "trajectory_resample": q_trajectory_resample,
+    "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -5278,6 +5367,7 @@ ORACLE_SQL = {
     "geojson_ingest": SQL_GEOJSON_INGEST,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "trajectory_resample": SQL_TRAJECTORY_RESAMPLE,
+    "image_augment": _sql_image_augment(),
     "decontaminate": sql_decontaminate(DECONTAM_MOD),
     "quality_scores": sql_quality(),
     "fingerprints": sql_fingerprints(),

@@ -184,3 +184,29 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10 * np.log10(255.0**2 / mse))
+
+
+# ----------------------------------------------------------- augmentation
+def hflip(arr: np.ndarray) -> np.ndarray:
+    """Horizontal mirror (left-right)."""
+    return arr[:, ::-1]
+
+
+def vflip(arr: np.ndarray) -> np.ndarray:
+    """Vertical mirror (top-bottom)."""
+    return arr[::-1]
+
+
+def rot90(arr: np.ndarray, k: int = 1) -> np.ndarray:
+    """Counter-clockwise quarter turns over the (h, w) axes."""
+    return np.rot90(arr, k=k, axes=(0, 1))
+
+
+def center_crop(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Centered crop; offsets floor((dim - out)/2)."""
+    h, w = arr.shape[:2]
+    if out_h > h or out_w > w:
+        raise ValueError(f"crop {out_h}x{out_w} larger than image {h}x{w}")
+    y0 = (h - out_h) // 2
+    x0 = (w - out_w) // 2
+    return arr[y0 : y0 + out_h, x0 : x0 + out_w]

@@ -81,3 +81,20 @@ def test_png_grayscale_and_rgba_roundtrip():
     rgba = rng.integers(0, 256, (9, 13, 4), dtype=np.uint8)
     back = png_decode(png_encode(rgba))
     assert np.array_equal(back, rgba)
+
+
+def test_augment_kernels():
+    from geowave_ray.stages.imaging import center_crop, hflip, rot90, vflip
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(hflip(hflip(arr)), arr)
+    assert np.array_equal(vflip(vflip(arr)), arr)
+    assert np.array_equal(rot90(arr, 4), arr)
+    assert rot90(arr, 1).shape == (8, 6, 3)
+    c = center_crop(arr, 2, 4)
+    assert np.array_equal(c, arr[2:4, 2:6])
+    import pytest
+
+    with pytest.raises(ValueError):
+        center_crop(arr, 10, 2)

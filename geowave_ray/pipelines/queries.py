@@ -5161,7 +5161,11 @@ FROM generate_series(0, {KMEANS_ASSIGN_K - 1}) gs(i) LEFT JOIN s ON s.k = gs.i
 
 
 QUERIES = {
-    "spatial_join_pairs": q_spatial_join_pairs,
+    # round-4 fifth rotation: retile_tiles and knn_graph (new, never
+    # driver-verified) take the slots of spatial_join_pairs (driver-hash-
+    # green r1+r2+r3) and store_bbox_query (green r2+r3) — the only two
+    # in-window entries with >=2 rounds of driver evidence:
+    "retile_tiles": q_retile_tiles,
     # round-4 fourth rotation: trajectory_stats and rect_join (new, never
     # driver-verified) take the slots of spatial_join_anti (driver-hash-
     # green r1+r2+r3) and knn_join (green r2+r3):
@@ -5219,7 +5223,7 @@ QUERIES = {
     "geohash_binned_agg": q_geohash_binned_agg,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "audio_features": q_audio_features,
-    "store_bbox_query": q_store_bbox_query,
+    "knn_graph": q_knn_graph,
     "store_attr_range": q_store_attr_range,
     "store_mixed_bbox": q_store_mixed_bbox,
     "store_lookup": q_store_lookup,
@@ -5238,13 +5242,14 @@ QUERIES = {
     # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
     # wave-5 (round 4, post-rotation): oracle-backed but never driver-
     # verified — kept in overflow until the round-5 rotation:
+    # displaced by the fifth rotation (both >=2 rounds driver-green):
+    "spatial_join_pairs": q_spatial_join_pairs,
+    "store_bbox_query": q_store_bbox_query,
     "boilerplate_lines": q_boilerplate_lines,
     "pii_redact": q_pii_redact,
     "chunk_tokens": q_chunk_tokens,
-    "knn_graph": q_knn_graph,
     "lm_score": q_lm_score,
     "dedup_keep_best": q_dedup_keep_best,
-    "retile_tiles": q_retile_tiles,
     "histogram_counts": q_histogram_counts,
     "visibility_filter": q_visibility_filter,
     "kmeans_assign": q_kmeans_assign,

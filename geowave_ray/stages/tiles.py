@@ -462,9 +462,13 @@ class TileRenderStage:
             )
             for k in range(len(cells)):
                 i = int(sel[rows[k]])
-                arr = decoded_cache.get(i)
-                if arr is None:
-                    arr = decoded_cache[i] = decode_image(blobs[i])
+                cached = decoded_cache.get(i)
+                if cached is None:
+                    arr = decode_image(blobs[i])
+                    # band-summed plane, computed once per image: the tile
+                    # checksum below is separable over it
+                    cached = decoded_cache[i] = (arr, arr.sum(axis=2, dtype=np.int64))
+                arr, g = cached
                 h_px, w_px = arr.shape[:2]
                 cx0, cx1 = los[0][k], his[0][k]
                 cy0, cy1 = los[1][k], his[1][k]
@@ -474,14 +478,18 @@ class TileRenderStage:
                 sy = np.floor((lat[i] - py) / self.pixel_res_deg).astype(np.int64)
                 okx = (sx >= 0) & (sx < w_px)
                 oky = (sy >= 0) & (sy < h_px)
-                tile = np.zeros((ts, ts, 3), dtype=np.uint8)
-                if okx.any() and oky.any():
-                    tile[np.ix_(oky, okx)] = arr[sy[oky][:, None], sx[okx][None, :]]
                 out_img.append(i)
                 out_tier.append(tier)
                 out_cell.append(int(cells[k]))
-                # cheap deterministic checksum of the rendered tile
-                out_sum.append(int(tile.sum(dtype=np.int64)))
+                # deterministic checksum of the rendered tile WITHOUT
+                # materializing the ts^2 warp: the nearest-neighbour warp
+                # gathers the product set sy[oky] x sx[okx], so
+                # sum(tile) == roww @ g @ colw with per-index multiplicity
+                # weights (exact integer equality; pinned by
+                # tests/test_tiles.py::test_render_checksum_separable)
+                colw = np.bincount(sx[okx], minlength=w_px)
+                roww = np.bincount(sy[oky], minlength=h_px)
+                out_sum.append(int(roww @ (g @ colw)))
         idx = pa.array(np.asarray(out_img, dtype=np.int64))
         return pa.table(
             {

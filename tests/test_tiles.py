@@ -250,3 +250,25 @@ def test_slicer_halving_fast_path_parity():
     assert fast.column("tier").to_pylist() == slow.column("tier").to_pylist()
     for a, b in zip(fast.column("tile").to_pylist(), slow.column("tile").to_pylist()):
         assert a == b
+
+
+def test_render_checksum_separable():
+    """The separable checksum must equal the materialized-warp sum."""
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        h, w = rng.integers(4, 40, 2)
+        ts = 32
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sx = rng.integers(-5, w + 5, ts)
+        sy = rng.integers(-5, h + 5, ts)
+        okx = (sx >= 0) & (sx < w)
+        oky = (sy >= 0) & (sy < h)
+        tile = np.zeros((ts, ts, 3), dtype=np.uint8)
+        if okx.any() and oky.any():
+            tile[np.ix_(oky, okx)] = arr[sy[oky][:, None], sx[okx][None, :]]
+        want = int(tile.sum(dtype=np.int64))
+        g = arr.sum(axis=2, dtype=np.int64)
+        colw = np.bincount(sx[okx], minlength=w)
+        roww = np.bincount(sy[oky], minlength=h)
+        got = int(roww @ (g @ colw))
+        assert got == want

@@ -414,12 +414,16 @@ def mosaic_merge(ds, tile_size: int = 256, merge: str = "nodata", background: in
 
 
 class TileRenderStage:
-    """Fused decode + level-select + cover + warp stage for the headline
-    pipeline: image rows (with ``bytes``) -> one row per (image, cell) with
-    the rendered tile reduced to a checksum (tiles themselves are written by
-    TileWarper when a sink needs pixels; the fused stage keeps the full
-    decode+resample compute without materializing tile payloads downstream).
-    """
+    """Fused decode + level-select + cover + tile-checksum stage for the
+    headline pipeline: image rows (with ``bytes``) -> one row per
+    (image, cell) with the rendered tile reduced to a checksum.  Tiles
+    themselves are produced by TileWarper when a sink needs pixels; here
+    the checksum is computed in CLOSED FORM — the nearest-neighbour warp
+    gathers a product index set, so sum(tile) == roww @ band_plane @ colw
+    with bincount multiplicity weights (exact integer equality, pinned by
+    tests/test_tiles.py::test_render_checksum_separable and the
+    render-vs-warper cross-check) — the warp itself is never
+    materialized."""
 
     def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31):
         self.assigner = TileAssigner(

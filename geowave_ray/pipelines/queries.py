@@ -911,6 +911,94 @@ FROM s GROUP BY user_id
 """
 
 
+TRACK_SIMPLIFY_TOL_SQ = 900  # tol = 30 coordinate units
+
+
+def q_track_simplify(sf_dir: str):
+    """Per-user Douglas-Peucker track simplification in exact integer
+    coordinates (the reference simplifies geometries at ingest with JTS
+    DouglasPeuckerSimplifier — GeometrySimpOptionProvider.java:34-37;
+    stages/analytics.py::track_simplify).  The division-free split rule
+    cross2 > tol_sq*len2 makes DP itself SQL-replayable by a worklist
+    recursive CTE (each iteration splits every pending segment at its
+    max-distance interior point)."""
+    import ray
+
+    from ..stages.analytics import track_simplify
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "ix": pa.array((ev * 7919 + us) % 120),
+                "iy": pa.array((ev * 104729 + us * 13) % 120),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords_dp"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+    return track_simplify(
+        pts, "user_id", "ts", "ix", "iy", "event_id", TRACK_SIMPLIFY_TOL_SQ
+    )
+
+
+SQL_TRACK_SIMPLIFY = f"""
+WITH RECURSIVE p AS (
+  SELECT user_id, ix, iy,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM (SELECT user_id, ts, event_id,
+               (event_id * 7919 + user_id) % 120 AS ix,
+               (event_id * 104729 + user_id * 13) % 120 AS iy
+        FROM events)
+),
+walk AS (
+  SELECT user_id, 1::BIGINT AS lo, n AS hi FROM p WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id,
+         CASE side.s WHEN 0 THEN w.lo ELSE b.rn END AS lo,
+         CASE side.s WHEN 0 THEN b.rn ELSE w.hi END AS hi
+  FROM walk w
+  JOIN LATERAL (
+    SELECT q.rn,
+           CASE WHEN (phi.ix = plo.ix AND phi.iy = plo.iy)
+                THEN (q.ix-plo.ix)*(q.ix-plo.ix) + (q.iy-plo.iy)*(q.iy-plo.iy)
+                ELSE ((phi.ix-plo.ix)*(q.iy-plo.iy) - (phi.iy-plo.iy)*(q.ix-plo.ix))
+                   * ((phi.ix-plo.ix)*(q.iy-plo.iy) - (phi.iy-plo.iy)*(q.ix-plo.ix))
+           END AS m,
+           CASE WHEN (phi.ix = plo.ix AND phi.iy = plo.iy)
+                THEN {TRACK_SIMPLIFY_TOL_SQ}
+                ELSE {TRACK_SIMPLIFY_TOL_SQ}
+                   * ((phi.ix-plo.ix)*(phi.ix-plo.ix) + (phi.iy-plo.iy)*(phi.iy-plo.iy))
+           END AS lim
+    FROM p q, p plo, p phi
+    WHERE q.user_id = w.user_id AND q.rn > w.lo AND q.rn < w.hi
+      AND plo.user_id = w.user_id AND plo.rn = w.lo
+      AND phi.user_id = w.user_id AND phi.rn = w.hi
+    ORDER BY m DESC, q.rn
+    LIMIT 1
+  ) b ON b.m > b.lim
+  CROSS JOIN (VALUES (0), (1)) AS side(s)
+),
+kept AS (
+  SELECT DISTINCT user_id, rn FROM (
+    SELECT user_id, lo AS rn FROM walk
+    UNION ALL SELECT user_id, hi FROM walk
+  )
+)
+SELECT p.user_id, p.rn AS pt_rank, p.ix, p.iy
+FROM kept k JOIN p ON p.user_id = k.user_id AND p.rn = k.rn
+"""
+
+
 RECT_CELL = 512  # centi-degrees: ~5.1 deg grid, ~1 replica per box
 
 
@@ -5256,6 +5344,7 @@ QUERIES = {
     "geojson_ingest": q_geojson_ingest,
     "group_quantiles": q_group_quantiles,
     "trajectory_resample": q_trajectory_resample,
+    "track_simplify": q_track_simplify,
     "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
@@ -5335,6 +5424,7 @@ ORACLE_SQL = {
     "domain_cap_sample": SQL_DOMAIN_CAP,
     "shuffle_shards": _sql_shuffle_shards(),
     "trajectory_stats": SQL_TRAJECTORY_STATS,
+    "track_simplify": SQL_TRACK_SIMPLIFY,
     "rect_join": SQL_RECT_JOIN,
     "focal_stats": SQL_FOCAL_STATS,
     "props_extract": SQL_PROPS_EXTRACT,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify"]
 
 
 def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
@@ -547,3 +547,86 @@ def trajectory_resample(
             )
 
     return ds.groupby(key_col).map_groups(_Resample(), batch_format="pyarrow")
+
+
+def track_simplify(
+    ds,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    tol_sq: int,
+):
+    """Per-entity Douglas-Peucker track simplification over exact integer
+    coordinates — the reference applies DP at ingest via
+    ``--simpGeometry``/``--tolerance`` (extensions/adapters/vector/.../ingest/
+    GeometrySimpOptionProvider.java:34-37, JTS DouglasPeuckerSimplifier).
+
+    Spec (integer-exact, SQL-replayable by a worklist recursive CTE):
+    order each entity's points by ``(ts, order_col)`` -> ordinals rn=1..n;
+    keep both endpoints; recursively split segment (lo, hi) at the interior
+    point maximizing the squared perpendicular-distance NUMERATOR
+    ``cross2 = (dx*(y-y_lo) - dy*(x-x_lo))**2`` (ties -> smallest rn), and
+    split iff ``cross2 > tol_sq * len2`` where ``len2 = dx*dx + dy*dy`` —
+    equivalent to perpendicular distance > tol without any division.  A
+    degenerate chord (coincident endpoints) falls back to squared euclidean
+    distance vs ``tol_sq``.  Output: kept points ``(key, pt_rank, x, y)``.
+
+    Scale shape (100 TB): one groupby shuffle (the per-entity-track skew
+    assumption documented at trajectory_stats); the per-group kernel is an
+    iterative worklist whose per-segment argmax is one vectorized NumPy
+    pass, total O(n * depth) with depth ~= log n typical.
+    """
+    tol_sq = int(tol_sq)
+
+    class _DPSimplify:
+        __name__ = "track_simplify"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype("int64")
+            oid = group.column(order_col).to_numpy(zero_copy_only=False)
+            x = group.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            y = group.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((oid, ts))
+            x, y = x[sel], y[sel]
+            n = len(x)
+            keep = np.zeros(n, dtype=bool)
+            keep[0] = keep[-1] = True
+            stack = [(0, n - 1)]
+            while stack:
+                lo, hi = stack.pop()
+                if hi - lo < 2:
+                    continue
+                xs = x[lo + 1 : hi]
+                ys = y[lo + 1 : hi]
+                dx = x[hi] - x[lo]
+                dy = y[hi] - y[lo]
+                if dx == 0 and dy == 0:
+                    m = (xs - x[lo]) ** 2 + (ys - y[lo]) ** 2
+                    lim = tol_sq
+                else:
+                    cr = dx * (ys - y[lo]) - dy * (xs - x[lo])
+                    m = cr * cr
+                    lim = tol_sq * (dx * dx + dy * dy)
+                j = int(np.argmax(m))  # ties -> smallest index
+                if m[j] > lim:
+                    k = lo + 1 + j
+                    keep[k] = True
+                    stack.append((lo, k))
+                    stack.append((k, hi))
+            idx = np.flatnonzero(keep)
+            key_scalar = group.column(key_col)[0]
+            return pa.table(
+                {
+                    key_col: pa.array(
+                        np.full(len(idx), key_scalar.as_py()),
+                        type=group.schema.field(key_col).type,
+                    ),
+                    "pt_rank": pa.array(idx + 1, type=pa.int64()),
+                    x_col: pa.array(x[idx]),
+                    y_col: pa.array(y[idx]),
+                }
+            )
+
+    return ds.groupby(key_col).map_groups(_DPSimplify(), batch_format="pyarrow")

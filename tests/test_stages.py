@@ -1171,3 +1171,83 @@ def test_trajectory_resample_edges(ray_session):
     # user 3: single event at t=20 (divisible) -> exactly one sample
     assert got[(3, 2)] == (4, 6)
     assert len(got) == 6
+
+
+def test_track_simplify_dp_exact():
+    """Douglas-Peucker keeps endpoints + recursive max-cross2 split points;
+    integer rule cross2 > tol_sq*len2 (degenerate chord -> euclidean);
+    matches a brute-force recursive reference on random tracks."""
+    import ray
+
+    from geowave_ray.stages.analytics import track_simplify
+
+    rng = np.random.default_rng(7)
+    rows = {"u": [], "ts": [], "eid": [], "x": [], "y": []}
+    eid = 0
+    for u in range(4):
+        n = int(rng.integers(1, 60))
+        ts = np.sort(rng.integers(0, 1000, n))
+        for i in range(n):
+            rows["u"].append(u)
+            rows["ts"].append(int(ts[i]))
+            rows["eid"].append(eid)
+            rows["x"].append(int(rng.integers(-50, 50)))
+            rows["y"].append(int(rng.integers(-50, 50)))
+            eid += 1
+    # one degenerate-chord track: identical endpoints, interior far away
+    rows["u"] += [9, 9, 9]
+    rows["ts"] += [1, 2, 3]
+    rows["eid"] += [eid, eid + 1, eid + 2]
+    rows["x"] += [0, 40, 0]
+    rows["y"] += [0, 0, 0]
+    t = pa.table(rows)
+    TOL_SQ = 15 * 15
+
+    def ref_keep(x, y):
+        n = len(x)
+        keep = {0, n - 1}
+
+        def rec(lo, hi):
+            if hi - lo < 2:
+                return
+            dx, dy = x[hi] - x[lo], y[hi] - y[lo]
+            best, bm = -1, -1
+            for k in range(lo + 1, hi):
+                if dx == 0 and dy == 0:
+                    m = (x[k] - x[lo]) ** 2 + (y[k] - y[lo]) ** 2
+                    lim = TOL_SQ
+                else:
+                    c = dx * (y[k] - y[lo]) - dy * (x[k] - x[lo])
+                    m = c * c
+                    lim = TOL_SQ * (dx * dx + dy * dy)
+                if m > bm:
+                    best, bm = k, m
+            if bm > lim:
+                keep.add(best)
+                rec(lo, best)
+                rec(best, hi)
+
+        rec(0, n - 1)
+        return sorted(keep)
+
+    out = (
+        track_simplify(
+            ray.data.from_arrow(t).repartition(4), "u", "ts", "x", "y", "eid", TOL_SQ
+        )
+        .to_pandas()
+        .sort_values(["u", "pt_rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    exp_rows = []
+    for u, g in df.groupby("u"):
+        g = g.sort_values(["ts", "eid"]).reset_index(drop=True)
+        for i in ref_keep(g["x"].to_numpy(), g["y"].to_numpy()):
+            exp_rows.append((u, i + 1, int(g["x"][i]), int(g["y"][i])))
+    exp = pd.DataFrame(exp_rows, columns=["u", "pt_rank", "x", "y"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # the degenerate-chord track keeps its far interior point
+    u9 = out[out["u"] == 9]
+    assert u9["pt_rank"].tolist() == [1, 2, 3]

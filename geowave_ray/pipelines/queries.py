@@ -1498,6 +1498,53 @@ SELECT doc_id, term, CAST(score AS BIGINT) AS score FROM (
 """
 
 
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+COLLOC_SCALE = 1_000_000
+
+
+def q_collocations(sf_dir: str):
+    """Corpus bigram collocations: adjacent token pairs ranked by the
+    integer PMI surrogate (n_ab * n_tokens * 1e6) // (n_a * n_b) —
+    phrase discovery for tokenizer/curation pipelines (stages/text.py::
+    collocations; per-batch combiner counts, vocabulary-sized shuffles
+    only, unigram table broadcast under cap)."""
+    import ray
+
+    from ..stages.text import collocations
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocations(
+        ds, min_count=COLLOC_MIN_COUNT, top_k=COLLOC_TOP_K, scale=COLLOC_SCALE
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(length(t)) AS BIGINT) AS n FROM tk),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok
+),
+big AS (
+  SELECT t[i] AS tok_a, t[i + 1] AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tk, UNNEST(range(1, length(t))) AS r(i)
+  GROUP BY 1, 2
+)
+SELECT b.tok_a, b.tok_b, b.n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+       CAST((b.n_ab::HUGEINT * tot.n * {COLLOC_SCALE})
+            // (ua.cnt::HUGEINT * ub.cnt) AS BIGINT) AS score
+FROM big b, tot, uni ua, uni ub
+WHERE ua.tok = b.tok_a AND ub.tok = b.tok_b AND b.n_ab >= {COLLOC_MIN_COUNT}
+ORDER BY score DESC, b.tok_a, b.tok_b
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 DOMAIN_CAP_K = 10
 
 
@@ -5345,6 +5392,7 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "trajectory_resample": q_trajectory_resample,
     "track_simplify": q_track_simplify,
+    "collocations": q_collocations,
     "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
@@ -5425,6 +5473,7 @@ ORACLE_SQL = {
     "shuffle_shards": _sql_shuffle_shards(),
     "trajectory_stats": SQL_TRAJECTORY_STATS,
     "track_simplify": SQL_TRACK_SIMPLIFY,
+    "collocations": SQL_COLLOCATIONS,
     "rect_join": SQL_RECT_JOIN,
     "focal_stats": SQL_FOCAL_STATS,
     "props_extract": SQL_PROPS_EXTRACT,

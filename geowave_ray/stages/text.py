@@ -1032,3 +1032,187 @@ def lm_score(
 
     score.__name__ = "lm_score"
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def collocations(
+    ds,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    scale: int = 1_000_000,
+    vocab_cap: int = 2_000_000,
+    num_partitions: int = 16,
+):
+    """Corpus-level bigram collocation mining: adjacent token pairs ranked
+    by the integer PMI surrogate ``score = (n_ab * n_tokens * scale) //
+    (n_a * n_b)`` (the Church & Hanks 1990 association-ratio ranking,
+    integerized so the DuckDB oracle replays the arithmetic exactly) —
+    the phrase-discovery / tokenizer-vocab-induction step of a
+    training-data pipeline.  Ties broken by (tok_a, tok_b) ascending.
+
+    Tokens: ``lower(text)`` split on ``[^a-z0-9]+`` (RE2 == DuckDB
+    regexp_split), empties dropped; bigrams are within-doc adjacent pairs.
+
+    Scale shape (100 TB):
+    - bigram and unigram counts are pre-aggregated per batch (Arrow
+      group_by combiner), so the only shuffles are vocabulary-sized, not
+      corpus-sized (two map passes over the text; fusable into one tagged
+      pass if the extra read matters).
+    - under ``vocab_cap`` the unigram table broadcasts via ray.put and
+      scoring + the min_count filter stay per-batch; above the cap the
+      unigram counts join back on the token (safe_join) — the
+      capped-broadcast-with-distributed-fallback convention.
+    - the final sort+limit runs over the min_count-filtered candidate
+      table (bounded by the qualifying pair vocabulary, not the corpus).
+    - int64 bound: ``max(n_ab) * n_tokens * scale`` must stay < 2**63;
+      at larger corpora lower ``scale`` (the ranking is scale-invariant
+      down to integer-floor granularity).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .util import collect_table, safe_join
+
+    def _flat_tokens(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            np.arange(len(batch), dtype=np.int64),
+            np.nan_to_num(lens).astype(np.int64),
+        )
+        keep = flat != ""
+        return flat[keep], doc_of[keep]
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toksf, docf = _flat_tokens(batch)
+        if len(toksf) < 2:
+            return pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        adj = docf[1:] == docf[:-1]
+        t = pa.table(
+            {
+                "tok_a": pa.array(toksf[:-1][adj], pa.string()),
+                "tok_b": pa.array(toksf[1:][adj], pa.string()),
+            }
+        )
+        t = pa.TableGroupBy(t, ["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return t.rename_columns(["tok_a", "tok_b", "cnt"])
+
+    bigram_partial.__name__ = "colloc_bigram_partial"
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        toksf, _ = _flat_tokens(batch)
+        t = pa.table({"tok": pa.array(toksf, pa.string())})
+        t = pa.TableGroupBy(t, ["tok"]).aggregate([([], "count_all")])
+        return t.rename_columns(["tok", "cnt"])
+
+    unigram_partial.__name__ = "colloc_unigram_partial"
+
+    big = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .sum("cnt")
+    )
+    uni = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("cnt")
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            ("tok_a", pa.string()),
+            ("tok_b", pa.string()),
+            ("n_ab", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("score", pa.int64()),
+        ]
+    )
+
+    if uni.count() <= vocab_cap:
+        vt = collect_table(uni)
+        toks = vt.column("tok").to_numpy(zero_copy_only=False)
+        cnts = vt.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_total = int(cnts.sum())
+        order = np.argsort(toks)
+        vocab_ref = ray.put((toks[order], cnts[order]))
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return out_schema.empty_table()
+            vtoks, vcnts = ray.get(vocab_ref)
+            n_ab = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            m = n_ab >= min_count
+            if not m.any():
+                return out_schema.empty_table()
+            a = batch.column("tok_a").to_numpy(zero_copy_only=False)[m]
+            b = batch.column("tok_b").to_numpy(zero_copy_only=False)[m]
+            n_ab = n_ab[m]
+            n_a = vcnts[np.searchsorted(vtoks, a)]
+            n_b = vcnts[np.searchsorted(vtoks, b)]
+            num = n_ab * n_total
+            assert num.max() <= (2**63 - 1) // scale, "collocations: lower scale"
+            score = (num * scale) // (n_a * n_b)
+            return pa.table(
+                {
+                    "tok_a": pa.array(a, pa.string()),
+                    "tok_b": pa.array(b, pa.string()),
+                    "n_ab": pa.array(n_ab),
+                    "n_a": pa.array(n_a),
+                    "n_b": pa.array(n_b),
+                    "score": pa.array(score),
+                }
+            )
+
+        score_batch.__name__ = "colloc_score"
+        scored = big.map_batches(score_batch, batch_format="pyarrow")
+    else:
+        # >cap: two vocabulary joins on the token (capped-broadcast fallback)
+        n_total = int(uni.sum("sum(cnt)"))
+        ua = uni.rename_columns({"tok": "tok_a", "sum(cnt)": "n_a"})
+        ub = uni.rename_columns({"tok": "tok_b", "sum(cnt)": "n_b"})
+        j = safe_join(big, ua, "inner", num_partitions, on=("tok_a",))
+        j = safe_join(j, ub, "inner", num_partitions, on=("tok_b",))
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return out_schema.empty_table()
+            n_ab = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            m = n_ab >= min_count
+            if not m.any():
+                return out_schema.empty_table()
+            n_ab = n_ab[m]
+            n_a = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+            n_b = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)[m]
+            num = n_ab * n_total
+            assert num.max() <= (2**63 - 1) // scale, "collocations: lower scale"
+            return pa.table(
+                {
+                    "tok_a": batch.column("tok_a").filter(pa.array(m)),
+                    "tok_b": batch.column("tok_b").filter(pa.array(m)),
+                    "n_ab": pa.array(n_ab),
+                    "n_a": pa.array(n_a),
+                    "n_b": pa.array(n_b),
+                    "score": pa.array((num * scale) // (n_a * n_b)),
+                }
+            )
+
+        score_joined.__name__ = "colloc_score_joined"
+        scored = j.map_batches(score_joined, batch_format="pyarrow")
+
+    return scored.sort(
+        ["score", "tok_a", "tok_b"], descending=[True, False, False]
+    ).limit(top_k)

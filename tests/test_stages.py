@@ -1251,3 +1251,46 @@ def test_track_simplify_dp_exact():
     # the degenerate-chord track keeps its far interior point
     u9 = out[out["u"] == 9]
     assert u9["pt_rank"].tolist() == [1, 2, 3]
+
+
+def test_collocations_pmi_and_fallback_parity():
+    """Bigram PMI-surrogate ranking: exact integer scores on a hand-checked
+    corpus; the >cap safe_join fallback returns exactly the broadcast
+    path's result (cap=0 parity)."""
+    import ray
+
+    from geowave_ray.stages.text import collocations
+
+    docs = pa.table(
+        {
+            "text": [
+                "big data big data pipeline",
+                "Big Data!  big-data pipeline runs",
+                "data pipeline data pipeline",
+                "the big data pipeline",
+            ]
+        }
+    )
+    # tokens (lower, [^a-z0-9]+ split): doc0: big data big data pipeline
+    # doc1: big data big data pipeline runs ; doc2: data pipeline x2
+    # doc3: the big data pipeline -> N=19 tokens
+    ds = ray.data.from_arrow(docs).repartition(3)
+    out = collocations(ds, min_count=2, top_k=3, scale=1000).to_pandas()
+    # counts: (big,data)=5 n_big=5 n_data=7 -> 5*19*1000//35 = 2714
+    #         (data,pipeline)=5 n_pipeline=5 -> 5*19*1000//35 = 2714
+    #         (data,big)=2 -> 2*19*1000//35 = 1085
+    #         (pipeline,data)=1 < min_count
+    assert out["tok_a"].tolist() == ["big", "data", "data"]
+    assert out["tok_b"].tolist() == ["data", "pipeline", "big"]
+    assert out["score"].tolist() == [2714, 2714, 1085]
+    assert out["n_ab"].tolist() == [5, 5, 2]
+    out2 = collocations(
+        ray.data.from_arrow(docs).repartition(3),
+        min_count=2,
+        top_k=3,
+        scale=1000,
+        vocab_cap=0,
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, out2)

@@ -18,6 +18,7 @@ Behavior mirrors the reference's numeric dimension model:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -107,14 +108,33 @@ class BasicDimension:
 class LongitudeDimension(BasicDimension):
     """[-180,180] with antimeridian splitting: a range whose normalized max <
     normalized min splits into two bins [-180,max] and [min,180]
-    (LongitudeDefinition.java:33-67)."""
+    (LongitudeDefinition.java:40-68).  Out-of-range RANGE endpoints WRAP
+    (``getNormalizedLongitude``: 200 -> -160), so (150, 200) yields both
+    bands; single values (min==max) clamp like the base class, and the JTS
+    empty-geometry envelope (min=0, max=-1) yields no ranges instead of a
+    spurious dateline crossing (reference returns the inverted range, with
+    the same empty-scan effect).  Point-encode ``normalize`` stays clamped
+    — the reference wraps only in range decomposition."""
 
     lo: float = -180.0
     hi: float = 180.0
 
+    @staticmethod
+    def wrap_longitude(lon: float) -> float:
+        """LongitudeDefinition.getNormalizedLongitude: identity inside
+        [-180, 180], modular wrap into (-180, 180] outside."""
+        if -180.0 <= lon <= 180.0:
+            return lon
+        off = lon + 180.0
+        return (math.ceil(abs(off) / 360.0) * 360.0 + off) % 360.0 - 180.0
+
     def get_normalized_ranges(self, lo: float, hi: float) -> list[BinRange]:
-        nlo = float(self.normalize(lo))
-        nhi = float(self.normalize(hi))
+        if lo == hi:  # single value: clamp (reference super() path)
+            return super().get_normalized_ranges(lo, hi)
+        if lo == 0.0 and hi == -1.0:  # JTS empty-geometry envelope
+            return []
+        nlo = (self.wrap_longitude(lo) + 180.0) / 360.0
+        nhi = (self.wrap_longitude(hi) + 180.0) / 360.0
         if nhi < nlo:  # crosses the antimeridian
             return [BinRange(b"", 0.0, nhi), BinRange(b"", nlo, 1.0)]
         return [BinRange(b"", nlo, nhi)]

@@ -157,3 +157,36 @@ def test_zorder_monotone_per_dim():
     x = np.arange(16, dtype=np.uint64)
     z = c.encode([x, np.zeros(16, dtype=np.uint64)])
     assert (np.diff(z.astype(np.int64)) > 0).all()
+
+
+def test_longitude_definition_vectors():
+    """Vectors ported from reference LongitudeDefinitionTest.java: in-bounds
+    ranges pass through; out-of-range RANGE endpoints wrap (dateline
+    crossing east/west -> two bins); single values clamp; the JTS
+    empty-geometry envelope (0, -1) produces no ranges."""
+    lond = LongitudeDimension()
+
+    def denorm(r):
+        return (r.norm_lo * 360.0 - 180.0, r.norm_hi * 360.0 - 180.0)
+
+    # testNormalizeWithinBoundsRanges: (10, 100) -> itself
+    rs = lond.get_normalized_ranges(10.0, 100.0)
+    assert len(rs) == 1 and denorm(rs[0]) == (10.0, 100.0)
+    # testNormalizeWithinBoundsValue: wrap 200 -> -160, -200 -> 160
+    assert lond.wrap_longitude(200.0) == -160.0
+    assert lond.wrap_longitude(-200.0) == 160.0
+    # testNormalizeDateLineCrossingEast: (150, 200) -> (-180,-160), (150,180)
+    rs = lond.get_normalized_ranges(150.0, 200.0)
+    assert len(rs) == 2
+    assert denorm(rs[0]) == (-180.0, -160.0)
+    assert denorm(rs[1]) == (150.0, 180.0)
+    # testNormalizeDateLineCrossingWest: (-200, -170) -> (-180,-170), (160,180)
+    rs = lond.get_normalized_ranges(-200.0, -170.0)
+    assert len(rs) == 2
+    assert denorm(rs[0]) == (-180.0, -170.0)
+    assert denorm(rs[1]) == (160.0, 180.0)
+    # single value clamps (reference super() path)
+    rs = lond.get_normalized_ranges(200.0, 200.0)
+    assert len(rs) == 1 and denorm(rs[0]) == (180.0, 180.0)
+    # JTS empty-geometry envelope -> empty scan
+    assert lond.get_normalized_ranges(0.0, -1.0) == []

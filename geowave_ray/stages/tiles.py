@@ -339,17 +339,43 @@ class _PartialMosaic:
         starts = np.nonzero(new)[0]
         counts = np.diff(np.append(starts, len(cells)))
         if self.merge in ("sum", "mean"):
-            acc = np.add.reduceat(tiles.astype(np.int64), starts, axis=0)
-            blob_type = pa.binary(nb * 8)
-            blobs = acc.astype("<i8").tobytes()
-        else:
-            red = np.maximum if self.merge == "max" else np.minimum
-            acc = red.reduceat(tiles, starts, axis=0)
-            blob_type = pa.binary(nb)
-            blobs = acc.tobytes()
+            # Width-dispatched partial format (large_binary): a cell this
+            # batch saw ONCE ships its RAW uint8 tile (nb bytes — zero
+            # inflation, the common case at low per-block duplication); a
+            # combined cell ships int32 partial sums (4*nb bytes).  int32
+            # cannot overflow: a per-block partial is <= 255 * rows_in_block.
+            assert counts.max(initial=0) <= 8_421_504, "block too large for int32 partials"
+            singles = counts == 1
+            multis = ~singles
+            order2 = np.concatenate([np.nonzero(singles)[0], np.nonzero(multis)[0]])
+            parts = []
+            if singles.any():
+                parts.append(tiles[starts[singles]].reshape(-1).view(np.uint8))
+            if multis.any():
+                acc = np.add.reduceat(tiles.astype(np.int32), starts, axis=0)[multis]
+                parts.append(np.ascontiguousarray(acc.astype("<i4")).reshape(-1).view(np.uint8))
+            blobs = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+            widths = np.where(singles[order2], nb, 4 * nb).astype(np.int64)
+            offs = np.zeros(len(order2) + 1, dtype=np.int64)
+            np.cumsum(widths, out=offs[1:])
+            tile_col = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                len(order2),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blobs.tobytes())],
+            )
+            return pa.table(
+                {
+                    "tier": pa.array(tiers[starts][order2], type=pa.uint8()),
+                    "cell": pa.array(cells[starts][order2], type=pa.uint64()),
+                    "n_partial": pa.array(counts[order2], type=pa.int64()),
+                    "tile": tile_col,
+                }
+            )
+        red = np.maximum if self.merge == "max" else np.minimum
+        acc = red.reduceat(tiles, starts, axis=0)
         n = len(starts)
         tile_col = pa.FixedSizeBinaryArray.from_buffers(
-            blob_type, n, [None, pa.py_buffer(blobs)]
+            pa.binary(nb), n, [None, pa.py_buffer(acc.tobytes())]
         )
         return pa.table(
             {
@@ -374,8 +400,25 @@ class _FinalMosaic:
         nb = self.tile_size * self.tile_size * 3
         n = int(pa.compute.sum(group.column("n_partial")).as_py())
         if self.merge in ("sum", "mean"):
-            bufs = _stack_tiles(group.column("tile"), nb * 8)
-            acc = bufs.view("<i8").reshape(len(group), nb).sum(axis=0)
+            # width-dispatched partials: nb bytes = raw uint8 pass-through,
+            # 4*nb bytes = int32 partial sums (see _PartialMosaic)
+            col = group.column("tile").combine_chunks()
+            if isinstance(col, pa.ChunkedArray):  # single chunk after combine
+                col = col.chunk(0)
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset : col.offset + len(col) + 1
+            ]
+            buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            widths = np.diff(offs)
+            acc = np.zeros(nb, dtype=np.int64)
+            m8 = widths == nb
+            if m8.any():
+                mat = buf[offs[:-1][m8][:, None] + np.arange(nb)]
+                acc += mat.astype(np.int64).sum(axis=0)
+            m32 = widths == 4 * nb
+            if m32.any():
+                matb = buf[offs[:-1][m32][:, None] + np.arange(4 * nb)]
+                acc += np.ascontiguousarray(matb).view("<i4").astype(np.int64).sum(axis=0)
             acc = np.clip(acc, 0, 255) if self.merge == "sum" else acc // n
             tile = acc.astype(np.uint8)
         else:

@@ -218,6 +218,28 @@ def apply_filter(ds, expr: Expr):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def collect_columns(expr: Expr) -> set:
+    """All ``_Col`` names referenced anywhere in an expression tree —
+    walks every dataclass field recursively (used by GWQL's field
+    validation, GWQLParserTest.java's 'Field X did not exist' contract)."""
+    import dataclasses
+
+    out: set = set()
+
+    def walk(e):
+        if isinstance(e, _Col):
+            out.add(e.name)
+            return
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name, None)
+                if isinstance(v, Expr):
+                    walk(v)
+
+    walk(expr)
+    return out
+
+
 def extract_bbox(expr: Expr, lon_col: str = "lon", lat_col: str = "lat"):
     """Pull an index-usable bbox out of an AND-tree of lon/lat comparisons
     (OptimalExpressionQuery constraint extraction analog).  Returns

@@ -241,6 +241,27 @@ def _parse_pred_and(p: _Parser):
             term = None  # fine refinement handled by spatial query
         else:
             name = p.next()[1]
+            if p.peek() == ("op", "("):
+                # function-call syntax on an unregistered name: consume the
+                # args, then classify by what follows (GWQLParserTest.java
+                # testInvalidFilters contract)
+                p.next()
+                depth = 1
+                while depth:
+                    kk, vv = p.next()
+                    if kk is None:
+                        break
+                    if (kk, vv) == ("op", "("):
+                        depth += 1
+                    elif (kk, vv) == ("op", ")"):
+                        depth -= 1
+                if p.peek()[0] == "op" and p.peek()[1] in ("=", "<>", "<", "<=", ">", ">="):
+                    raise ValueError(
+                        f"No expression function was found with the name: {name}"
+                    )
+                raise ValueError(
+                    f"No predicate function was found with the name: {name}"
+                )
             k2, op = p.next()
             if k2 == "word" and op.upper() == "BETWEEN":
                 lo = p.next()[1]
@@ -260,6 +281,9 @@ def _parse_pred_and(p: _Parser):
                     ts = _iso_us(str(p.next()[1]))
                     term = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
             else:
+                cmp_ops = ("=", "<>", "<", "<=", ">", ">=")
+                if not (k2 == "op" and op in cmp_ops):
+                    raise ValueError(f"No '{op}' operator was found")
                 val = p.next()[1]
                 c = col(name)
                 term = {
@@ -296,6 +320,25 @@ def run_gwql(query: str, tables: dict, lon_col="lon", lat_col="lat"):
 
     plan = parse_gwql(query)
     ds = tables[plan["table"]]
+    # field validation (GWQLParserTest.java: "Field X did not exist in the
+    # specified type"): every column referenced by the statement must be in
+    # the dataset schema.  CONCAT args are exempt (literals are legal there).
+    fields = set(ds.schema().names)
+    referenced: set = set()
+    if plan["where"] is not None:
+        from .expressions import collect_columns
+
+        referenced |= collect_columns(plan["where"])
+    for kind, arg, _alias in plan["select"]:
+        if kind == "COL":
+            referenced.add(arg)
+        elif kind in ("SUM", "MIN", "MAX", "COUNT") and arg != "*":
+            referenced.add(arg)
+        elif kind in ("ABS", "BBOX", "TRANGE"):
+            referenced |= {a for a in arg if isinstance(a, str)}
+    for name in sorted(referenced):
+        if name not in fields:
+            raise ValueError(f"Field {name} did not exist in the specified type")
     if plan.get("delete"):
         # DELETE: keep the rows NOT matched by (spatial AND where)
         from ..geom.predicates import points_in_polygon

@@ -470,3 +470,36 @@ def test_gwql_parenthesized_groups(ray_session):
     inbox = (lon >= -90) & (lon <= 0) & (lat >= -45) & (lat <= 0)
     want2 = (inbox | (v > 90)) & (v < 99)
     assert out2.column("n")[0].as_py() == int(want2.sum())
+
+
+def test_gwql_invalid_statements(ray_session):
+    """Vectors ported from reference GWQLParserTest.java testInvalidFilters:
+    unknown fields, unknown expression/predicate functions and unknown
+    operators raise ValueError with the reference's message shapes."""
+    import ray
+
+    import pyarrow as pa
+    import pytest
+
+    from geowave_ray.query.gwql import run_gwql
+
+    ds = ray.data.from_arrow(
+        pa.table({"pop": [1], "pid": [2], "comment": ["a"], "lon": [0.0], "lat": [0.0]})
+    )
+    t = {"type": ds}
+    with pytest.raises(ValueError, match="Field nonexistent did not exist"):
+        run_gwql("SELECT * FROM type WHERE nonexistent > 5", t)
+    with pytest.raises(ValueError, match="Field nonexistent did not exist"):
+        run_gwql("SELECT nonexistent FROM type", t)
+    with pytest.raises(
+        ValueError, match="No expression function was found with the name: nonexistent"
+    ):
+        run_gwql("SELECT * FROM type WHERE nonexistent(pid) > 5", t)
+    with pytest.raises(
+        ValueError, match="No predicate function was found with the name: nonexistent"
+    ):
+        run_gwql("SELECT * FROM type WHERE nonexistent(pid)", t)
+    with pytest.raises(ValueError, match="No 'nonexistent' operator was found"):
+        run_gwql("SELECT * FROM type WHERE pid nonexistent pid", t)
+    with pytest.raises(ValueError, match="Field ghost did not exist"):
+        run_gwql("SELECT SUM(ghost) FROM type", t)

@@ -14,7 +14,9 @@ Subset of the reference's GWQL grammar
 - predicates: col <op> literal (op in =, <>, <, <=, >, >=),
   col BETWEEN a AND b, AND-combinations,
   BBOX(lon_col, lat_col, minx, miny, maxx, maxy),
-  INTERSECTS(lon_col, lat_col, 'POLYGON WKT-lite ((x y, x y, ...))')
+  INTERSECTS(lon_col, lat_col, 'POLYGON WKT-lite ((x y, x y, ...))'),
+  strStartsWith/strEndsWith/strContains(col, 'lit'[, ignoreCase])
+  (TextPredicates.java)
 - the primary API remains the Python builders; this façade exists for
   parity with the reference's string query surface.
 
@@ -239,6 +241,26 @@ def _parse_pred_and(p: _Parser):
             poly = _parse_wkt_polygon(wkt)
             spatial = SpatialQuery(poly)
             term = None  # fine refinement handled by spatial query
+        elif k == "word" and v.upper() in ("STRSTARTSWITH", "STRENDSWITH", "STRCONTAINS"):
+            # text predicate functions (TextPredicates.java:50-81 —
+            # strStartsWith/strEndsWith/strContains(field, 'lit'[, ignoreCase]))
+            fname = v.upper()
+            p.next()
+            p.expect_op("(")
+            field = p.next()[1]
+            p.expect_op(",")
+            litv = p.next()[1]
+            ignore = False
+            if p.peek() == ("op", ","):
+                p.next()
+                ignore = str(p.next()[1]).upper() == "TRUE"
+            p.expect_op(")")
+            c = col(field)
+            term = {
+                "STRSTARTSWITH": c.starts_with,
+                "STRENDSWITH": c.ends_with,
+                "STRCONTAINS": c.contains,
+            }[fname](str(litv), ignore_case=ignore)
         else:
             name = p.next()[1]
             if p.peek() == ("op", "("):

@@ -503,3 +503,31 @@ def test_gwql_invalid_statements(ray_session):
         run_gwql("SELECT * FROM type WHERE pid nonexistent pid", t)
     with pytest.raises(ValueError, match="Field ghost did not exist"):
         run_gwql("SELECT SUM(ghost) FROM type", t)
+
+
+def test_gwql_text_predicate_functions(ray_session):
+    """Vectors ported from reference GWQLParserTest.java
+    testTextPredicateFunctions: strStartsWith / strEndsWith / strContains
+    with the optional ignoreCase third argument."""
+    import ray
+
+    import pyarrow as pa
+
+    from geowave_ray.query.gwql import run_gwql
+
+    ds = ray.data.from_arrow(
+        pa.table({"pid": ["value", "VALUE", "prevalue", "other"], "n": [1, 2, 3, 4]})
+    )
+    t = {"type": ds}
+
+    def rows(q):
+        return sorted(run_gwql(q, t).to_pandas()["n"].tolist())
+
+    assert rows("SELECT * FROM type WHERE strStartsWith(pid, 'val')") == [1]
+    assert rows("SELECT * FROM type WHERE strStartsWith(pid, 'val', true)") == [1, 2]
+    assert rows("SELECT * FROM type WHERE strEndsWith(pid, 'value')") == [1, 3]
+    assert rows("SELECT * FROM type WHERE strEndsWith(pid, 'value', true)") == [1, 2, 3]
+    assert rows("SELECT * FROM type WHERE strContains(pid, 'val')") == [1, 3]
+    assert rows("SELECT * FROM type WHERE strContains(pid, 'val', true)") == [1, 2, 3]
+    # composes with AND
+    assert rows("SELECT * FROM type WHERE strContains(pid, 'val') AND n > 1") == [3]

@@ -494,11 +494,11 @@ def _parse_vmul(p: _Parser) -> Expr:
 def _parse_vprim(p: _Parser) -> Expr:
     k, v = p.next()
     if k == "num" or k == "str":
-        return lit(v)
+        return _parse_cast_suffix(p, lit(v))
     if k == "op" and v == "(":
         e = _parse_value(p)
         p.expect_op(")")
-        return e
+        return _parse_cast_suffix(p, e)
     if k == "op" and v == "-":
         return lit(0.0) - _parse_vprim(p)
     if k != "word":
@@ -510,5 +510,20 @@ def _parse_vprim(p: _Parser) -> Expr:
         p.next()
         arg = _parse_value(p)
         p.expect_op(")")
-        return _Unary(fn, arg)
-    return col(v)
+        return _parse_cast_suffix(p, _Unary(fn, arg))
+    return _parse_cast_suffix(p, col(v))
+
+
+def _parse_cast_suffix(p: _Parser, e: Expr) -> Expr:
+    """GWQL ``expr::type`` casts — registered types are ``text`` and
+    ``number`` (GWQLCoreExtensions.java:62-64); an unregistered name
+    raises the reference's message (GWQLParseHelper.java:336-341)."""
+    from .expressions import _Cast
+
+    while p.peek() == ("op", "::"):
+        p.next()
+        t = str(p.next()[1]).lower()
+        if t not in ("text", "number"):
+            raise ValueError(f"Type '{t}' is undefined")
+        e = _Cast(e, t)
+    return e

@@ -218,6 +218,21 @@ def apply_filter(ds, expr: Expr):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@dataclass(eq=False)
+class _Cast(Expr):
+    """GWQL ``::text`` / ``::number`` cast (TextCastableType.java /
+    NumberCastableType.java)."""
+
+    inner: Expr
+    to: str
+
+    def evaluate(self, batch):
+        v = self.inner.evaluate(batch)
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return str(v) if self.to == "text" else float(v)
+        return pc.cast(v, pa.string() if self.to == "text" else pa.float64())
+
+
 def collect_columns(expr: Expr) -> set:
     """All ``_Col`` names referenced anywhere in an expression tree —
     walks every dataclass field recursively (used by GWQL's field

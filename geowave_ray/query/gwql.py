@@ -40,7 +40,7 @@ _TOKEN = re.compile(
     # + - / are CQL arithmetic operators (query/cql.py value expressions);
     # num still binds a tight leading minus ("-5"), so a subtraction needs
     # whitespace ("a - 5") — GeoTools ECQL tokenizes the same way
-    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'[^']*')|(?P<op><>|<=|>=|=|<|>|\(|\)|,|\*|\+|-|/)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
+    r"\s*(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'[^']*')|(?P<op>::|<>|<=|>=|=|<|>|\(|\)|,|\*|\+|-|/)|(?P<word>[A-Za-z_][A-Za-z_0-9.]*))"
 )
 
 
@@ -262,11 +262,14 @@ def _parse_pred_and(p: _Parser):
                 "STRCONTAINS": c.contains,
             }[fname](str(litv), ignore_case=ignore)
         else:
-            name = p.next()[1]
-            if p.peek() == ("op", "("):
+            from .cql import _CQL_FUNCS, _parse_value
+
+            nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else (None, None)
+            if k == "word" and nxt == ("op", "(") and v.lower() not in _CQL_FUNCS:
                 # function-call syntax on an unregistered name: consume the
                 # args, then classify by what follows (GWQLParserTest.java
                 # testInvalidFilters contract)
+                name = p.next()[1]
                 p.next()
                 depth = 1
                 while depth:
@@ -284,17 +287,29 @@ def _parse_pred_and(p: _Parser):
                 raise ValueError(
                     f"No predicate function was found with the name: {name}"
                 )
-            k2, op = p.next()
+            # both comparison sides are full value expressions (shared ECQL
+            # grammar: attributes, literals, + - * / arithmetic, expression
+            # functions, ::text/::number casts) — attr-to-attr comparisons
+            # and math predicates parse like the reference
+            # (GWQLParserTest.java testMathExpression / testCasting)
+            c = _parse_value(p)
+            k2, op = p.peek()
             if k2 == "word" and op.upper() == "BETWEEN":
-                lo = p.next()[1]
+                p.next()
+                lo = _parse_value(p)
                 p.expect_word("AND")
-                hi = p.next()[1]
-                term = col(name).between(lo, hi)
+                hi = _parse_value(p)
+                term = c.between(lo, hi)
             elif k2 == "word" and op.upper() in ("BEFORE", "AFTER", "DURING"):
                 # GWQLSpatialTemporalExtensions temporal predicate surface
                 from .cql import _TimeCmp, _iso_us
+                from .expressions import _Col
 
+                if not isinstance(c, _Col):
+                    raise ValueError(f"{op.upper()} needs a plain timestamp attribute")
+                name = c.name
                 u = op.upper()
+                p.next()
                 if u == "DURING":
                     span = str(p.next()[1])
                     lo_s, hi_s = span.split("/")
@@ -304,10 +319,10 @@ def _parse_pred_and(p: _Parser):
                     term = _TimeCmp(name, "<" if u == "BEFORE" else ">", ts)
             else:
                 cmp_ops = ("=", "<>", "<", "<=", ">", ">=")
+                k2, op = p.next()
                 if not (k2 == "op" and op in cmp_ops):
                     raise ValueError(f"No '{op}' operator was found")
-                val = p.next()[1]
-                c = col(name)
+                val = _parse_value(p)
                 term = {
                     "=": c == val,
                     "<>": c != val,

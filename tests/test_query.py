@@ -531,3 +531,35 @@ def test_gwql_text_predicate_functions(ray_session):
     assert rows("SELECT * FROM type WHERE strContains(pid, 'val', true)") == [1, 2, 3]
     # composes with AND
     assert rows("SELECT * FROM type WHERE strContains(pid, 'val') AND n > 1") == [3]
+
+
+def test_gwql_math_casting_attr_comparisons(ray_session):
+    """Vectors ported from reference GWQLParserTest.java testMathExpression
+    / testComparisonOperators / testCasting: arithmetic predicates,
+    attribute-to-attribute comparisons, ::text casts, and the undefined
+    cast-type error."""
+    import ray
+
+    import pyarrow as pa
+    import pytest
+
+    from geowave_ray.query.gwql import run_gwql
+
+    ds = ray.data.from_arrow(
+        pa.table({"pop": [15, 30, 21], "pid": [3, 4, 30]})
+    )
+    t = {"type": ds}
+
+    def rows(q):
+        return sorted(run_gwql(q, t).to_pandas()["pop"].tolist())
+
+    assert rows("SELECT * FROM type WHERE pop + 5 > 25") == [21, 30]
+    assert rows("SELECT * FROM type WHERE pop - 5 > 20") == [30]
+    assert rows("SELECT * FROM type WHERE pop * 2 > 41") == [21, 30]
+    assert rows("SELECT * FROM type WHERE pop / 2 > 10") == [21, 30]
+    assert rows("SELECT * FROM type WHERE pop > pid") == [15, 30]
+    assert rows("SELECT * FROM type WHERE pop::text = '15'") == [15]
+    # pop=15,pid=3: 3<=15<=23 qualifies; pop=30,pid=4: 30>24; pop=21,pid=30: 21<30
+    assert rows("SELECT * FROM type WHERE pop BETWEEN pid AND pid + 20") == [15]
+    with pytest.raises(ValueError, match="Type 'nonexistent' is undefined"):
+        rows("SELECT * FROM type WHERE pop::nonexistent > 5")

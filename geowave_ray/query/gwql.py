@@ -170,6 +170,22 @@ def parse_gwql(query: str) -> dict:
     }
 
 
+_GWQL_SPATIAL_OPS = (
+    "INTERSECTS",
+    "DISJOINT",
+    "WITHIN",
+    "CONTAINS",
+    "TOUCHES",
+    "CROSSES",
+    "OVERLAPS",
+    "EQUALS",
+)
+_GWQL_SPATIAL_LOOSE = {
+    "INTERSECTSLOOSE": "INTERSECTS",
+    "DISJOINTLOOSE": "DISJOINT",
+}
+
+
 def _parse_predicates(p: _Parser):
     """OR of AND-groups.  A single spatial constraint extracts to the
     planner (index-usable); OR over spatial predicates falls back to
@@ -210,7 +226,10 @@ def _parse_pred_and(p: _Parser):
                 leaf = _SpatialExpr(s2)
                 e2 = e2 & leaf if e2 is not None else leaf
             term = e2
-        elif k == "word" and v.upper() == "BBOX":
+        elif k == "word" and v.upper() in ("BBOX", "BBOXLOOSE"):
+            # bboxLoose compares envelopes only — identical to bbox for the
+            # engine's point datasets (GWQLSpatialTemporalExtensions loose
+            # predicate variants)
             p.next()
             p.expect_op("(")
             args = []
@@ -229,7 +248,13 @@ def _parse_pred_and(p: _Parser):
                 & (col(lat_c) >= miny)
                 & (col(lat_c) <= maxy)
             )
-        elif k == "word" and v.upper() == "INTERSECTS":
+        elif k == "word" and (
+            v.upper() in _GWQL_SPATIAL_OPS or v.upper() in _GWQL_SPATIAL_LOOSE
+        ):
+            # spatial predicate functions (GWQLSpatialTemporalExtensions:
+            # intersects/disjoint/within/contains/touches/crosses/overlaps/
+            # equals + the Loose envelope-only variants)
+            u = v.upper()
             p.next()
             p.expect_op("(")
             lon_c = p.next()[1]
@@ -239,8 +264,20 @@ def _parse_pred_and(p: _Parser):
             wkt = p.next()[1]
             p.expect_op(")")
             poly = _parse_wkt_polygon(wkt)
-            spatial = SpatialQuery(poly)
-            term = None  # fine refinement handled by spatial query
+            if u in _GWQL_SPATIAL_LOOSE:
+                from ..geom.wkb import bbox_of
+
+                u = _GWQL_SPATIAL_LOOSE[u]
+                poly = box_polygon(*bbox_of(poly))
+            if u == "INTERSECTS":
+                spatial = SpatialQuery(poly)
+                term = None  # fine refinement handled by spatial query
+            else:
+                # non-intersects ops run as row filters (the CQL scan
+                # fallback machinery; DISJOINT must not prune by bbox)
+                from .cql import _SpatialExpr
+
+                term = _SpatialExpr(SpatialQuery(poly, op=u))
         elif k == "word" and v.upper() in ("STRSTARTSWITH", "STRENDSWITH", "STRCONTAINS"):
             # text predicate functions (TextPredicates.java:50-81 —
             # strStartsWith/strEndsWith/strContains(field, 'lit'[, ignoreCase]))

@@ -563,3 +563,36 @@ def test_gwql_math_casting_attr_comparisons(ray_session):
     assert rows("SELECT * FROM type WHERE pop BETWEEN pid AND pid + 20") == [15]
     with pytest.raises(ValueError, match="Type 'nonexistent' is undefined"):
         rows("SELECT * FROM type WHERE pop::nonexistent > 5")
+
+
+def test_gwql_spatial_predicate_family(ray_session):
+    """GWQL spatial predicate functions (geotime GWQLParserTest.java
+    testSpatialPredicateFunctions surface): the 8 compare ops + Loose
+    envelope variants.  Reference direction (SpatialQueryFilter.java:
+    46-125): op applies as constraintGeometry.op(dataGeometry), so
+    CONTAINS is true for points inside the query polygon and WITHIN is
+    always false for point data."""
+    import ray
+
+    import pyarrow as pa
+
+    from geowave_ray.query.gwql import run_gwql
+
+    ds = ray.data.from_arrow(
+        pa.table({"pid": [1, 2, 3], "lon": [5.0, 0.0, 20.0], "lat": [5.0, 5.0, 20.0]})
+    )
+    P = "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'"
+
+    def rows(q):
+        out = run_gwql(q, {"type": ds}).to_pandas()
+        return sorted(out["pid"].tolist()) if len(out) else []
+
+    assert rows(f"SELECT * FROM type WHERE intersects(lon, lat, {P})") == [1, 2]
+    assert rows(f"SELECT * FROM type WHERE contains(lon, lat, {P})") == [1, 2]
+    assert rows(f"SELECT * FROM type WHERE within(lon, lat, {P})") == []
+    assert rows(f"SELECT * FROM type WHERE disjoint(lon, lat, {P})") == [3]
+    assert rows(f"SELECT * FROM type WHERE touches(lon, lat, {P})") == []
+    assert rows(f"SELECT * FROM type WHERE intersectsLoose(lon, lat, {P})") == [1, 2]
+    assert rows(f"SELECT * FROM type WHERE disjointLoose(lon, lat, {P})") == [3]
+    assert rows(f"SELECT * FROM type WHERE bboxLoose(lon, lat, 0, 0, 10, 10)") == [1, 2]
+    assert rows(f"SELECT * FROM type WHERE contains(lon, lat, {P}) AND pid > 1") == [2]

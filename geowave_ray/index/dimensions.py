@@ -242,10 +242,14 @@ def _year_start_ms(year: np.ndarray) -> np.ndarray:
 
 _PERIODS = {
     # periodicity -> (numpy unit, bin-label digits, label formatter width)
+    # (TemporalBinningStrategy.java:37-43 Unit — WEEK omitted: its bin
+    # boundary depends on the JVM locale's first-day-of-week, so there is
+    # no locale-free behavior to match)
     "YEAR": ("Y", 4),
     "MONTH": ("M", 6),
     "DAY": ("D", 8),
     "HOUR": ("h", 10),
+    "MINUTE": ("m", 12),
 }
 
 
@@ -313,7 +317,12 @@ class TimeDimension:
         hours = (
             dt.astype("datetime64[h]") - dt.astype("datetime64[D]").astype("datetime64[h]")
         ).astype(np.int64)
-        return ((years * 100 + months) * 100 + days) * 100 + hours
+        if self.periodicity == "HOUR":
+            return ((years * 100 + months) * 100 + days) * 100 + hours
+        minutes = (
+            dt.astype("datetime64[m]") - dt.astype("datetime64[h]").astype("datetime64[m]")
+        ).astype(np.int64)
+        return (((years * 100 + months) * 100 + days) * 100 + hours) * 100 + minutes
 
     def bins_of(self, t_ms: np.ndarray) -> np.ndarray:
         """Integer bin labels of timestamps."""
@@ -342,17 +351,21 @@ class TimeDimension:
         lo_ms, hi_ms = int(min(lo_ms, hi_ms)), int(max(lo_ms, hi_ms))
         i0 = int(self._bin_index(np.int64(lo_ms)))
         i1 = int(self._bin_index(np.int64(hi_ms)))
-        out = []
-        for i in range(i0, i1 + 1):
-            start = int(self._bin_start_ms(np.int64(i)))
-            end = int(self._bin_start_ms(np.int64(i + 1)))
-            seg_lo = max(lo_ms, start)
-            seg_hi = min(hi_ms, end)
-            out.append(
-                BinRange(
-                    self.bin_id_bytes(int(self._label_of_index(np.int64(i)))),
-                    (seg_lo - start) / (end - start),
-                    (seg_hi - start) / (end - start),
-                )
-            )
-        return out
+        # vectorized bin edges/labels (a multi-year DAY/HOUR/MINUTE query
+        # decomposes into many bins — TemporalBinningStrategyTest exercises
+        # 250k; the per-bin Python loop only assembles the BinRange objects)
+        idx = np.arange(i0, i1 + 2, dtype=np.int64)
+        edges = self._bin_start_ms(idx)
+        labels = self._label_of_index(idx[:-1])
+        width = self.fixed_bin_id_size
+        ids = np.char.encode(np.char.zfill(labels.astype("U"), width), "ascii")
+        starts, ends = edges[:-1], edges[1:]
+        seg_lo = np.maximum(lo_ms, starts)
+        seg_hi = np.minimum(hi_ms, ends)
+        span = (ends - starts).astype(np.float64)
+        nlo = (seg_lo - starts) / span
+        nhi = (seg_hi - starts) / span
+        return [
+            BinRange(bytes(ids[j]), float(nlo[j]), float(nhi[j]))
+            for j in range(len(starts))
+        ]

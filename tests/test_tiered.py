@@ -476,3 +476,35 @@ def test_periodic_dimension_out_of_range_wrap():
     assert len(rs2) == 1
     assert abs(rs2[0].norm_lo - 10 / 360) < 1e-12
     assert abs(rs2[0].norm_hi - 50 / 360) < 1e-12
+
+
+def test_temporal_binning_large_bin_counts():
+    """Ported from reference TemporalBinningStrategyTest.java: a full-extent
+    range spanning N calendar units decomposes into exactly N bins (DAY/
+    MONTH/HOUR/MINUTE at 250k bins with the reference's arbitrary start
+    times; YEAR at 25k — numpy datetime64[Y] range guard), every interior
+    bin fully covered."""
+    import numpy as np
+
+    from geowave_ray.index.dimensions import TimeDimension
+
+    for unit, arbitrary, n in [
+        ("DAY", 123456789876, 250_000),
+        ("MONTH", 9876543210, 250_000),
+        ("YEAR", 0, 25_000),
+        ("HOUR", 0, 250_000),
+        ("MINUTE", 0, 250_000),
+    ]:
+        d = TimeDimension(unit)
+        i0 = int(d._bin_index(np.int64(arbitrary)))
+        start = int(d._bin_start_ms(np.int64(i0)))
+        end = int(d._bin_start_ms(np.int64(i0 + n)))
+        rs = d.get_normalized_ranges(start, end - 1)
+        assert len(rs) == n, (unit, len(rs))
+        assert rs[0].norm_lo == 0.0 and rs[0].norm_hi == 1.0
+        assert rs[-1].norm_lo == 0.0 and rs[-1].norm_hi < 1.0
+    # MINUTE bin label shape: YYYYMMDDHHMM
+    d = TimeDimension("MINUTE")
+    t = np.datetime64("2024-03-05T07:09:30").astype("datetime64[ms]").astype(np.int64)
+    assert d.bins_of(np.array([t]))[0] == 202403050709
+    assert d.bin_id_bytes(202403050709) == b"202403050709"

@@ -584,38 +584,15 @@ def track_simplify(
         __name__ = "track_simplify"
 
         def __call__(self, group: pa.Table) -> pa.Table:
+            from ..geom.simplify import dp_keep_mask
+
             ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype("int64")
             oid = group.column(order_col).to_numpy(zero_copy_only=False)
             x = group.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
             y = group.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
             sel = np.lexsort((oid, ts))
             x, y = x[sel], y[sel]
-            n = len(x)
-            keep = np.zeros(n, dtype=bool)
-            keep[0] = keep[-1] = True
-            stack = [(0, n - 1)]
-            while stack:
-                lo, hi = stack.pop()
-                if hi - lo < 2:
-                    continue
-                xs = x[lo + 1 : hi]
-                ys = y[lo + 1 : hi]
-                dx = x[hi] - x[lo]
-                dy = y[hi] - y[lo]
-                if dx == 0 and dy == 0:
-                    m = (xs - x[lo]) ** 2 + (ys - y[lo]) ** 2
-                    lim = tol_sq
-                else:
-                    cr = dx * (ys - y[lo]) - dy * (xs - x[lo])
-                    m = cr * cr
-                    lim = tol_sq * (dx * dx + dy * dy)
-                j = int(np.argmax(m))  # ties -> smallest index
-                if m[j] > lim:
-                    k = lo + 1 + j
-                    keep[k] = True
-                    stack.append((lo, k))
-                    stack.append((k, hi))
-            idx = np.flatnonzero(keep)
+            idx = np.flatnonzero(dp_keep_mask(x, y, tol_sq))
             key_scalar = group.column(key_col)[0]
             return pa.table(
                 {

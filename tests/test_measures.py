@@ -102,3 +102,58 @@ def test_ring_measures_overflow_guard_raises():
     ys = np.array([0, 0, big, big], dtype=np.int64)
     with pytest.raises(ValueError, match="int64"):
         ring_measures(np.array([0], dtype=np.int64), xs, ys)
+
+
+def test_simplify_wkb_dp(ray_session):
+    """Ingest-time DP simplification (GeometrySimpOptionProvider.java:34-48
+    analog): collinear interior vertices drop, far vertices survive, the
+    --simpVertMin gate passes small geometries through, rings keep >= 4
+    points, and Points are untouched."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    from geowave_ray.geom.simplify import dp_keep_mask, simplify_geometry, simplify_wkb
+    from geowave_ray.geom.wkb import LineString, Point, Polygon, parse_wkb, to_wkb
+
+    # nearly-collinear line: interior points within tolerance drop
+    line = LineString(np.array([[0, 0], [1, 0.001], [2, -0.001], [3, 0], [3, 5]], float))
+    poly = Polygon(np.array([[0, 0], [4, 0], [4, 4], [2, 4.001], [0, 4], [0, 0]], float))
+    tiny = LineString(np.array([[0, 0], [5, 5]], float))
+    pt = Point(7.0, 8.0)
+    t = pa.table(
+        {
+            "gid": [1, 2, 3, 4],
+            "wkb": pa.array(
+                [to_wkb(line), to_wkb(poly), to_wkb(tiny), to_wkb(pt)],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    out = (
+        simplify_wkb(ray.data.from_arrow(t), "wkb", tolerance=0.1, min_vertices=3)
+        .to_pandas()
+        .sort_values("gid")
+    )
+    g1 = parse_wkb(out.iloc[0]["wkb"])
+    np.testing.assert_allclose(g1.coords, [[0, 0], [3, 0], [3, 5]])
+    g2 = parse_wkb(out.iloc[1]["wkb"])
+    np.testing.assert_allclose(
+        g2.shell, [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    )
+    # min_vertices=3 gate: the 2-point line is untouched
+    g3 = parse_wkb(out.iloc[2]["wkb"])
+    np.testing.assert_allclose(g3.coords, tiny.coords)
+    g4 = parse_wkb(out.iloc[3]["wkb"])
+    assert (g4.x, g4.y) == (7.0, 8.0)
+    # ring validity floor: an aggressive tolerance keeps the original ring
+    small_ring = Polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float))
+    s = simplify_geometry(small_ring, tolerance=100.0)
+    np.testing.assert_allclose(s.shell, small_ring.shell)
+    # int64 exactness: kernel matches itself under dtype change on ints
+    xi = np.array([0, 1, 2, 3, 3], dtype=np.int64)
+    yi = np.array([0, 0, 0, 0, 5], dtype=np.int64)
+    np.testing.assert_array_equal(
+        dp_keep_mask(xi, yi, 1), dp_keep_mask(xi.astype(float), yi.astype(float), 1.0)
+    )

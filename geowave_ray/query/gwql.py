@@ -278,6 +278,32 @@ def _parse_pred_and(p: _Parser):
                 from .cql import _SpatialExpr
 
                 term = _SpatialExpr(SpatialQuery(poly, op=u))
+        elif k == "word" and v.upper() in ("TCONTAINS", "TOVERLAPS"):
+            # temporal predicate functions (geotime GWQLParserTest.java
+            # testTemporalPredicateFunctions): the literal is an instant or
+            # 'lo/hi' range.  For the engine's instant-valued time fields,
+            # toverlaps == the instant falls in the literal range, and
+            # tcontains (field range contains literal range) is equality
+            # for instant literals and constant-false for true ranges — an
+            # instant cannot contain a range (expressed as an inverted
+            # between so the filter stays vectorized).
+            u = v.upper()
+            p.next()
+            p.expect_op("(")
+            field = p.next()[1]
+            p.expect_op(",")
+            span = str(p.next()[1])
+            p.expect_op(")")
+            from .cql import _TimeCmp, _iso_us
+
+            if "/" in span:
+                lo, hi = (_iso_us(s) for s in span.split("/"))
+            else:
+                lo = hi = _iso_us(span)
+            if u == "TOVERLAPS" or lo == hi:
+                term = _TimeCmp(field, "between", lo, hi)
+            else:
+                term = _TimeCmp(field, "between", hi, lo)  # empty interval
         elif k == "word" and v.upper() in ("STRSTARTSWITH", "STRENDSWITH", "STRCONTAINS"):
             # text predicate functions (TextPredicates.java:50-81 —
             # strStartsWith/strEndsWith/strContains(field, 'lit'[, ignoreCase]))

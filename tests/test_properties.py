@@ -138,3 +138,37 @@ def test_pii_redactor_idempotent(texts):
     # replacement tokens contain no digits or '@', so a second pass is a
     # no-op on already-redacted text
     assert once.column("text_red").to_pylist() == again.column("text_red").to_pylist()
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 500),
+)
+def test_dp_simplify_error_bound(pts, tol):
+    """Douglas-Peucker invariant: every DROPPED point lies within tolerance
+    of the chord between its surrounding KEPT points (checked with the same
+    integer cross2/len2 arithmetic), and endpoints are always kept."""
+    import numpy as np
+
+    from geowave_ray.geom.simplify import dp_keep_mask
+
+    x = np.array([p[0] for p in pts], dtype=np.int64)
+    y = np.array([p[1] for p in pts], dtype=np.int64)
+    tol_sq = tol * tol
+    keep = dp_keep_mask(x, y, tol_sq)
+    assert keep[0] and keep[-1]
+    kept = np.flatnonzero(keep)
+    for a, b in zip(kept[:-1], kept[1:]):
+        dx, dy = int(x[b] - x[a]), int(y[b] - y[a])
+        for j in range(a + 1, b):
+            if dx == 0 and dy == 0:
+                d2 = (int(x[j] - x[a])) ** 2 + (int(y[j] - y[a])) ** 2
+                assert d2 <= tol_sq
+            else:
+                cr = dx * int(y[j] - y[a]) - dy * int(x[j] - x[a])
+                assert cr * cr <= tol_sq * (dx * dx + dy * dy)

@@ -596,3 +596,38 @@ def test_gwql_spatial_predicate_family(ray_session):
     assert rows(f"SELECT * FROM type WHERE disjointLoose(lon, lat, {P})") == [3]
     assert rows(f"SELECT * FROM type WHERE bboxLoose(lon, lat, 0, 0, 10, 10)") == [1, 2]
     assert rows(f"SELECT * FROM type WHERE contains(lon, lat, {P}) AND pid > 1") == [2]
+
+
+def test_gwql_temporal_predicate_functions(ray_session):
+    """Ported from geotime GWQLParserTest.java testTemporalPredicateFunctions:
+    tcontains/toverlaps with instant and range literals over instant-valued
+    time fields."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    from geowave_ray.query.gwql import run_gwql
+
+    ts = pa.array(
+        np.array(
+            ["2020-01-01T00:00:00", "2020-01-05T12:00:00", "2020-02-01T00:00:00"],
+            dtype="datetime64[us]",
+        )
+    )
+    ds = ray.data.from_arrow(pa.table({"pid": [1, 2, 3], "start": ts}))
+    t = {"type": ds}
+
+    def rows(q):
+        out = run_gwql(q, t).to_pandas()
+        return sorted(out["pid"].tolist()) if len(out) else []
+
+    assert rows("SELECT * FROM type WHERE tcontains(start, '2020-01-01')") == [1]
+    assert rows(
+        "SELECT * FROM type WHERE toverlaps(start, '2020-01-01/2020-01-31')"
+    ) == [1, 2]
+    assert rows("SELECT * FROM type WHERE toverlaps(start, '2020-02-01')") == [3]
+    # an instant field can never CONTAIN a true range
+    assert rows(
+        "SELECT * FROM type WHERE tcontains(start, '2020-01-01/2020-01-31')"
+    ) == []

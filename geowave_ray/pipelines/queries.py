@@ -1545,6 +1545,57 @@ LIMIT {COLLOC_TOP_K}
 """
 
 
+TOKEN_BUDGET = 1200
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Per-source TOKEN-BUDGET corpus assembly: walk each source's docs in
+    doc_id order and keep docs while the running token sum stays within
+    the budget — the mixture-building "at most B tokens per domain" rule,
+    the weighted generalization of domain_cap_sample (stages/analytics.py::
+    budget_capped_sample; one per-source groupby, argsort+cumsum kernel)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.analytics import budget_capped_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    ntok.__name__ = "token_budget_ntok"
+    feats = ds.map_batches(ntok, batch_format="pyarrow")
+    return budget_capped_sample(feats, "source", "doc_id", "n_tokens", TOKEN_BUDGET)
+
+
+SQL_TOKEN_BUDGET = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM d
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c WHERE cum <= {TOKEN_BUDGET}
+"""
+
+
 DOMAIN_CAP_K = 10
 
 
@@ -5393,6 +5444,7 @@ QUERIES = {
     "trajectory_resample": q_trajectory_resample,
     "track_simplify": q_track_simplify,
     "collocations": q_collocations,
+    "token_budget_sample": q_token_budget_sample,
     "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
@@ -5474,6 +5526,7 @@ ORACLE_SQL = {
     "trajectory_stats": SQL_TRAJECTORY_STATS,
     "track_simplify": SQL_TRACK_SIMPLIFY,
     "collocations": SQL_COLLOCATIONS,
+    "token_budget_sample": SQL_TOKEN_BUDGET,
     "rect_join": SQL_RECT_JOIN,
     "focal_stats": SQL_FOCAL_STATS,
     "props_extract": SQL_PROPS_EXTRACT,

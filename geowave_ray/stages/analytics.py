@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify", "budget_capped_sample"]
 
 
 def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
@@ -607,3 +607,31 @@ def track_simplify(
             )
 
     return ds.groupby(key_col).map_groups(_DPSimplify(), batch_format="pyarrow")
+
+
+def budget_capped_sample(ds, key_col: str, order_col: str, weight_col: str, budget: int):
+    """Per-group WEIGHT-BUDGET sampling: walk each group's rows in
+    ``order_col`` order and keep rows while the running (inclusive) sum of
+    ``weight_col`` stays <= ``budget`` — the token-budget corpus-assembly
+    rule ("take at most B tokens per source/domain when building a
+    mixture"), the weighted generalization of per_group_cap's row quota.
+
+    Scale shape (100 TB): the budget prefix depends on global order within
+    the group, so unlike per_group_cap no batch-local combiner can prune
+    safely (a later-ordered block cannot know the earlier blocks' weight
+    sum); one groupby shuffle over per-key populations (the per-source
+    skew assumption documented at trajectory_stats).  Per-group kernel is
+    one argsort + one cumsum.
+    """
+
+    class _BudgetCap:
+        __name__ = f"budget_cap_{budget}"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            order = group.column(order_col).to_numpy(zero_copy_only=False)
+            w = group.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.argsort(order, kind="stable")
+            keep = sel[np.cumsum(w[sel]) <= budget]
+            return group.take(pa.array(np.sort(keep)))
+
+    return ds.groupby(key_col).map_groups(_BudgetCap(), batch_format="pyarrow")

@@ -1294,3 +1294,28 @@ def test_collocations_pmi_and_fallback_parity():
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_budget_capped_sample():
+    """Per-group weight budget: rows kept in order while the inclusive
+    running weight stays <= budget; a first row over budget keeps nothing;
+    exact-boundary row is kept."""
+    import ray
+
+    from geowave_ray.stages.analytics import budget_capped_sample
+
+    t = pa.table(
+        {
+            "src": ["a", "a", "a", "a", "b", "b", "c"],
+            "id": [1, 2, 3, 4, 1, 2, 1],
+            "w": [4, 3, 3, 1, 11, 1, 10],
+        }
+    )
+    out = (
+        budget_capped_sample(ray.data.from_arrow(t).repartition(3), "src", "id", "w", 10)
+        .to_pandas()
+        .sort_values(["src", "id"])
+    )
+    # a: 4, 7, 10 (exact boundary kept), 11 > 10 stops; b: first row 11 > 10
+    # keeps nothing; c: 10 == budget kept
+    assert list(zip(out["src"], out["id"])) == [("a", 1), ("a", 2), ("a", 3), ("c", 1)]

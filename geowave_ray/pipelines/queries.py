@@ -5346,6 +5346,247 @@ FROM generate_series(0, {KMEANS_ASSIGN_K - 1}) gs(i) LEFT JOIN s ON s.k = gs.i
 """
 
 
+# --------------------------------------------------------------- wave 7
+GEOFENCE_ZONES = 60
+
+
+def _geofence_zone_arrays(n: int = GEOFENCE_ZONES) -> dict:
+    """Integer centi-degree fence boxes — the ZONES_SQL lattice scaled by
+    exactly 100 (degree bounds are integers, so the scaling is exact)."""
+    j = np.arange(n, dtype=np.int64)
+    minx = (((j * 37) % 340) - 170) * 100
+    miny = (((j * 53) % 160) - 80) * 100
+    return {
+        "zone_id": j,
+        "minx": minx,
+        "miny": miny,
+        "maxx": minx + (3 + (j % 7)) * 100,
+        "maxy": miny + (2 + (j % 5)) * 100,
+    }
+
+
+def q_geofence_transitions(sf_dir: str):
+    """Per-user geofence ENTER/EXIT events: derived centi-degree track
+    points are assigned the smallest containing fence id (-1 outside),
+    and each consecutive pair with a changed assignment emits a
+    transition row — the geofencing / boundary-alerting shape of the
+    reference's spatial-temporal query surface (SpatialTemporalQuery,
+    core/geotime/.../api/SpatialTemporalConstraintsBuilder.java).
+    Assignment is a broadcast vectorized point-in-box (fences are
+    configuration-scale); one groupby shuffle for the LAG step."""
+    import ray
+
+    from ..stages.analytics import geofence_transitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "ix": pa.array((ev * 7919 + us) % 36000 - 18000),
+                "iy": pa.array((ev * 104729 + us * 13) % 18000 - 9000),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords_gf"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+    return geofence_transitions(
+        pts, _geofence_zone_arrays(), "user_id", "ts", "ix", "iy", "event_id"
+    )
+
+
+META_SCAN_N = 1500
+
+
+def q_image_meta_scan(sf_dir: str):
+    """Header-only image metadata extraction over the north-rule
+    image+caption table: dims/format/components sniffed from CONTAINER
+    HEADERS (PNG IHDR at fixed offset, JPEG first-SOFn via segment-length
+    hops, never touching entropy-coded data) — the O(header-bytes)
+    metadata pass a 100-TB curation pipeline runs before deciding what to
+    decode (reference reads raster metadata through ImageIO readers,
+    RasterDataAdapter.java:444-550).  The oracle regenerates the expected
+    dims/format from the shared splitmix64 synthesis rule, so a sniff
+    that silently fell back to the carried metadata columns (dropped
+    before the stage, see below) could not pass."""
+    from ..sources.images import synth_images_ds
+    from ..stages.imaging import sniff_image_meta
+
+    ds = synth_images_ds(META_SCAN_N, with_bytes=True, byte_pool=None)
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        # drop every metadata column: dims/format below come ONLY from bytes
+        blobs = batch.column("bytes")
+        fmts, ws, hs, ncs = [], [], [], []
+        for i in range(len(batch)):
+            fmt, w, h, nc = sniff_image_meta(blobs[i].as_py())
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            ncs.append(nc)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "fmt": pa.array(fmts),
+                "w": pa.array(ws, type=pa.int64()),
+                "h": pa.array(hs, type=pa.int64()),
+                "ncomp": pa.array(ncs, type=pa.int64()),
+            }
+        )
+
+    sniff.__name__ = "image_meta_sniff"
+    return ds.map_batches(sniff, batch_format="pyarrow")
+
+
+def _sql_image_meta_scan() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    return f"""
+SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS image_id,
+       CASE WHEN ({sm}) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(8 + ((({sm}) >> 8) % 9) * 4 AS BIGINT) AS w,
+       CAST(8 + ((({sm}) >> 8) % 9) * 4 AS BIGINT) AS h,
+       CAST(3 AS BIGINT) AS ncomp
+FROM range({META_SCAN_N}) t(j)
+"""
+
+
+def q_track_zone_join(sf_dir: str):
+    """LINE-feature spatial join: per-user track segments (consecutive
+    derived points ordered by ts, event_id) joined against integer zone
+    envelopes with an EXACT separating-axis intersection test — the
+    tornado_tracks-vs-polygon-filter shape of the reference's own test
+    corpus (TestUtils.java:459-562; line features flow through
+    TieredSpatialJoin's tiered keying).  One groupby shuffle to form the
+    segments; the join itself is a broadcast streaming stage
+    (stages/join.py::segment_envelope_join)."""
+    import ray
+
+    from ..stages.join import segment_envelope_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "ix": pa.array((ev * 7919 + us) % 36000 - 18000),
+                "iy": pa.array((ev * 104729 + us * 13) % 18000 - 9000),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords_tz"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+
+    class _Segments:
+        __name__ = "track_segments"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            x = group.column("ix").to_numpy(zero_copy_only=False).astype(np.int64)
+            y = group.column("iy").to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((ev, ts))
+            ev, x, y = ev[sel], x[sel], y[sel]
+            uid = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            return pa.table(
+                {
+                    "user_id": pa.array(uid[:-1]),
+                    "event_id": pa.array(ev[:-1]),
+                    "x1": pa.array(x[:-1]),
+                    "y1": pa.array(y[:-1]),
+                    "x2": pa.array(x[1:]),
+                    "y2": pa.array(y[1:]),
+                }
+            )
+
+    segs = pts.groupby("user_id").map_groups(_Segments(), batch_format="pyarrow")
+    return segment_envelope_join(
+        segs, _geofence_zone_arrays(), ("user_id", "event_id")
+    )
+
+
+SQL_TRACK_ZONE_JOIN = f"""
+WITH z AS (
+  SELECT j AS zone_id,
+         (((j * 37) % 340) - 170) * 100 AS minx,
+         (((j * 53) % 160) - 80) * 100 AS miny,
+         ((((j * 37) % 340) - 170) + 3 + (j % 7)) * 100 AS maxx,
+         ((((j * 53) % 160) - 80) + 2 + (j % 5)) * 100 AS maxy
+  FROM range({{n}}) t(j)),
+p AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS ix,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS iy
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ix AS x1, iy AS y1,
+         LEAD(ix) OVER w AS x2, LEAD(iy) OVER w AS y2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  -- extents are projected FLAT here: LEAST/GREATEST inside the join
+  -- condition trips a DuckDB internal ("requires a flat vector")
+  SELECT user_id, event_id, x1, y1, x2, y2,
+         LEAST(x1, x2) AS lox, GREATEST(x1, x2) AS hix,
+         LEAST(y1, y2) AS loy, GREATEST(y1, y2) AS hiy
+  FROM s WHERE x2 IS NOT NULL),
+cand AS (
+  SELECT seg.user_id, seg.event_id, z.zone_id,
+         (x2-x1)*(z.miny-y1) - (y2-y1)*(z.minx-x1) AS c00,
+         (x2-x1)*(z.maxy-y1) - (y2-y1)*(z.minx-x1) AS c01,
+         (x2-x1)*(z.miny-y1) - (y2-y1)*(z.maxx-x1) AS c10,
+         (x2-x1)*(z.maxy-y1) - (y2-y1)*(z.maxx-x1) AS c11
+  FROM seg JOIN z
+    ON seg.hix >= z.minx AND seg.lox <= z.maxx
+   AND seg.hiy >= z.miny AND seg.loy <= z.maxy)
+SELECT user_id, event_id, zone_id
+FROM cand
+WHERE LEAST(c00, c01, c10, c11) <= 0 AND GREATEST(c00, c01, c10, c11) >= 0
+""".replace("{n}", str(GEOFENCE_ZONES))
+
+
+SQL_GEOFENCE = f"""
+WITH z AS (
+  SELECT j AS zone_id,
+         (((j * 37) % 340) - 170) * 100 AS minx,
+         (((j * 53) % 160) - 80) * 100 AS miny,
+         ((((j * 37) % 340) - 170) + 3 + (j % 7)) * 100 AS maxx,
+         ((((j * 53) % 160) - 80) + 2 + (j % 5)) * 100 AS maxy
+  FROM range({GEOFENCE_ZONES}) t(j)),
+p AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS ix,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS iy
+  FROM events),
+asg AS (
+  SELECT p.user_id, p.event_id, p.ts,
+         COALESCE((SELECT MIN(zone_id) FROM z
+                   WHERE p.ix BETWEEN z.minx AND z.maxx
+                     AND p.iy BETWEEN z.miny AND z.maxy), -1) AS zone
+  FROM p),
+s AS (
+  SELECT user_id, event_id, zone,
+         LAG(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM asg)
+SELECT user_id, event_id, prev AS from_zone, zone AS to_zone
+FROM s WHERE prev IS NOT NULL AND prev <> zone
+"""
+
+
 QUERIES = {
     # round-4 fifth rotation: retile_tiles and knn_graph (new, never
     # driver-verified) take the slots of spatial_join_pairs (driver-hash-
@@ -5444,6 +5685,9 @@ QUERIES = {
     "trajectory_resample": q_trajectory_resample,
     "track_simplify": q_track_simplify,
     "collocations": q_collocations,
+    "geofence_transitions": q_geofence_transitions,
+    "track_zone_join": q_track_zone_join,
+    "image_meta_scan": q_image_meta_scan,
     "token_budget_sample": q_token_budget_sample,
     "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
@@ -5525,6 +5769,9 @@ ORACLE_SQL = {
     "shuffle_shards": _sql_shuffle_shards(),
     "trajectory_stats": SQL_TRAJECTORY_STATS,
     "track_simplify": SQL_TRACK_SIMPLIFY,
+    "geofence_transitions": SQL_GEOFENCE,
+    "track_zone_join": SQL_TRACK_ZONE_JOIN,
+    "image_meta_scan": _sql_image_meta_scan(),
     "collocations": SQL_COLLOCATIONS,
     "token_budget_sample": SQL_TOKEN_BUDGET,
     "rect_join": SQL_RECT_JOIN,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify", "budget_capped_sample"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify", "budget_capped_sample", "geofence_transitions"]
 
 
 def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
@@ -635,3 +635,82 @@ def budget_capped_sample(ds, key_col: str, order_col: str, weight_col: str, budg
             return group.take(pa.array(np.sort(keep)))
 
     return ds.groupby(key_col).map_groups(_BudgetCap(), batch_format="pyarrow")
+
+
+def geofence_transitions(
+    ds,
+    zones,  # dict of int64 arrays: zone_id, minx, miny, maxx, maxy (integer units)
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+):
+    """Per-entity geofence ENTER/EXIT detection: assign every point the
+    smallest ``zone_id`` whose integer box contains it (inclusive edges;
+    -1 outside all fences), order each entity's points by ``(ts, order)``
+    and emit one row per consecutive pair whose assignment changed — the
+    geofencing shape of the reference's spatial-temporal query surface
+    (SpatialTemporalQuery over per-entity tracks;
+    core/geotime/.../store/query/api/SpatialTemporalConstraintsBuilder).
+
+    ``zones`` is a small proven-bounded side table (broadcast per the
+    repo's capped-broadcast convention — fences are configuration, not
+    data); assignment is vectorized point-in-box over an (n_pts, n_zones)
+    mask per batch, so no shuffle is added by the assignment itself.  The
+    transition detection is one groupby shuffle over per-entity tracks
+    (per-key skew assumption documented at trajectory_stats).
+
+    Integer coordinates + min-zone-id priority keep the operator exactly
+    SQL-replayable (LAG-window oracle).
+    """
+    import ray
+
+    zid = np.asarray(zones["zone_id"], dtype=np.int64)
+    lox = np.asarray(zones["minx"], dtype=np.int64)
+    loy = np.asarray(zones["miny"], dtype=np.int64)
+    hix = np.asarray(zones["maxx"], dtype=np.int64)
+    hiy = np.asarray(zones["maxy"], dtype=np.int64)
+    # priority = smallest zone_id wins: pre-sort so argmax(mask) picks it
+    order = np.argsort(zid, kind="stable")
+    zref = ray.put((zid[order], lox[order], loy[order], hix[order], hiy[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        zi, zx0, zy0, zx1, zy1 = ray.get(zref)
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        inside = (
+            (x[:, None] >= zx0[None, :])
+            & (x[:, None] <= zx1[None, :])
+            & (y[:, None] >= zy0[None, :])
+            & (y[:, None] <= zy1[None, :])
+        )
+        any_zone = inside.any(axis=1)
+        first = np.argmax(inside, axis=1)
+        zone = np.where(any_zone, zi[first], np.int64(-1))
+        return batch.append_column("zone", pa.array(zone, type=pa.int64()))
+
+    assign.__name__ = "geofence_assign"
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    class _Transitions:
+        __name__ = "geofence_transitions"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column(ts_col).to_numpy(zero_copy_only=False).astype("int64")
+            oid = group.column(order_col).to_numpy(zero_copy_only=False)
+            z = group.column("zone").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((oid, ts))
+            z = z[sel]
+            chg = np.flatnonzero(z[1:] != z[:-1]) + 1
+            key = group.column(key_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    key_col: pa.array(key[sel][chg]),
+                    order_col: pa.array(oid[sel][chg]),
+                    "from_zone": pa.array(z[chg - 1], type=pa.int64()),
+                    "to_zone": pa.array(z[chg], type=pa.int64()),
+                }
+            )
+
+    return assigned.groupby(key_col).map_groups(_Transitions(), batch_format="pyarrow")

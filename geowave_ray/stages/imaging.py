@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["png_encode", "png_decode", "fjpg_encode", "fjpg_decode", "encode_image", "decode_image", "resample_nearest", "psnr"]
+__all__ = ["png_encode", "png_decode", "fjpg_encode", "fjpg_decode", "encode_image", "decode_image", "resample_nearest", "psnr", "sniff_image_meta"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -210,3 +210,49 @@ def center_crop(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     y0 = (h - out_h) // 2
     x0 = (w - out_w) // 2
     return arr[y0 : y0 + out_h, x0 : x0 + out_w]
+
+
+def sniff_image_meta(data: bytes) -> tuple[str, int, int, int]:
+    """(fmt, width, height, n_components) from CONTAINER HEADERS ONLY —
+    no pixel decode, no entropy scan.  The header-only metadata pass a
+    100-TB curation pipeline runs before deciding what to decode (the
+    reference reads raster metadata through ImageIO readers without
+    materializing rasters — RasterDataAdapter.java:444-550).
+
+    Cost is O(header bytes) per payload regardless of payload size: PNG
+    IHDR is at a fixed offset, FJPG has a fixed 13-byte header, and JPEG
+    dims come from the first SOFn marker reached by skipping each
+    segment via its length field (never scanning entropy-coded data).
+    """
+    import struct
+
+    if data[:8] == _PNG_SIG:
+        # IHDR is always the first chunk: length@8, tag@12, data@16
+        w, h = struct.unpack(">II", data[16:24])
+        color_type = data[25]
+        ncomp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return "png", int(w), int(h), ncomp
+    if data[:4] == _FJPG_MAGIC:
+        w, h, _q = struct.unpack(">IIB", data[4:13])
+        return "fjpg", int(w), int(h), 3
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                ncomp = data[pos + 9]
+                return "jpeg", int(w), int(h), int(ncomp)
+            pos += 2 + seglen
+        raise ValueError("JPEG stream without SOF marker")
+    raise NotImplementedError(
+        "unsupported image payload; PNG, JPEG and FJPG headers are sniffable"
+    )

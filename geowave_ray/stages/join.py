@@ -565,3 +565,79 @@ def rect_join(
         _RectCellGroup(cell_size, left_cols, right_cols, max_group_pairs),
         batch_format="pyarrow",
     )
+
+
+def segment_envelope_join(
+    seg_ds,
+    zones,  # dict of int64 arrays: zone_id, minx, miny, maxx, maxy
+    seg_cols: tuple,
+    coord_cols: tuple = ("x1", "y1", "x2", "y2"),
+):
+    """LINE-feature spatial join: emit (segment, zone) for every track
+    segment that intersects a closed integer zone envelope — the
+    line-geometry regime of the reference's spatial join (its canonical
+    test corpus is exactly this shape: tornado_tracks lines vs polygon
+    filters, test/src/main/java/.../TestUtils.java:459-562;
+    analytics/spark/.../spatial/TieredSpatialJoin.java handles line
+    features through the same tiered keying).
+
+    Exact separating-axis test over integers, so results are
+    SQL-replayable with zero float hazards: a segment and an axis-aligned
+    box intersect iff (a) their x/y extents overlap (the box's two edge
+    normals) and (b) the box has corners on BOTH sides of the segment's
+    supporting line, i.e. min(cross) <= 0 <= max(cross) over the four
+    corner cross products (the segment's edge normal).  Degenerate
+    (point) segments reduce to point-in-box.  Touching counts as
+    intersecting (closed geometry, matching ST_Intersects semantics).
+
+    Scale shape (100 TB): ``zones`` is a configuration-scale side table
+    broadcast once via ``ray.put`` (the capped-broadcast convention); the
+    segment side STREAMS with no shuffle in this stage — the (n_seg,
+    n_zones) mask work is vectorized per batch.  For a zone side too big
+    to broadcast, ``rect_join`` over segment bounding boxes is the PBSM
+    fallback (coarse), with this SAT verify applied per candidate pair.
+    """
+    import ray
+
+    x1c, y1c, x2c, y2c = coord_cols
+    zid = np.asarray(zones["zone_id"], dtype=np.int64)
+    zx0 = np.asarray(zones["minx"], dtype=np.int64)
+    zy0 = np.asarray(zones["miny"], dtype=np.int64)
+    zx1 = np.asarray(zones["maxx"], dtype=np.int64)
+    zy1 = np.asarray(zones["maxy"], dtype=np.int64)
+    zref = ray.put((zid, zx0, zy0, zx1, zy1))
+
+    def match(batch: pa.Table) -> pa.Table:
+        zi, bx0, by0, bx1, by1 = ray.get(zref)
+        x1 = batch.column(x1c).to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = batch.column(y1c).to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = batch.column(x2c).to_numpy(zero_copy_only=False).astype(np.int64)
+        y2 = batch.column(y2c).to_numpy(zero_copy_only=False).astype(np.int64)
+        # box-axis overlap (n_seg, n_z)
+        ok = (
+            (np.maximum(x1, x2)[:, None] >= bx0[None, :])
+            & (np.minimum(x1, x2)[:, None] <= bx1[None, :])
+            & (np.maximum(y1, y2)[:, None] >= by0[None, :])
+            & (np.minimum(y1, y2)[:, None] <= by1[None, :])
+        )
+        # segment-normal axis: corner cross products
+        dx = (x2 - x1)[:, None]
+        dy = (y2 - y1)[:, None]
+        rx0 = bx0[None, :] - x1[:, None]
+        rx1 = bx1[None, :] - x1[:, None]
+        ry0 = by0[None, :] - y1[:, None]
+        ry1 = by1[None, :] - y1[:, None]
+        c00 = dx * ry0 - dy * rx0
+        c01 = dx * ry1 - dy * rx0
+        c10 = dx * ry0 - dy * rx1
+        c11 = dx * ry1 - dy * rx1
+        mn = np.minimum(np.minimum(c00, c01), np.minimum(c10, c11))
+        mx = np.maximum(np.maximum(c00, c01), np.maximum(c10, c11))
+        ok &= (mn <= 0) & (mx >= 0)
+        si, ziidx = np.nonzero(ok)
+        cols = {c: batch.column(c).take(pa.array(si)) for c in seg_cols}
+        cols["zone_id"] = pa.array(zi[ziidx], type=pa.int64())
+        return pa.table(cols)
+
+    match.__name__ = "segment_envelope_match"
+    return seg_ds.map_batches(match, batch_format="pyarrow")

@@ -1,0 +1,159 @@
+"""Wave-7 operators: geofence transitions, segment-envelope (line) join,
+and the text/vocab additions — brute-force parity on small inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _zones(n=12, seed=3):
+    rng = np.random.default_rng(seed)
+    minx = rng.integers(-50, 30, n)
+    miny = rng.integers(-40, 20, n)
+    return {
+        "zone_id": np.arange(n, dtype=np.int64),
+        "minx": minx,
+        "miny": miny,
+        "maxx": minx + rng.integers(5, 40, n),
+        "maxy": miny + rng.integers(5, 30, n),
+    }
+
+
+def test_geofence_transitions_brute(ray_session):
+    import ray
+
+    from geowave_ray.stages.analytics import geofence_transitions
+
+    rng = np.random.default_rng(11)
+    n = 600
+    tbl = pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 12, n)),
+            "ts": pa.array(rng.integers(0, 40, n)),
+            "oid": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.integers(-60, 60, n)),
+            "y": pa.array(rng.integers(-50, 40, n)),
+        }
+    )
+    z = _zones()
+    out = (
+        geofence_transitions(
+            ray.data.from_arrow(tbl).repartition(5), z, "uid", "ts", "x", "y", "oid"
+        )
+        .to_pandas()
+        .sort_values(["uid", "oid"])
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    def assign(x, y):
+        for i in range(len(z["zone_id"])):
+            if z["minx"][i] <= x <= z["maxx"][i] and z["miny"][i] <= y <= z["maxy"][i]:
+                return int(z["zone_id"][i])
+        return -1
+
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    rows = []
+    for uid, g in df.groupby("uid"):
+        g = g.sort_values(["ts", "oid"])
+        zs = [assign(r.x, r.y) for r in g.itertuples()]
+        for k in range(1, len(zs)):
+            if zs[k] != zs[k - 1]:
+                rows.append(
+                    (uid, g.iloc[k]["oid"], zs[k - 1], zs[k])
+                )
+    exp = (
+        pd.DataFrame(rows, columns=["uid", "oid", "from_zone", "to_zone"])
+        .sort_values(["uid", "oid"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    for c in ["uid", "oid", "from_zone", "to_zone"]:
+        assert np.array_equal(out[c].to_numpy().astype(np.int64), exp[c].to_numpy().astype(np.int64)), c
+
+
+def _seg_box_intersects(x1, y1, x2, y2, bx0, by0, bx1, by1):
+    """Reference predicate: closed segment vs closed box, exact."""
+    if max(x1, x2) < bx0 or min(x1, x2) > bx1:
+        return False
+    if max(y1, y2) < by0 or min(y1, y2) > by1:
+        return False
+    dx, dy = x2 - x1, y2 - y1
+    cr = [
+        dx * (cy - y1) - dy * (cx - x1)
+        for cx in (bx0, bx1)
+        for cy in (by0, by1)
+    ]
+    return min(cr) <= 0 <= max(cr)
+
+
+def test_segment_envelope_join_brute(ray_session):
+    import ray
+
+    from geowave_ray.stages.join import segment_envelope_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    tbl = pa.table(
+        {
+            "sid": pa.array(np.arange(n, dtype=np.int64)),
+            "x1": pa.array(rng.integers(-80, 80, n)),
+            "y1": pa.array(rng.integers(-60, 60, n)),
+            "x2": pa.array(rng.integers(-80, 80, n)),
+            "y2": pa.array(rng.integers(-60, 60, n)),
+        }
+    )
+    # include degenerate point segments
+    tbl = tbl.set_column(3, "x2", pc_if(tbl))
+    z = _zones(10, seed=5)
+    out = (
+        segment_envelope_join(
+            ray.data.from_arrow(tbl).repartition(4), z, ("sid",)
+        )
+        .to_pandas()
+        .sort_values(["sid", "zone_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    exp = []
+    for r in df.itertuples():
+        for i in range(len(z["zone_id"])):
+            if _seg_box_intersects(
+                r.x1, r.y1, r.x2, r.y2,
+                z["minx"][i], z["miny"][i], z["maxx"][i], z["maxy"][i],
+            ):
+                exp.append((r.sid, int(z["zone_id"][i])))
+    exp.sort()
+    assert len(out) == len(exp)
+    got = list(zip(out["sid"].tolist(), out["zone_id"].tolist()))
+    assert got == exp
+
+
+def pc_if(tbl):
+    """Make every 10th segment degenerate (point): x2=x1, keeps y2 as-is."""
+    x1 = tbl.column("x1").to_numpy()
+    x2 = tbl.column("x2").to_numpy().copy()
+    x2[::10] = x1[::10]
+    return pa.array(x2)
+
+
+def test_sniff_image_meta_headers_only():
+    from geowave_ray.stages.imaging import encode_image, sniff_image_meta
+    from geowave_ray.stages.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (24, 17, 3), dtype=np.uint8)
+    assert sniff_image_meta(encode_image(arr, "png")) == ("png", 17, 24, 3)
+    assert sniff_image_meta(encode_image(arr, "fjpg")) == ("fjpg", 17, 24, 3)
+    assert sniff_image_meta(encode_image(arr, "jpeg"))[:3] == ("jpeg", 17, 24)
+    # progressive stream: dims still come from SOF2 without a scan decode
+    prog = jpeg_encode(arr, progressive=True)
+    assert sniff_image_meta(prog) == ("jpeg", 17, 24, 3)
+    # sniff must not touch pixels: truncate right after the SOF segment
+    full = encode_image(arr, "jpeg")
+    sos = full.find(b"\xff\xda")
+    assert sniff_image_meta(full[:sos] + b"\xff\xd9") == ("jpeg", 17, 24, 3)
+    with pytest.raises(NotImplementedError):
+        sniff_image_meta(b"GIF89a\x00\x00")

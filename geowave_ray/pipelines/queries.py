@@ -5402,6 +5402,164 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+VOCAB_OOV_SIZE = 800
+
+
+def q_vocab_oov(sf_dir: str):
+    """Vocabulary coverage over the documents corpus: top-800 token
+    vocabulary (count DESC, token ASC) then per-doc OOV counts — the
+    tokenizer-coverage QA pass of a training-data pipeline
+    (stages/text.py::vocab_oov; bounded vocab collect + broadcast,
+    pass-2 streams)."""
+    import ray
+
+    from ..stages.text import vocab_oov
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_oov(ds, "text", "doc_id", VOCAB_OOV_SIZE)
+
+
+SQL_VOCAB_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                tk -> tk <> '')) AS t(tok)),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {VOCAB_OOV_SIZE}))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+FROM toks GROUP BY doc_id
+"""
+
+
+BPE_TOP_K = 64
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Corpus BPE merge-candidate statistics: top-64 adjacent
+    character pairs inside [a-z0-9] tokens (count DESC, pair ASC) —
+    one round of byte-pair-encoding merge ranking over the corpus
+    (stages/text.py::bpe_pair_counts; 65,536-bin bincount partials per
+    batch, so the shuffle is bounded regardless of corpus size)."""
+    import ray
+
+    from ..stages.text import bpe_pair_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_pair_counts(ds, "text", "doc_id", BPE_TOP_K)
+
+
+SQL_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents, LATERAL unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                tk -> tk <> '')) AS t(tok)),
+pairs AS (
+  SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT tok, unnest(range(1, length(tok))) AS i FROM toks))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+CAPTION_DUP_N = 4000
+
+
+def q_caption_dups(sf_dir: str):
+    """Normalized-caption duplicate groups over the image+caption table:
+    deterministic surface noise (case / trailing space / doubled spaces /
+    trailing punctuation, keyed by image_id % 5) is collapsed by the
+    normalizer (lower -> strip [.!?,]+ -> collapse whitespace -> trim,
+    all RE2 kernels shared verbatim with DuckDB) and groups are counted —
+    caption-level exact dedup after canonicalization, the text-side
+    companion of phash near-dup on the north-rule table."""
+    import pyarrow.compute as pc
+
+    from ..sources.images import crossmodal_ds
+
+    ds = crossmodal_ds(CAPTION_DUP_N)
+
+    def noisy_norm(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cap = batch.column("caption")
+        m = ids % 5
+        variants = [
+            cap,
+            pc.utf8_upper(cap),
+            pc.binary_join_element_wise(cap, pa.scalar(" "), ""),
+            pc.replace_substring(cap, " ", "  "),
+            pc.binary_join_element_wise(cap, pa.scalar("."), ""),
+        ]
+        vnp = [v.to_numpy(zero_copy_only=False) for v in variants]
+        noisy = np.select([m == k for k in range(5)], vnp)
+        col = pa.array(noisy.astype(str))
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(pc.utf8_lower(col), "[.!?,]+", ""),
+                "\\s+",
+                " ",
+            )
+        )
+        return pa.table({"image_id": pa.array(ids), "caption_norm": norm})
+
+    noisy_norm.__name__ = "caption_noisy_norm"
+    normed = ds.map_batches(noisy_norm, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["caption_norm"]).aggregate(
+            [("image_id", "count"), ("image_id", "min")]
+        )
+        return g.rename_columns(["caption_norm", "n", "min_image_id"])
+
+    partial.__name__ = "caption_dup_partial"
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        normed.map_batches(partial, batch_format="pyarrow")
+        .groupby("caption_norm")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_image_id", alias_name="min_image_id"),
+        )
+    )
+
+
+def _sql_caption_dups() -> str:
+    from ..sources.images import crossmodal_sql_cte
+
+    return f"""
+WITH {crossmodal_sql_cte(CAPTION_DUP_N)},
+noisy AS (
+  SELECT image_id,
+         CASE image_id % 5
+           WHEN 0 THEN caption
+           WHEN 1 THEN upper(caption)
+           WHEN 2 THEN caption || ' '
+           WHEN 3 THEN replace(caption, ' ', '  ')
+           ELSE caption || '.' END AS c
+  FROM cm),
+norm AS (
+  SELECT image_id,
+         trim(regexp_replace(regexp_replace(lower(c), '[.!?,]+', '', 'g'),
+                             '\\s+', ' ', 'g')) AS caption_norm
+  FROM noisy)
+SELECT caption_norm, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(image_id) AS min_image_id
+FROM norm GROUP BY caption_norm
+"""
+
+
 META_SCAN_N = 1500
 
 
@@ -5688,6 +5846,9 @@ QUERIES = {
     "geofence_transitions": q_geofence_transitions,
     "track_zone_join": q_track_zone_join,
     "image_meta_scan": q_image_meta_scan,
+    "caption_dups": q_caption_dups,
+    "vocab_oov": q_vocab_oov,
+    "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
     "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
@@ -5772,6 +5933,9 @@ ORACLE_SQL = {
     "geofence_transitions": SQL_GEOFENCE,
     "track_zone_join": SQL_TRACK_ZONE_JOIN,
     "image_meta_scan": _sql_image_meta_scan(),
+    "caption_dups": _sql_caption_dups(),
+    "vocab_oov": SQL_VOCAB_OOV,
+    "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,
     "token_budget_sample": SQL_TOKEN_BUDGET,
     "rect_join": SQL_RECT_JOIN,

@@ -1216,3 +1216,171 @@ def collocations(
     return scored.sort(
         ["score", "tok_a", "tok_b"], descending=[True, False, False]
     ).limit(top_k)
+
+
+# regex shared by the corpus token stages below; DuckDB's regexp_split
+# (also RE2) with the same pattern produces identical tokens
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _explode_tokens(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, tok) rows: lower(text) split on TOKEN_SPLIT_RE, empties out."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), TOKEN_SPLIT_RE
+    )
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ids = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False),
+        np.nan_to_num(lens).astype(np.int64),
+    )
+    t = pa.table({id_col: pa.array(ids), "tok": flat})
+    return t.filter(pc.not_equal(pc.coalesce(t.column("tok"), ""), ""))
+
+
+def vocab_oov(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+):
+    """Two-pass vocabulary coverage: build the corpus top-``vocab_size``
+    token vocabulary (count DESC, token ASC — a deterministic cut), then
+    score every document's out-of-vocabulary token count against it —
+    the tokenizer-coverage / vocab-pruning QA step of a training-data
+    pipeline (docs whose OOV rate spikes are mis-languaged or garbage).
+
+    Scale shape (100 TB): pass 1 pre-aggregates counts INSIDE each batch
+    (vocabulary-sized shuffle, not corpus-sized), takes top-N via a
+    distributed sort+limit, and collects exactly ``vocab_size`` rows —
+    a bounded driver pull by construction (the capped-broadcast
+    convention; the cap IS the operator parameter).  Pass 2 streams:
+    per-batch np.isin against the broadcast sorted vocabulary, no
+    shuffle.  Docs with zero tokens are skipped (no denominator).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .util import collect_table
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, text_col, id_col)
+        g = pa.TableGroupBy(t.select(["tok"]), ["tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "cnt"])
+
+    batch_counts.__name__ = "vocab_batch_counts"
+    counts = (
+        ds.map_batches(batch_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("cnt")
+    )
+    top = counts.sort(
+        ["sum(cnt)", "tok"], descending=[True, False]
+    ).limit(vocab_size)
+    vocab_tbl = collect_table(top)  # bounded: exactly vocab_size rows
+    vocab = np.sort(
+        vocab_tbl.column("tok").to_numpy(zero_copy_only=False).astype(str)
+    )
+    vref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        t = _explode_tokens(batch, text_col, id_col)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_oov": pa.array([], pa.int64()),
+                }
+            )
+        toks = t.column("tok").to_numpy(zero_copy_only=False).astype(str)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, toks)
+        pos = np.clip(pos, 0, len(v) - 1)
+        oov = (v[pos] != toks).astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        n_tok = np.bincount(inv)
+        n_oov = np.bincount(inv, weights=oov).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(uids),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_oov": pa.array(n_oov),
+            }
+        )
+
+    score.__name__ = "vocab_oov_score"
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds, text_col: str = "text", id_col: str = "doc_id", top_k: int = 64):
+    """Corpus-wide adjacent CHARACTER-pair frequencies inside tokens —
+    the statistic one round of byte-pair-encoding merge selection ranks
+    on (tokenizer training over the corpus).  Tokens are ASCII by
+    construction (TOKEN_SPLIT_RE keeps [a-z0-9]), so byte pairs ==
+    char pairs and the pair id b0*256+b1 sorts exactly like the 2-char
+    string (DuckDB parity).
+
+    Scale shape (100 TB): the per-batch kernel is a CSR expansion over
+    the flattened token VALUES BUFFER (no per-token Python loop) into a
+    65,536-bin bincount, so each batch emits at most the nonzero bins —
+    the shuffle is bounded by 65,536 rows per batch regardless of corpus
+    size; one tiny groupby + distributed sort/limit finishes.
+    """
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, text_col, id_col)
+        arr = t.column("tok")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return pa.table(
+                {"pair_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        buf = np.frombuffer(arr.buffers()[2], np.uint8)
+        lens = offs[1:] - offs[:-1]
+        npairs = np.maximum(lens - 1, 0)
+        total = int(npairs.sum())
+        if total == 0:
+            return pa.table(
+                {"pair_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        # CSR expansion: pair start positions within the values buffer
+        starts = np.repeat(offs[:-1], npairs)
+        cum = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum, npairs)
+        p = starts + intra
+        codes = buf[p].astype(np.int64) * 256 + buf[p + 1].astype(np.int64)
+        bc = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(bc)
+        return pa.table(
+            {"pair_id": pa.array(nz.astype(np.int64)), "cnt": pa.array(bc[nz])}
+        )
+
+    pair_partials.__name__ = "bpe_pair_partials"
+    counts = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair_id")
+        .sum("cnt")
+    )
+    top = counts.sort(
+        ["sum(cnt)", "pair_id"], descending=[True, False]
+    ).limit(top_k)
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pair_id").to_numpy(zero_copy_only=False)
+        pairs = [chr(int(c) >> 8) + chr(int(c) & 255) for c in pid]  # <= top_k rows
+        return pa.table(
+            {
+                "pair": pa.array(pairs, type=pa.string()),
+                "cnt": batch.column("sum(cnt)").cast(pa.int64()),
+            }
+        )
+
+    to_str.__name__ = "bpe_pair_str"
+    return top.map_batches(to_str, batch_format="pyarrow")

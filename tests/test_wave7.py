@@ -157,3 +157,59 @@ def test_sniff_image_meta_headers_only():
     assert sniff_image_meta(full[:sos] + b"\xff\xd9") == ("jpeg", 17, 24, 3)
     with pytest.raises(NotImplementedError):
         sniff_image_meta(b"GIF89a\x00\x00")
+
+
+def test_vocab_oov_brute(ray_session):
+    import ray
+    from collections import Counter
+
+    from geowave_ray.stages.text import vocab_oov
+
+    docs = [
+        "the cat sat on the mat",
+        "a dog and a cat",
+        "Zebras zig, zag; the-end!",
+        "",  # zero tokens: skipped
+        "cat cat cat unknownword",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    out = (
+        vocab_oov(ray.data.from_arrow(tbl).repartition(3), "text", "doc_id", 3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import re
+    toks_per_doc = [
+        [t for t in re.split("[^a-z0-9]+", d.lower()) if t] for d in docs
+    ]
+    cnt = Counter(t for ts in toks_per_doc for t in ts)
+    vocab = set(t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    exp = [
+        (i, len(ts), sum(1 for t in ts if t not in vocab))
+        for i, ts in enumerate(toks_per_doc) if ts
+    ]
+    got = list(zip(out["doc_id"], out["n_tokens"], out["n_oov"]))
+    assert [tuple(map(int, g)) for g in got] == exp
+
+
+def test_bpe_pair_counts_brute(ray_session):
+    import ray
+    from collections import Counter
+
+    from geowave_ray.stages.text import bpe_pair_counts
+
+    docs = ["banana bandana", "an anna banana!", "x", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    out = bpe_pair_counts(
+        ray.data.from_arrow(tbl).repartition(2), "text", "doc_id", top_k=5
+    ).to_pandas()
+    import re
+    c = Counter()
+    for d in docs:
+        for t in re.split("[^a-z0-9]+", d.lower()):
+            for i in range(len(t) - 1):
+                c[t[i : i + 2]] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["pair"].tolist(), out["cnt"].astype(int).tolist()))
+    assert got == exp

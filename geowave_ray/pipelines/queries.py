@@ -5402,6 +5402,160 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization + registrable-domain extraction (the web-
+    corpus curation pass that feeds URL-level dedup and per-domain
+    quotas): deterministic doc_id-derived URLs (scheme case, www prefix,
+    two-level TLDs, tracking params, fragments, trailing slashes) are
+    canonicalized by the shared URL_RULES RE2 chain — ONE rule table
+    drives both the Arrow kernels and the DuckDB oracle
+    (stages/text.py::normalize_urls / sql_url_norm), so parity holds by
+    construction.  Streaming, zero shuffle."""
+    import ray
+
+    from ..stages.text import normalize_urls
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_norm(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ds_ = d.astype("U")
+        scheme = np.where(d % 6 == 0, "HTTP://", "https://")
+        www = np.where(d % 3 == 0, "www.", "")
+        host = np.char.add(
+            np.char.add(np.char.add("sub", (d % 5).astype("U")), "."),
+            np.char.add("site", (d % 97).astype("U")),
+        )
+        tld = np.where(d % 4 == 0, ".co.uk", ".com")
+        path = np.char.add("/p/", ds_)
+        slash = np.where(d % 7 == 0, "/", "")
+        q1 = np.char.add(np.char.add("?utm_source=x&id=", ds_), "&utm_medium=y")
+        q = np.select([d % 2 == 0, d % 5 == 1], [q1, "?fbclid=abc"], "")
+        url = scheme.astype(object)
+        for part in (www, host, tld, path, slash, q):
+            url = url + part.astype(object)
+        u, dom = normalize_urls(pa.array(url.astype(str)))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "url_norm": u, "domain": dom}
+        )
+
+    synth_norm.__name__ = "url_synth_norm"
+    return ds.map_batches(synth_norm, batch_format="pyarrow")
+
+
+def _sql_url_normalize() -> str:
+    from ..stages.text import sql_url_norm
+
+    norm, dom = sql_url_norm("url")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 6 = 0 THEN 'HTTP://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.'
+    || 'site' || CAST(doc_id % 97 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=y'
+             WHEN doc_id % 5 = 1 THEN '?fbclid=abc' ELSE '' END) AS url
+  FROM documents)
+SELECT doc_id, {norm} AS url_norm, {dom} AS domain FROM u
+"""
+
+
+CURATE_N = 3000
+CURATE_MIN_W = 16
+CURATE_BUCKETS = 512
+
+
+def q_curate_images(sf_dir: str):
+    """End-to-end image curation on the north-rule table (the LAION-style
+    pre-training filter chain): (1) dims/format sniffed from CONTAINER
+    HEADERS of the real payload bytes (never the carried metadata,
+    stages/imaging.py::sniff_image_meta), (2) minimum-size rule
+    w >= 16, (3) exact dedup over the quantized perceptual hash
+    (phash % 512 buckets) keeping the BEST member per bucket
+    (largest sniffed width, image_id ties ascending).
+
+    Scale shape (100 TB): the sniff+filter stages stream (O(header
+    bytes) per row, payload never decoded); dedup does one per-batch
+    partial argmax then a bucket-count-bounded groupby — image BYTES are
+    dropped before the shuffle, so only (id, w, fmt, bucket) rows move."""
+    from ..sources.images import synth_images_ds
+    from ..stages.imaging import sniff_image_meta
+
+    ds = synth_images_ds(CURATE_N, with_bytes=True, byte_pool=None)
+
+    def sniff_filter(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes")
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        bucket = (ph.astype(np.uint64) % np.uint64(CURATE_BUCKETS)).astype(np.int64)
+        fmts, ws = [], []
+        for i in range(len(batch)):
+            fmt, w, _h, _nc = sniff_image_meta(blobs[i].as_py())
+            fmts.append(fmt)
+            ws.append(w)
+        t = pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "fmt": pa.array(fmts),
+                "w": pa.array(ws, type=pa.int64()),
+                "ph_bucket": pa.array(bucket),
+            }
+        )
+        keep = pc.greater_equal(t.column("w"), CURATE_MIN_W)
+        t = t.filter(keep)
+        # partial keep-best inside the batch: best (w DESC, image_id ASC)
+        # per bucket — bounds shuffle rows at CURATE_BUCKETS per batch
+        if len(t) == 0:
+            return t
+        wv = t.column("w").to_numpy(zero_copy_only=False)
+        ids = np.asarray(t.column("image_id").to_pandas(), dtype=object)
+        bk = t.column("ph_bucket").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -wv, bk))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = bk[order][1:] != bk[order][:-1]
+        return t.take(pa.array(np.sort(order[first])))
+
+    sniff_filter.__name__ = "curate_sniff_filter"
+    partials = ds.map_batches(sniff_filter, batch_format="pyarrow")
+
+    class _KeepBest:
+        __name__ = "curate_keep_best"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            wv = group.column("w").to_numpy(zero_copy_only=False)
+            ids = np.asarray(group.column("image_id").to_pandas(), dtype=object)
+            best = np.lexsort((ids, -wv))[0]
+            return group.slice(int(best), 1)
+
+    return partials.groupby("ph_bucket").map_groups(
+        _KeepBest(), batch_format="pyarrow"
+    )
+
+
+def _sql_curate_images() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    return f"""
+WITH s AS (SELECT j, ({sm}) AS h FROM range({CURATE_N}) t(j)),
+r AS (
+  SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS image_id,
+         CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         CAST(8 + ((h >> 8) % 9) * 4 AS BIGINT) AS w,
+         CAST(h % {CURATE_BUCKETS} AS BIGINT) AS ph_bucket
+  FROM s),
+f AS (SELECT * FROM r WHERE w >= {CURATE_MIN_W}),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ph_bucket
+                                   ORDER BY w DESC, image_id) AS rn
+      FROM f)
+SELECT image_id, fmt, w, ph_bucket FROM k WHERE rn = 1
+"""
+
+
 VOCAB_OOV_SIZE = 800
 
 
@@ -5847,6 +6001,8 @@ QUERIES = {
     "track_zone_join": q_track_zone_join,
     "image_meta_scan": q_image_meta_scan,
     "caption_dups": q_caption_dups,
+    "curate_images": q_curate_images,
+    "url_normalize": q_url_normalize,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -5934,6 +6090,8 @@ ORACLE_SQL = {
     "track_zone_join": SQL_TRACK_ZONE_JOIN,
     "image_meta_scan": _sql_image_meta_scan(),
     "caption_dups": _sql_caption_dups(),
+    "curate_images": _sql_curate_images(),
+    "url_normalize": _sql_url_normalize(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -1384,3 +1384,47 @@ def bpe_pair_counts(ds, text_col: str = "text", id_col: str = "doc_id", top_k: i
 
     to_str.__name__ = "bpe_pair_str"
     return top.map_batches(to_str, batch_format="pyarrow")
+
+
+# URL canonicalization rules — ONE ordered table drives BOTH the Arrow
+# kernel chain (pyarrow.compute.replace_substring_regex) and the DuckDB
+# oracle SQL (sql_url_norm), so engine/oracle parity holds by
+# construction (both are RE2).  Applied to the lowercased URL, in order.
+URL_RULES = (
+    ("^https?://", ""),          # scheme
+    ("^www\\.", ""),             # canonical host prefix
+    ("#.*$", ""),                # fragment
+    ("(?:utm_[a-z]+|fbclid)=[^&#]*&?", ""),  # tracking params (+their &)
+    ("\\?&", "?"),               # separator debris after removals
+    ("[?&]+$", ""),              # dangling separators
+    ("/+$", ""),                 # trailing slash(es)
+)
+
+# registrable domain of the host part: last two labels, or three when the
+# suffix is a common two-level TLD (heuristic; a full public-suffix list
+# is data, not code)
+DOMAIN_RE = "([^./]+\\.(?:co\\.uk|com\\.au|co\\.jp|org\\.uk)|[^./]+\\.[^./]+)(?:[/?].*)?$"
+
+
+def normalize_urls(col: pa.ChunkedArray | pa.Array):
+    """(url_norm, domain) Arrow arrays from a URL string column — the
+    URL canonicalization + registrable-domain pass of a web-corpus
+    pipeline (dedup by canonical URL, per-domain quotas).  Fully
+    vectorized RE2 kernels; no per-row Python."""
+    import pyarrow.compute as pc
+
+    u = pc.utf8_lower(col)
+    for pat, rep in URL_RULES:
+        u = pc.replace_substring_regex(u, pat, rep)
+    dom = pc.struct_field(pc.extract_regex(u, DOMAIN_RE.replace("(", "(?P<d>", 1)), "d")
+    return u, dom
+
+
+def sql_url_norm(expr: str) -> tuple[str, str]:
+    """(url_norm_sql, domain_sql) mirroring normalize_urls exactly."""
+    u = f"lower({expr})"
+    for pat, rep in URL_RULES:
+        # DuckDB single-quoted literals keep backslashes as-is (RE2 sees
+        # the same pattern bytes the Arrow kernel sees)
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u, f"regexp_extract({u}, '{DOMAIN_RE}', 1)"

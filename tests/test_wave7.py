@@ -213,3 +213,30 @@ def test_bpe_pair_counts_brute(ray_session):
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     got = list(zip(out["pair"].tolist(), out["cnt"].astype(int).tolist()))
     assert got == exp
+
+
+def test_normalize_urls_edges():
+    from geowave_ray.stages.text import normalize_urls
+
+    urls = [
+        "HTTPS://WWW.Sub1.Site9.CO.UK/a/b/?utm_source=x&keep=1&utm_medium=y#frag",
+        "http://site.com/",
+        "https://www.example.org/p?fbclid=zzz",
+        "example.com/x?a=1&utm_z=9",
+        "https://a.b.co.jp/deep/path///",
+    ]
+    u, d = normalize_urls(pa.array(urls))
+    assert u.to_pylist() == [
+        "sub1.site9.co.uk/a/b/?keep=1",
+        "site.com",
+        "example.org/p",
+        "example.com/x?a=1",
+        "a.b.co.jp/deep/path",
+    ]
+    assert d.to_pylist() == [
+        "site9.co.uk",
+        "site.com",
+        "example.org",
+        "example.com",
+        "b.co.jp",
+    ]

@@ -5402,6 +5402,106 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+CROSSING_CELL = 256
+
+
+def q_track_crossings(sf_dir: str):
+    """Trajectory encounters: per-user random-walk tracks (integer step
+    cumsums, so positions are SQL-window-replayable) are cut into
+    segments and every crossing between segments of DIFFERENT users is
+    counted, exactly (closed integer orientation test) — the
+    LineString x LineString regime of the reference's spatial join (the
+    tornado_tracks corpus joined against itself).  One groupby shuffle
+    to build tracks + one PBSM cell shuffle; per-cell all-pairs is
+    vectorized with the reporting-point exactly-once rule
+    (stages/join.py::segment_crossings)."""
+    import ray
+
+    from ..stages.join import segment_crossings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def steps(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "sx": pa.array((ev * 2654435761 + us * 97) % 201 - 100),
+                "sy": pa.array((ev * 40503 + us * 31) % 201 - 100),
+            }
+        )
+
+    steps.__name__ = "derive_steps_tc"
+    pts = ds.map_batches(steps, batch_format="pyarrow")
+
+    class _WalkSegments:
+        __name__ = "walk_segments"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            sx = group.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+            sy = group.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((ev, ts))
+            x = np.cumsum(sx[sel])
+            y = np.cumsum(sy[sel])
+            uid = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            return pa.table(
+                {
+                    "user_id": pa.array(uid[:-1]),
+                    "event_id": pa.array(ev[sel][:-1]),
+                    "x1": pa.array(x[:-1]),
+                    "y1": pa.array(y[:-1]),
+                    "x2": pa.array(x[1:]),
+                    "y2": pa.array(y[1:]),
+                }
+            )
+
+    segs = pts.groupby("user_id").map_groups(_WalkSegments(), batch_format="pyarrow")
+    return segment_crossings(segs, CROSSING_CELL, "user_id")
+
+
+SQL_TRACK_CROSSINGS = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 2654435761 + user_id * 97) % 201 - 100 AS sx,
+         (event_id * 40503 + user_id * 31) % 201 - 100 AS sy
+  FROM events),
+c AS (
+  SELECT user_id, event_id, ts,
+         SUM(sx) OVER w AS x, SUM(sy) OVER w AS y
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT user_id, event_id, x AS x1, y AS y1,
+         LEAD(x) OVER w2 AS x2, LEAD(y) OVER w2 AS y2
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT user_id, event_id, x1, y1, x2, y2,
+         LEAST(x1, x2) AS lox, GREATEST(x1, x2) AS hix,
+         LEAST(y1, y2) AS loy, GREATEST(y1, y2) AS hiy
+  FROM s WHERE x2 IS NOT NULL),
+cand AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS o1,
+         (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS o2,
+         (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS o3,
+         (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS o4
+  FROM seg a JOIN seg b
+    ON a.user_id < b.user_id
+   AND a.hix >= b.lox AND a.lox <= b.hix
+   AND a.hiy >= b.loy AND a.loy <= b.hiy)
+SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM cand WHERE o1 * o2 <= 0 AND o3 * o4 <= 0
+GROUP BY ua, ub
+"""
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization + registrable-domain extraction (the web-
     corpus curation pass that feeds URL-level dedup and per-domain
@@ -6003,6 +6103,7 @@ QUERIES = {
     "caption_dups": q_caption_dups,
     "curate_images": q_curate_images,
     "url_normalize": q_url_normalize,
+    "track_crossings": q_track_crossings,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6092,6 +6193,7 @@ ORACLE_SQL = {
     "caption_dups": _sql_caption_dups(),
     "curate_images": _sql_curate_images(),
     "url_normalize": _sql_url_normalize(),
+    "track_crossings": SQL_TRACK_CROSSINGS,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -240,3 +240,50 @@ def test_normalize_urls_edges():
         "example.com",
         "b.co.jp",
     ]
+
+
+def test_segment_crossings_brute(ray_session):
+    import ray
+    from collections import Counter
+
+    from geowave_ray.stages.join import segment_crossings
+
+    rng = np.random.default_rng(19)
+    n = 500
+    x1 = rng.integers(-300, 300, n)
+    y1 = rng.integers(-300, 300, n)
+    x2 = x1 + rng.integers(-60, 61, n)
+    y2 = y1 + rng.integers(-60, 61, n)
+    x2[::17] = x1[::17]  # degenerate points
+    y2[::17] = y1[::17]
+    uid = rng.integers(0, 9, n)
+    tbl = pa.table(
+        {"user_id": pa.array(uid.astype(np.int64)),
+         "x1": pa.array(x1), "y1": pa.array(y1),
+         "x2": pa.array(x2), "y2": pa.array(y2)}
+    )
+    out = segment_crossings(
+        ray.data.from_arrow(tbl).repartition(4), 64, "user_id"
+    ).to_pandas()
+    got = {(int(r.user_a), int(r.user_b)): int(r.n_crossings) for r in out.itertuples()}
+
+    def inter(i, j):
+        if max(x1[i], x2[i]) < min(x1[j], x2[j]) or max(x1[j], x2[j]) < min(x1[i], x2[i]):
+            return False
+        if max(y1[i], y2[i]) < min(y1[j], y2[j]) or max(y1[j], y2[j]) < min(y1[i], y2[i]):
+            return False
+        dxa, dya = int(x2[i] - x1[i]), int(y2[i] - y1[i])
+        o1 = dxa * (y1[j] - y1[i]) - dya * (x1[j] - x1[i])
+        o2 = dxa * (y2[j] - y1[i]) - dya * (x2[j] - x1[i])
+        dxb, dyb = int(x2[j] - x1[j]), int(y2[j] - y1[j])
+        o3 = dxb * (y1[i] - y1[j]) - dyb * (x1[i] - x1[j])
+        o4 = dxb * (y2[i] - y1[j]) - dyb * (x2[i] - x1[j])
+        return o1 * o2 <= 0 and o3 * o4 <= 0
+
+    exp = Counter()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if uid[i] != uid[j] and inter(i, j):
+                a, b = sorted((int(uid[i]), int(uid[j])))
+                exp[(a, b)] += 1
+    assert got == dict(exp)

@@ -5431,8 +5431,8 @@ def q_track_crossings(sf_dir: str):
                 "event_id": batch.column("event_id"),
                 "user_id": batch.column("user_id"),
                 "ts": batch.column("ts"),
-                "sx": pa.array((ev * 2654435761 + us * 97) % 201 - 100),
-                "sy": pa.array((ev * 40503 + us * 31) % 201 - 100),
+                "sx": pa.array((ev * 2654435761 + us * 97) % 101 - 50),
+                "sy": pa.array((ev * 40503 + us * 31) % 101 - 50),
             }
         )
 
@@ -5448,9 +5448,11 @@ def q_track_crossings(sf_dir: str):
             sx = group.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
             sy = group.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
             sel = np.lexsort((ev, ts))
-            x = np.cumsum(sx[sel])
-            y = np.cumsum(sy[sel])
             uid = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            # deterministic per-user home offset: spreads tracks so the
+            # shared cumsum origin is not a universal hot cell
+            x = (uid[0] * 7919) % 4000 + np.cumsum(sx[sel])
+            y = (uid[0] * 104729) % 4000 + np.cumsum(sy[sel])
             return pa.table(
                 {
                     "user_id": pa.array(uid[:-1]),
@@ -5469,12 +5471,13 @@ def q_track_crossings(sf_dir: str):
 SQL_TRACK_CROSSINGS = """
 WITH p AS (
   SELECT user_id, event_id, ts,
-         (event_id * 2654435761 + user_id * 97) % 201 - 100 AS sx,
-         (event_id * 40503 + user_id * 31) % 201 - 100 AS sy
+         (event_id * 2654435761 + user_id * 97) % 101 - 50 AS sx,
+         (event_id * 40503 + user_id * 31) % 101 - 50 AS sy
   FROM events),
 c AS (
   SELECT user_id, event_id, ts,
-         SUM(sx) OVER w AS x, SUM(sy) OVER w AS y
+         (user_id * 7919) % 4000 + SUM(sx) OVER w AS x,
+         (user_id * 104729) % 4000 + SUM(sy) OVER w AS y
   FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING)),
 s AS (

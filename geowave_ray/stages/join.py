@@ -648,7 +648,7 @@ def segment_crossings(
     cell_size: int,
     key_col: str = "user_id",
     coord_cols: tuple = ("x1", "y1", "x2", "y2"),
-    max_group_pairs: int = 4_000_000,
+    max_group_pairs: int = 50_000_000,
 ):
     """Trajectory ENCOUNTER detection: count segment-segment
     intersections between DIFFERENT entities' track segments — the
@@ -729,6 +729,9 @@ def segment_crossings(
             if n < 2:
                 return empty
             if n * (n - 1) // 2 > max_group_pairs:
+                # skew guard: a hot cell is a DATA property (all tracks
+                # through one plaza); refuse the quadratic blowup rather
+                # than OOM — shrink cell_size or pre-salt the hot region
                 raise ValueError(
                     f"segment_crossings cell exceeds max_group_pairs "
                     f"({n} segments); shrink cell_size"
@@ -745,37 +748,45 @@ def segment_crossings(
             cell = int(group.column("_cell")[0].as_py())
             cellx = np.int64(cell) >> np.int64(32)
             celly = (np.int64(cell) << np.int64(32)) >> np.int64(32)  # sign-restore
-            ii, jj = np.triu_indices(n, k=1)
-            m = key[ii] != key[jj]
-            ii, jj = ii[m], jj[m]
-            # bbox overlap
-            m = (
-                (hix[ii] >= lox[jj]) & (lox[ii] <= hix[jj])
-                & (hiy[ii] >= loy[jj]) & (loy[ii] <= hiy[jj])
-            )
-            ii, jj = ii[m], jj[m]
-            # reporting point: overlap bbox min corner owns the pair
-            rx = np.maximum(lox[ii], lox[jj])
-            ry = np.maximum(loy[ii], loy[jj])
-            m = (rx // cs == cellx) & (ry // cs == celly)
-            ii, jj = ii[m], jj[m]
-            if len(ii) == 0:
+            # i-CHUNKED all-pairs: memory stays O(chunk * n) however hot
+            # the cell (5k segments in one cell must not build a 26M-pair
+            # index matrix at once)
+            chunk = max(1, min(n, 2_000_000 // max(n, 1) + 1))
+            pair_keys: list[np.ndarray] = []
+            for i0 in range(0, n - 1, chunk):
+                i1 = min(i0 + chunk, n - 1)
+                ib = np.arange(i0, i1, dtype=np.int64)[:, None]
+                jb = np.arange(n, dtype=np.int64)[None, :]
+                m = (jb > ib) & (key[ib] != key[jb])
+                m &= (
+                    (hix[ib] >= lox[jb]) & (lox[ib] <= hix[jb])
+                    & (hiy[ib] >= loy[jb]) & (loy[ib] <= hiy[jb])
+                )
+                # reporting point: overlap bbox min corner owns the pair
+                rx = np.maximum(lox[ib], lox[jb])
+                ry = np.maximum(loy[ib], loy[jb])
+                m &= (rx // cs == cellx) & (ry // cs == celly)
+                ii, jj = np.nonzero(m)
+                if len(ii) == 0:
+                    continue
+                ii = ii + i0
+                dxa = x2[ii] - x1[ii]
+                dya = y2[ii] - y1[ii]
+                o1 = dxa * (y1[jj] - y1[ii]) - dya * (x1[jj] - x1[ii])
+                o2 = dxa * (y2[jj] - y1[ii]) - dya * (x2[jj] - x1[ii])
+                dxb = x2[jj] - x1[jj]
+                dyb = y2[jj] - y1[jj]
+                o3 = dxb * (y1[ii] - y1[jj]) - dyb * (x1[ii] - x1[jj])
+                o4 = dxb * (y2[ii] - y1[jj]) - dyb * (x2[ii] - x1[jj])
+                hit = (o1 * o2 <= 0) & (o3 * o4 <= 0)
+                ii, jj = ii[hit], jj[hit]
+                if len(ii):
+                    ua = np.minimum(key[ii], key[jj]).astype(np.int64)
+                    ub = np.maximum(key[ii], key[jj]).astype(np.int64)
+                    pair_keys.append((ua << np.int64(32)) + ub)
+            if not pair_keys:
                 return empty
-            dxa = x2[ii] - x1[ii]
-            dya = y2[ii] - y1[ii]
-            o1 = dxa * (y1[jj] - y1[ii]) - dya * (x1[jj] - x1[ii])
-            o2 = dxa * (y2[jj] - y1[ii]) - dya * (x2[jj] - x1[ii])
-            dxb = x2[jj] - x1[jj]
-            dyb = y2[jj] - y1[jj]
-            o3 = dxb * (y1[ii] - y1[jj]) - dyb * (x1[ii] - x1[jj])
-            o4 = dxb * (y2[ii] - y1[jj]) - dyb * (x2[ii] - x1[jj])
-            hit = (o1 * o2 <= 0) & (o3 * o4 <= 0)
-            ii, jj = ii[hit], jj[hit]
-            if len(ii) == 0:
-                return empty
-            ua = np.minimum(key[ii], key[jj])
-            ub = np.maximum(key[ii], key[jj])
-            pair, cnt = np.unique((ua << np.int64(32)) + ub, return_counts=True)
+            pair, cnt = np.unique(np.concatenate(pair_keys), return_counts=True)
             return pa.table(
                 {
                     "user_a": pa.array(pair >> np.int64(32)),

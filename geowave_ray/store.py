@@ -331,7 +331,23 @@ class GeoStore:
             read_cols = list(dict.fromkeys([*read_cols, lon_col, lat_col]))
             if authorizations is not None:
                 read_cols.append(vis_col)
-        ds = ray.data.read_parquet(paths, columns=read_cols)
+        # row-group predicate pushdown: files are Hilbert-sorted, so
+        # lon/lat row-group statistics are spatially tight — pyarrow skips
+        # whole row groups the bbox precludes.  Over-approximation only
+        # (the coarse+fine filter chain below is unchanged); DISJOINT
+        # needs rows OUTSIDE the box, so it scans unfiltered.
+        scan_kwargs: dict = {}
+        if query.op != "DISJOINT":
+            import pyarrow.dataset as pds
+
+            minx, miny, maxx, maxy = query.bbox()
+            scan_kwargs["filter"] = (
+                (pds.field(lon_col) >= minx)
+                & (pds.field(lon_col) <= maxx)
+                & (pds.field(lat_col) >= miny)
+                & (pds.field(lat_col) <= maxy)
+            )
+        ds = ray.data.read_parquet(paths, columns=read_cols, **scan_kwargs)
         out = query.apply(ds, lon_col=lon_col, lat_col=lat_col)
         if authorizations is not None:
             from .stages.visibility import apply_visibility
@@ -465,7 +481,15 @@ class GeoStore:
         read_cols = columns
         if read_cols is not None:
             read_cols = list(dict.fromkeys([*read_cols, col]))
-        ds = ray.data.read_parquet(self._expand_paths(paths), columns=read_cols)
+        import pyarrow.dataset as pds
+
+        ds = ray.data.read_parquet(
+            self._expand_paths(paths),
+            columns=read_cols,
+            # row-group pushdown inside the selected buckets (files are
+            # value-clustered by bucket, so stats prune further)
+            filter=(pds.field(col) >= lo) & (pds.field(col) <= hi),
+        )
 
         def refine(batch: pa.Table) -> pa.Table:
             v = batch.column(col).to_numpy(zero_copy_only=False)
@@ -485,7 +509,12 @@ class GeoStore:
         filter."""
         import ray
 
+        import pyarrow.dataset as pds
+
         wanted = pa.array(list(ids))
+        # id-set pushdown: row groups whose id stats preclude every wanted
+        # id are skipped (BatchDataIndexRetrieval's server-side filter)
+        id_filter = pds.field(id_col).isin(list(ids))
         idx_root = os.path.join(self.root, "_id_idx")
         if os.path.isdir(idx_root):
             parts = set(self._id_partitions(list(ids)).tolist())
@@ -496,9 +525,9 @@ class GeoStore:
             ]
             if not paths:
                 return ray.data.from_items([])
-            ds = ray.data.read_parquet(self._expand_paths(paths))
+            ds = ray.data.read_parquet(self._expand_paths(paths), filter=id_filter)
         else:
-            ds = ray.data.read_parquet(self.root)
+            ds = ray.data.read_parquet(self.root, filter=id_filter)
 
         def keep(batch: pa.Table) -> pa.Table:
             col = batch.column(id_col)
@@ -583,7 +612,18 @@ class BinnedStore:
         read_cols = columns
         if read_cols is not None:
             read_cols = list(dict.fromkeys([*read_cols, self.x_col, self.y_col]))
-        ds = ray.data.read_parquet(sorted(files), columns=read_cols)
+        import pyarrow.dataset as pds
+
+        ds = ray.data.read_parquet(
+            sorted(files),
+            columns=read_cols,
+            # row-group pushdown: files are (bx, by, pfx)-sorted, so x/y
+            # stats are spatially tight within each bin
+            filter=(pds.field(self.x_col) >= minx)
+            & (pds.field(self.x_col) <= maxx)
+            & (pds.field(self.y_col) >= miny)
+            & (pds.field(self.y_col) <= maxy),
+        )
         x_col, y_col = self.x_col, self.y_col
 
         def refine(batch: pa.Table) -> pa.Table:

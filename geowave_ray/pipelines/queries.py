@@ -5402,6 +5402,83 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+CONTOUR_N = 64
+CONTOUR_W = 64
+CONTOUR_THRESH = 128
+
+
+def q_contour_cases(sf_dir: str):
+    """Marching-squares contour extraction over deterministic rasters —
+    the raster->vector conversion counterpart of the engine's KDE
+    (vector->raster): per 2x2 pixel block the threshold-bit case code
+    (TL + 2*TR + 4*BL + 8*BR) selects the isoline segments crossing the
+    block; output is the per-raster case histogram plus the implied
+    segment count (diagonal saddle cases 6/9 emit 2 segments, interior 0/15
+    none).  Map-only: pixels never leave the batch, one histogram row
+    per (raster, case) exits; the whole batch evaluates in one
+    broadcast numpy expression (ids x H x W)."""
+    import ray
+
+    seg_of = np.array([0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0], np.int64)
+
+    def cases(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        y, x = np.mgrid[0:CONTOUR_W, 0:CONTOUR_W]
+        i3 = ids[:, None, None]
+        v = (i3 * 29 + y * 13 + x * 7 + (x * y) % 31) % 256
+        b = (v >= CONTOUR_THRESH).astype(np.int64)
+        code = (
+            b[:, :-1, :-1] + 2 * b[:, :-1, 1:] + 4 * b[:, 1:, :-1] + 8 * b[:, 1:, 1:]
+        )
+        flat = (np.arange(n)[:, None, None] * 16 + code).ravel()
+        hist = np.bincount(flat, minlength=n * 16).reshape(n, 16)
+        rid = np.repeat(ids, 16)
+        cc = np.tile(np.arange(16, dtype=np.int64), n)
+        cnt = hist.ravel()
+        keep = cnt > 0
+        return pa.table(
+            {
+                "raster_id": pa.array(rid[keep]),
+                "case_code": pa.array(cc[keep]),
+                "n": pa.array(cnt[keep]),
+                "n_segments": pa.array(cnt[keep] * seg_of[cc[keep]]),
+            }
+        )
+
+    cases.__name__ = "contour_cases"
+    ds = ray.data.range(CONTOUR_N, override_num_blocks=4)
+    return ds.map_batches(cases, batch_format="pyarrow")
+
+
+def _contour_bit_sql(dx: int, dy: int) -> str:
+    x = f"(x + {dx})" if dx else "x"
+    y = f"(y + {dy})" if dy else "y"
+    return (
+        f"(CASE WHEN (i * 29 + {y} * 13 + {x} * 7 + ({x} * {y}) % 31) % 256"
+        f" >= {CONTOUR_THRESH} THEN 1 ELSE 0 END)"
+    )
+
+
+SQL_CONTOUR_CASES = f"""
+WITH blocks AS (
+  SELECT i,
+         {_contour_bit_sql(0, 0)}
+         + 2 * {_contour_bit_sql(1, 0)}
+         + 4 * {_contour_bit_sql(0, 1)}
+         + 8 * {_contour_bit_sql(1, 1)} AS case_code
+  FROM generate_series(0, {CONTOUR_N - 1}) t(i),
+       generate_series(0, {CONTOUR_W - 2}) ys(y),
+       generate_series(0, {CONTOUR_W - 2}) xs(x))
+SELECT i AS raster_id, case_code,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * (CASE WHEN case_code IN (6, 9) THEN 2
+                             WHEN case_code IN (0, 15) THEN 0
+                             ELSE 1 END) AS BIGINT) AS n_segments
+FROM blocks GROUP BY i, case_code
+"""
+
+
 CROSSING_CELL = 256
 
 
@@ -6107,6 +6184,7 @@ QUERIES = {
     "curate_images": q_curate_images,
     "url_normalize": q_url_normalize,
     "track_crossings": q_track_crossings,
+    "contour_cases": q_contour_cases,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6197,6 +6275,7 @@ ORACLE_SQL = {
     "curate_images": _sql_curate_images(),
     "url_normalize": _sql_url_normalize(),
     "track_crossings": SQL_TRACK_CROSSINGS,
+    "contour_cases": SQL_CONTOUR_CASES,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -287,3 +287,19 @@ def test_segment_crossings_brute(ray_session):
                 a, b = sorted((int(uid[i]), int(uid[j])))
                 exp[(a, b)] += 1
     assert got == dict(exp)
+
+
+def test_contour_case_topology():
+    """Marching-squares invariants on constructed rasters: a half-plane
+    yields only vertical-edge blocks (code 10 = TR+BR), a checkerboard
+    yields only diagonal saddles (codes 6/9)."""
+    b = np.zeros((8, 8), np.int64)
+    b[:, 4:] = 1
+    code = b[:-1, :-1] + 2 * b[:-1, 1:] + 4 * b[1:, :-1] + 8 * b[1:, 1:]
+    vals, cnts = np.unique(code, return_counts=True)
+    assert set(vals.tolist()) == {0, 10, 15}
+    assert cnts[vals == 10][0] == 7  # one boundary block per row
+
+    cb = (np.indices((8, 8)).sum(axis=0) % 2).astype(np.int64)
+    code = cb[:-1, :-1] + 2 * cb[:-1, 1:] + 4 * cb[1:, :-1] + 8 * cb[1:, 1:]
+    assert set(np.unique(code).tolist()) == {6, 9}

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from .wkb import Polygon, parse_wkb
 
-__all__ = ["ring_measures", "polygon_measures"]
+__all__ = ["ring_measures", "polygon_measures", "ring_self_intersections"]
 
 
 def ring_measures(starts: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> dict:
@@ -122,3 +122,51 @@ def polygon_measures(ds, wkb_col: str = "wkb", id_col: str = "poly_id", scale: i
 
     measure.__name__ = "polygon_measures"
     return ds.map_batches(measure, batch_format="pyarrow")
+
+
+def ring_self_intersections(verts: np.ndarray, m_arr: np.ndarray) -> np.ndarray:
+    """Per-ring count of NON-ADJACENT edge pairs that intersect (closed
+    integer segment test) — the ring-validity core of JTS
+    ``Geometry.isValid`` the reference leans on for every geometry it
+    ingests (core/geotime/.../util/GeometryUtils.java geometry
+    preparation; JTS IsValidOp).  A simple ring is valid iff the count
+    is 0.
+
+    ``verts``: (n_rings, max_m, 2) int64, row k = vertex k, rows beyond
+    ``m_arr[r]`` ignored.  Edges are (k -> k+1 mod m).  Adjacent edge
+    pairs (sharing a vertex, including the (0, m-1) wrap pair) are
+    excluded.  Vectorized across rings x pair slots (rings are small —
+    the all-pairs is over ONE ring's edges, never across rings).
+    """
+    n, mx, _ = verts.shape
+    counts = np.zeros(n, dtype=np.int64)
+    # pair slots (i, j): j >= i + 2, not the cyclic-adjacent (0, m-1)
+    for i in range(mx - 2):
+        for j in range(i + 2, mx):
+            valid = (m_arr > j) & ~((i == 0) & (j == m_arr - 1))
+            if not valid.any():
+                continue
+            i2 = (i + 1) % mx
+            ax, ay = verts[:, i, 0], verts[:, i, 1]
+            bx, by = verts[:, i2, 0], verts[:, i2, 1]
+            j2 = j + 1  # may wrap per ring
+            cx, cy = verts[:, j, 0], verts[:, j, 1]
+            jn = np.where(j2 >= m_arr, 0, min(j2, mx - 1))
+            dx = verts[np.arange(n), jn, 0]
+            dy = verts[np.arange(n), jn, 1]
+            # bbox precheck
+            hit = (
+                (np.maximum(ax, bx) >= np.minimum(cx, dx))
+                & (np.minimum(ax, bx) <= np.maximum(cx, dx))
+                & (np.maximum(ay, by) >= np.minimum(cy, dy))
+                & (np.minimum(ay, by) <= np.maximum(cy, dy))
+            )
+            e1x, e1y = bx - ax, by - ay
+            o1 = e1x * (cy - ay) - e1y * (cx - ax)
+            o2 = e1x * (dy - ay) - e1y * (dx - ax)
+            e2x, e2y = dx - cx, dy - cy
+            o3 = e2x * (ay - cy) - e2y * (ax - cx)
+            o4 = e2x * (by - cy) - e2y * (bx - cx)
+            hit &= (o1 * o2 <= 0) & (o3 * o4 <= 0)
+            counts += (hit & valid).astype(np.int64)
+    return counts

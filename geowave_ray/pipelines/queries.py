@@ -5402,6 +5402,102 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+VALID_P = 800
+_VALID_UX = [100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38, 0, 38, 71, 92]
+_VALID_UY = [0, 38, 71, 92, 100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38]
+
+
+def q_polygon_validity(sf_dir: str):
+    """Geometry QA: ring self-intersection detection (the validity core
+    of JTS IsValidOp, which the reference runs on every ingested
+    geometry via its JTS preparation path — GeometryUtils.java).
+    Deterministic star polygons on an integer 16-direction lattice
+    (trig-free, so vertices are SQL-replayable); every third polygon
+    gets vertices 1 and 2 swapped to synthesize bowties.  Output
+    (poly_id, n_crossings, is_valid); vectorized across rings x pair
+    slots (geom/measures.py::ring_self_intersections)."""
+    import ray
+
+    from ..geom.measures import ring_self_intersections
+
+    ux = np.array(_VALID_UX, np.int64)
+    uy = np.array(_VALID_UY, np.int64)
+
+    def build_check(batch: pa.Table) -> pa.Table:
+        pid = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(pid)
+        m = 6 + pid % 5
+        k = np.arange(10, dtype=np.int64)[None, :].repeat(n, axis=0)
+        ks = k.copy()
+        sw = (pid % 3 == 0)[:, None]
+        ks[sw & (k == 1)] = 2
+        ks[sw & (k == 2)] = 1
+        a = ((ks * 16) // m[:, None]) % 16  # padded slots (k >= m) are ignored by the kernel
+        r = 50 + (pid[:, None] * 13 + ks * 7) % 40
+        cx = (pid * 97 % 2000) * 100
+        cy = (pid * 53 % 1000) * 100
+        verts = np.stack(
+            [cx[:, None] + r * ux[a], cy[:, None] + r * uy[a]], axis=-1
+        )
+        cnt = ring_self_intersections(verts, m)
+        return pa.table(
+            {
+                "poly_id": pa.array(pid),
+                "n_crossings": pa.array(cnt),
+                "is_valid": pa.array(cnt == 0),
+            }
+        )
+
+    build_check.__name__ = "polygon_validity"
+    ds = ray.data.range(VALID_P, override_num_blocks=4)
+    return ds.map_batches(build_check, batch_format="pyarrow")
+
+
+def _sql_polygon_validity() -> str:
+    ux = "[" + ",".join(str(v) for v in _VALID_UX) + "]"
+    uy = "[" + ",".join(str(v) for v in _VALID_UY) + "]"
+    return f"""
+WITH v0 AS (
+  SELECT pid, k, 6 + pid % 5 AS m,
+         CASE WHEN pid % 3 = 0 AND k = 1 THEN 2
+              WHEN pid % 3 = 0 AND k = 2 THEN 1 ELSE k END AS ks
+  FROM generate_series(0, {VALID_P - 1}) p(pid),
+       generate_series(0, 9) kk(k)
+  WHERE k < 6 + pid % 5),
+v AS (
+  SELECT pid, k, m,
+         (pid * 97 % 2000) * 100
+           + (50 + (pid * 13 + ks * 7) % 40) * ({ux}[1 + (ks * 16) // m]) AS x,
+         (pid * 53 % 1000) * 100
+           + (50 + (pid * 13 + ks * 7) % 40) * ({uy}[1 + (ks * 16) // m]) AS y
+  FROM v0),
+e AS (
+  SELECT a.pid, a.k AS i, a.m, a.x AS ax, a.y AS ay, b.x AS bx_, b.y AS by_
+  FROM v a JOIN v b ON a.pid = b.pid AND b.k = (a.k + 1) % a.m),
+pr AS (
+  SELECT e1.pid,
+         (e1.bx_ - e1.ax) * (e2.ay - e1.ay) - (e1.by_ - e1.ay) * (e2.ax - e1.ax) AS o1,
+         (e1.bx_ - e1.ax) * (e2.by_ - e1.ay) - (e1.by_ - e1.ay) * (e2.bx_ - e1.ax) AS o2,
+         (e2.bx_ - e2.ax) * (e1.ay - e2.ay) - (e2.by_ - e2.ay) * (e1.ax - e2.ax) AS o3,
+         (e2.bx_ - e2.ax) * (e1.by_ - e2.ay) - (e2.by_ - e2.ay) * (e1.bx_ - e2.ax) AS o4,
+         GREATEST(e1.ax, e1.bx_) >= LEAST(e2.ax, e2.bx_)
+         AND LEAST(e1.ax, e1.bx_) <= GREATEST(e2.ax, e2.bx_)
+         AND GREATEST(e1.ay, e1.by_) >= LEAST(e2.ay, e2.by_)
+         AND LEAST(e1.ay, e1.by_) <= GREATEST(e2.ay, e2.by_) AS bbox_ok
+  FROM e e1 JOIN e e2
+    ON e1.pid = e2.pid AND e2.i >= e1.i + 2
+   AND NOT (e1.i = 0 AND e2.i = e1.m - 1)),
+h AS (
+  SELECT pid, COUNT(*) AS n FROM pr
+  WHERE bbox_ok AND o1 * o2 <= 0 AND o3 * o4 <= 0 GROUP BY pid)
+SELECT p.pid AS poly_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_crossings,
+       COALESCE(h.n, 0) = 0 AS is_valid
+FROM generate_series(0, {VALID_P - 1}) p(pid)
+LEFT JOIN h ON h.pid = p.pid
+"""
+
+
 CONTOUR_N = 64
 CONTOUR_W = 64
 CONTOUR_THRESH = 128
@@ -6185,6 +6281,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "track_crossings": q_track_crossings,
     "contour_cases": q_contour_cases,
+    "polygon_validity": q_polygon_validity,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6276,6 +6373,7 @@ ORACLE_SQL = {
     "url_normalize": _sql_url_normalize(),
     "track_crossings": SQL_TRACK_CROSSINGS,
     "contour_cases": SQL_CONTOUR_CASES,
+    "polygon_validity": _sql_polygon_validity(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

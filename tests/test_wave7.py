@@ -303,3 +303,25 @@ def test_contour_case_topology():
     cb = (np.indices((8, 8)).sum(axis=0) % 2).astype(np.int64)
     code = cb[:-1, :-1] + 2 * cb[:-1, 1:] + 4 * cb[1:, :-1] + 8 * cb[1:, 1:]
     assert set(np.unique(code).tolist()) == {6, 9}
+
+
+def test_ring_self_intersections_known():
+    from geowave_ray.geom.measures import ring_self_intersections
+
+    # square (valid), bowtie (1 crossing), square with duplicate-ish
+    # touching vertex chain
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    bow = [(0, 0), (10, 10), (10, 0), (0, 10)]
+    verts = np.zeros((2, 4, 2), np.int64)
+    verts[0] = sq
+    verts[1] = bow
+    m = np.array([4, 4], np.int64)
+    out = ring_self_intersections(verts, m)
+    assert out.tolist() == [0, 1]
+    # pentagon star (self-intersecting 5-point star: 5 crossings)
+    star = np.array(
+        [(0, 100), (59, -81), (-95, 31), (95, 31), (-59, -81)], np.int64
+    )
+    v2 = np.zeros((1, 5, 2), np.int64)
+    v2[0] = star
+    assert ring_self_intersections(v2, np.array([5], np.int64))[0] == 5

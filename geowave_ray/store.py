@@ -306,6 +306,39 @@ class GeoStore:
                     paths.append(os.path.join(tier_dir, d))
         return paths
 
+    def explain(self, query: SpatialQuery) -> "pa.Table":
+        """Query-plan observability (the reference's split/statistics
+        introspection surface, SplitsProvider.getSplits +
+        RowRangeHistogram-weighted planning): one row per plan facet —
+        decomposed range count, occupied-tier filter, directories
+        selected vs present, parquet files selected, and whether the
+        bbox row-group pushdown applies.  Pure metadata: nothing is
+        read; use before running an expensive scan to see what the
+        pruning will touch."""
+        ranges = query.query_ranges(self.strategy, max_ranges=256)
+        pruned = self._pruned_paths(query)
+        files = self._expand_paths(pruned)
+        n_dirs_total = 0
+        for d in os.listdir(self.root):
+            if d.startswith("tier="):
+                sub = os.path.join(self.root, d)
+                pref = [p for p in os.listdir(sub) if p.startswith("cell_prefix=")]
+                n_dirs_total += max(1, len(pref))
+        facets = [
+            ("query_ranges", len(ranges)),
+            ("tiers_touched", len({r.tier for r in ranges})),
+            ("dirs_total", n_dirs_total),
+            ("dirs_selected", len(pruned)),
+            ("files_selected", len(files)),
+            ("rowgroup_pushdown", 0 if query.op == "DISJOINT" else 1),
+        ]
+        return pa.table(
+            {
+                "facet": pa.array([f for f, _ in facets]),
+                "value": pa.array([int(v) for _, v in facets], type=pa.int64()),
+            }
+        )
+
     def query(
         self,
         query: SpatialQuery,

@@ -325,3 +325,37 @@ def test_ring_self_intersections_known():
     v2 = np.zeros((1, 5, 2), np.int64)
     v2[0] = star
     assert ring_self_intersections(v2, np.array([5], np.int64))[0] == 5
+
+
+def test_store_explain(ray_session, tmp_path):
+    import ray
+
+    from geowave_ray.store import GeoStore
+    from geowave_ray.query.planner import SpatialQuery
+    from geowave_ray.geom.wkb import box_polygon
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    tbl = pa.table(
+        {
+            "image_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-170, 170, n)),
+            "lat": pa.array(rng.uniform(-80, 80, n)),
+        }
+    )
+    store = GeoStore(str(tmp_path / "st"), prefix_bits=4)
+    store.ingest(ray.data.from_arrow(tbl))
+    q = SpatialQuery(box_polygon(10, 10, 20, 20))
+    ex = {r["facet"]: r["value"] for r in store.explain(q).to_pylist()}
+    assert ex["dirs_selected"] <= ex["dirs_total"]
+    assert ex["files_selected"] >= 1
+    assert ex["rowgroup_pushdown"] == 1
+    assert ex["query_ranges"] >= 1
+    # the plan matches what the scan actually returns
+    got = store.query(q).to_pandas()
+    lon, lat = got["lon"].to_numpy(), got["lat"].to_numpy()
+    m = (lon >= 10) & (lon <= 20) & (lat >= 10) & (lat <= 20)
+    assert m.all() and len(got) == int(
+        ((tbl.column("lon").to_numpy() >= 10) & (tbl.column("lon").to_numpy() <= 20)
+         & (tbl.column("lat").to_numpy() >= 10) & (tbl.column("lat").to_numpy() <= 20)).sum()
+    )

@@ -177,6 +177,60 @@ class GeoStore:
         stats.save(self.root)
         return stats
 
+    def ingest_incremental(
+        self,
+        ds,
+        id_col: str = "image_id",
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        broadcast_cap: int = 2_000_000,
+        **ingest_kwargs,
+    ):
+        """Idempotent corpus refresh: append ONLY rows whose ``id_col``
+        is not already stored, then run the normal ``ingest`` on the
+        remainder — re-running the same ingest is a no-op, which is what
+        makes a 100-TB nightly refresh restartable at the batch level
+        (the reference's local ingest driver is re-run idempotent-ish;
+        AbstractLocalFileIngestDriver.java:307-399 — this makes the
+        semantics explicit instead of accidental).
+
+        Existing ids are scanned as a SINGLE COLUMN of the keyed layout;
+        under ``broadcast_cap`` distinct ids the anti-filter is a
+        broadcast ``np.isin`` per batch, above it the exact Bloom
+        prefilter + residual join path (``bloom_anti_filter``, the
+        repo's standard >cap fallback; integer ids only there).
+        Returns the refreshed StatisticsManifest."""
+        import ray
+
+        from .stages.util import bloom_anti_filter, collect_table
+
+        has_data = any(
+            d.startswith("tier=") for d in os.listdir(self.root)
+        ) if os.path.isdir(self.root) else False
+        if not has_data:
+            return self.ingest(ds, lon_col=lon_col, lat_col=lat_col, **ingest_kwargs)
+        existing = ray.data.read_parquet(self.root, columns=[id_col])
+        n_existing = existing.count()
+        if n_existing <= broadcast_cap:
+            ids_tbl = collect_table(existing)
+            wanted = ids_tbl.column(id_col).to_numpy(zero_copy_only=False)
+            seen = np.unique(wanted)
+            seen_ref = ray.put(seen)
+
+            def drop_seen(batch: pa.Table) -> pa.Table:
+                sv = ray.get(seen_ref)
+                v = batch.column(id_col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(sv, v)
+                pos = np.clip(pos, 0, max(len(sv) - 1, 0))
+                dup = (len(sv) > 0) & (sv[pos] == v)
+                return batch.filter(pa.array(~dup))
+
+            drop_seen.__name__ = "incremental_drop_seen"
+            fresh = ds.map_batches(drop_seen, batch_format="pyarrow")
+        else:
+            fresh = bloom_anti_filter(ds, existing, id_col)
+        return self.ingest(fresh, lon_col=lon_col, lat_col=lat_col, **ingest_kwargs)
+
     def ingest_envelopes(
         self,
         ds,

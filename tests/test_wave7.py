@@ -359,3 +359,35 @@ def test_store_explain(ray_session, tmp_path):
         ((tbl.column("lon").to_numpy() >= 10) & (tbl.column("lon").to_numpy() <= 20)
          & (tbl.column("lat").to_numpy() >= 10) & (tbl.column("lat").to_numpy() <= 20)).sum()
     )
+
+
+def test_ingest_incremental_idempotent(ray_session, tmp_path):
+    import ray
+
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(9)
+
+    def mk(ids):
+        n = len(ids)
+        return pa.table(
+            {
+                "image_id": pa.array(np.asarray(ids, np.int64)),
+                "lon": pa.array(rng.uniform(-20, 20, n)),
+                "lat": pa.array(rng.uniform(-20, 20, n)),
+            }
+        )
+
+    a = mk(np.arange(0, 400))
+    store = GeoStore(str(tmp_path / "inc"), prefix_bits=3)
+    store.ingest_incremental(ray.data.from_arrow(a))
+    # re-ingest A plus new batch B: A must not duplicate
+    ab = pa.concat_tables([a, mk(np.arange(400, 600))])
+    stats = store.ingest_incremental(ray.data.from_arrow(ab))
+    assert stats.data["count"] == 600
+    got = ray.data.read_parquet(str(tmp_path / "inc"), columns=["image_id"]).to_pandas()
+    ids, cnts = np.unique(got["image_id"].to_numpy(), return_counts=True)
+    assert len(ids) == 600 and cnts.max() == 1
+    # third run with nothing new: still 600
+    stats = store.ingest_incremental(ray.data.from_arrow(ab))
+    assert stats.data["count"] == 600

@@ -5402,6 +5402,47 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+BOTTOMK_K = 32
+
+
+def q_bottom_k_users(sf_dir: str):
+    """KMV bottom-k sketch over distinct users: uniform distinct sample
+    + exact-integer cardinality estimate ((k-1)*2^64 // h_k) — the
+    mergeable sketch companion of hll_distinct_users
+    (stages/aggregate.py::bottom_k_sample; per-batch partials emit <= k
+    rows, so the merge is one tiny block)."""
+    import ray
+
+    from ..stages.aggregate import bottom_k_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return bottom_k_sample(ds, "user_id", BOTTOMK_K)
+
+
+def _sql_bottom_k_users() -> str:
+    from ..stages.texthash import M64_SQL, sql_splitmix64
+
+    sm = sql_splitmix64("user_id::HUGEINT")
+    k = BOTTOMK_K
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT user_id, ({sm}) AS hh FROM u),
+top AS (
+  SELECT user_id, hh, ROW_NUMBER() OVER (ORDER BY hh) - 1 AS rank
+  FROM h ORDER BY hh LIMIT {k}),
+est AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM top) = {k}
+              THEN CAST((({k} - 1) * {M64_SQL}) // (SELECT MAX(hh) FROM top) AS BIGINT)
+              ELSE (SELECT COUNT(*) FROM top) END AS distinct_est)
+SELECT top.rank, top.user_id,
+       CAST(CASE WHEN top.hh >= 9223372036854775808::HUGEINT
+                 THEN top.hh - {M64_SQL}
+                 ELSE top.hh END AS BIGINT) AS hash64,
+       est.distinct_est
+FROM top, est
+"""
+
+
 VALID_P = 800
 _VALID_UX = [100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38, 0, 38, 71, 92]
 _VALID_UY = [0, 38, 71, 92, 100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38]
@@ -6282,6 +6323,7 @@ QUERIES = {
     "track_crossings": q_track_crossings,
     "contour_cases": q_contour_cases,
     "polygon_validity": q_polygon_validity,
+    "bottom_k_users": q_bottom_k_users,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6374,6 +6416,7 @@ ORACLE_SQL = {
     "track_crossings": SQL_TRACK_CROSSINGS,
     "contour_cases": SQL_CONTOUR_CASES,
     "polygon_validity": _sql_polygon_validity(),
+    "bottom_k_users": _sql_bottom_k_users(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -441,3 +441,60 @@ class TDigest:
         arr = np.frombuffer(b, dtype="<f8")
         half = len(arr) // 2
         return cls(compression, arr[:half].copy(), arr[half:].copy())
+
+
+def bottom_k_sample(ds, id_col: str, k: int):
+    """Bottom-k (KMV) sketch over the DISTINCT values of ``id_col``:
+    keep the k smallest splitmix64 hashes — simultaneously a uniform
+    distinct-value sample and a cardinality estimator
+    (est = (k-1) * 2^64 // h_k, exact integer arithmetic), the classic
+    mergeable companion of the engine's HyperLogLog
+    (statistics/field/... sketch family of the reference).
+
+    Scale shape (100 TB): per-batch partial = unique -> hash -> k
+    smallest (argpartition), so each batch emits <= k rows; the final
+    merge sorts the tiny union.  Output: (rank, value, hash64) rows for
+    the k winners — hash64 is the uint64 hash stored as int64 with the
+    sign bit preserved (SQL replays the same reinterpretation).
+    """
+    from .texthash import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False)
+        u = np.unique(v).astype(np.uint64)
+        h = splitmix64(u)
+        if len(h) > k:
+            sel = np.argpartition(h, k)[:k]
+            u, h = u[sel], h[sel]
+        return pa.table(
+            {
+                id_col: pa.array(u.astype(np.int64)),
+                "h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    partial.__name__ = f"bottomk_partial_{k}"
+
+    def final(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v, idx = np.unique(v, return_index=True)
+        h = h[idx]
+        order = np.argsort(h, kind="stable")[:k]
+        v, h = v[order], h[order]
+        est = np.int64((k - 1) * (1 << 64) // int(h[-1])) if len(h) == k else np.int64(len(h))
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(len(v), dtype=np.int64)),
+                id_col: pa.array(v),
+                "hash64": pa.array(h.astype(np.int64)),
+                "distinct_est": pa.array(np.full(len(v), est)),
+            }
+        )
+
+    final.__name__ = f"bottomk_final_{k}"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

@@ -391,3 +391,18 @@ def test_ingest_incremental_idempotent(ray_session, tmp_path):
     # third run with nothing new: still 600
     stats = store.ingest_incremental(ray.data.from_arrow(ab))
     assert stats.data["count"] == 600
+
+
+def test_bottom_k_sample_merge_invariance(ray_session):
+    import ray
+
+    from geowave_ray.stages.aggregate import bottom_k_sample
+
+    ids = np.arange(0, 5000, dtype=np.int64) % 900  # 900 distinct, dups
+    tbl = pa.table({"user_id": pa.array(ids)})
+    a = bottom_k_sample(ray.data.from_arrow(tbl).repartition(1), "user_id", 16).to_pandas()
+    b = bottom_k_sample(ray.data.from_arrow(tbl).repartition(7), "user_id", 16).to_pandas()
+    assert a.equals(b)  # partitioning-invariant
+    assert len(a) == 16 and a["rank"].tolist() == list(range(16))
+    est = int(a["distinct_est"].iloc[0])
+    assert 400 <= est <= 2000  # KMV estimate of 900 within sane bounds

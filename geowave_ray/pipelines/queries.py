@@ -5402,6 +5402,88 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+CDC_W = 16
+CDC_D = 64
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking digests over the corpus (the
+    storage-dedup / delta-compression primitive: identical long
+    substrings chunk identically at any offset): per-doc chunk count,
+    XOR of seeded chunk fold hashes, max chunk length
+    (stages/texthash.py::cdc_chunk_stats — inverse-power prefix hashes,
+    one vectorized pass, reduceat per-doc digests).  Map-only, zero
+    shuffle."""
+    import ray
+
+    from ..stages.texthash import cdc_chunk_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        st = cdc_chunk_stats(
+            [t or "" for t in batch.column("text").to_pylist()], CDC_W, CDC_D
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chunks": pa.array(st["n_chunks"]),
+                "chunks_xor": pa.array(st["chunks_xor"].astype(np.int64)),
+                "max_chunk_len": pa.array(st["max_chunk_len"]),
+            }
+        )
+
+    digest.__name__ = "cdc_digest"
+    return ds.map_batches(digest, batch_format="pyarrow")
+
+
+def _sql_cdc_chunks() -> str:
+    from ..stages.texthash import M64_SQL, SEED31, sql_pow_literal, sql_splitmix64
+
+    w, d = CDC_W, CDC_D
+    win = (
+        f"(list_sum(list_transform(range(0, {w}),"
+        f" j -> unicode(text[p - {w} + 1 + j])::HUGEINT * PW[{w} - j])) % {M64_SQL})"
+    )
+    sm = sql_splitmix64(win)
+    s_expr = "(CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END)"
+    e_expr = "ends[i]"
+    fold = (
+        f"list_reduce(list_prepend({int(SEED31)}::HUGEINT,"
+        f" list_transform(range({s_expr}, {e_expr} + 1),"
+        f" ii -> unicode(text[ii])::HUGEINT)),"
+        f" (acc, cc) -> (acc * 257 + cc) % {M64_SQL})"
+    )
+    return f"""
+WITH pw AS (SELECT {sql_pow_literal(257, w)} AS PW),
+b AS (
+  SELECT doc_id, text, length(text) AS L,
+    CASE WHEN length(text) < {w} THEN CAST([] AS BIGINT[])
+         ELSE list_filter(range({w}, length(text) + 1), p -> ({sm}) % {d} = 0)
+    END AS bnds
+  FROM documents CROSS JOIN pw
+  WHERE length(text) > 0),
+spans AS (
+  SELECT doc_id, text, list_append(list_filter(bnds, bb -> bb < L), L) AS ends
+  FROM b),
+ch AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ends) + 1),
+      i -> struct_pack(h := {fold}, l := {e_expr} - {s_expr} + 1))) AS c
+  FROM spans),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         bit_xor(CAST(CASE WHEN c.h >= 9223372036854775808::HUGEINT
+                           THEN c.h - {M64_SQL} ELSE c.h END AS BIGINT)) AS chunks_xor,
+         CAST(MAX(c.l) AS BIGINT) AS max_chunk_len
+  FROM ch GROUP BY doc_id)
+SELECT dd.doc_id, COALESCE(g.n_chunks, 0) AS n_chunks,
+       COALESCE(g.chunks_xor, 0) AS chunks_xor,
+       COALESCE(g.max_chunk_len, 0) AS max_chunk_len
+FROM documents dd LEFT JOIN g ON g.doc_id = dd.doc_id
+"""
+
+
 BOTTOMK_K = 32
 
 
@@ -6324,6 +6406,7 @@ QUERIES = {
     "contour_cases": q_contour_cases,
     "polygon_validity": q_polygon_validity,
     "bottom_k_users": q_bottom_k_users,
+    "cdc_chunks": q_cdc_chunks,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6417,6 +6500,7 @@ ORACLE_SQL = {
     "contour_cases": SQL_CONTOUR_CASES,
     "polygon_validity": _sql_polygon_validity(),
     "bottom_k_users": _sql_bottom_k_users(),
+    "cdc_chunks": _sql_cdc_chunks(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -409,3 +409,76 @@ def sql_tokhash_list(tokens_expr: str, pow31: str = "P31") -> str:
         f" + coalesce({inner}, 0::HUGEINT)) % {M64_SQL}"
     )
     return f"list_transform({tokens_expr}, tk -> {th})"
+
+
+# multiplicative inverse of 257 mod 2**64 — turns the sequential poly
+# prefix P(i) = P(i-1)*257 + c_i into the cumsum Q(i) = sum c_j * r^j
+# (substring poly = 257^e * (Q[e] - Q[s-1])), so content-defined
+# chunking vectorizes end-to-end
+INV257 = np.uint64(pow(257, -1, 2**64))
+
+
+def cdc_chunk_stats(
+    texts: list[str], window: int = 16, divisor: int = 64
+) -> dict[str, np.ndarray]:
+    """Content-defined chunking (the storage-dedup / delta-compression
+    primitive): a chunk boundary falls after every character position
+    whose trailing ``window``-char rolling poly hash satisfies
+    splitmix64(h) % divisor == 0, so IDENTICAL long substrings chunk
+    identically regardless of their offset in the document.  Returns
+    per-doc digests: n_chunks, bitwise-XOR of the seeded chunk fold
+    hashes, max chunk length.
+
+    One vectorized pass: inverse-power prefix hashes make every window
+    and chunk hash a two-term difference (no per-chunk Python); per-doc
+    reductions are ufunc.reduceat.  All arithmetic wraps mod 2**64
+    exactly like the DuckDB list_reduce fold the oracle replays.
+    """
+    n = len(texts)
+    out_n = np.zeros(n, dtype=np.int64)
+    out_xor = np.zeros(n, dtype=np.uint64)
+    out_max = np.zeros(n, dtype=np.int64)
+    cp, offsets = _codepoints(texts)
+    m = len(cp)
+    if m == 0:
+        return {"n_chunks": out_n, "chunks_xor": out_xor, "max_chunk_len": out_max}
+    c = cp.astype(np.uint64)
+    pow257 = _pow_prefix(257, m)
+    powinv = _pow_prefix(int(INV257), m)
+    q = np.cumsum(c * powinv[:m])  # Q[j] = sum_{t<=j} c_t r^t (wraps)
+
+    def poly(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+        """poly hash of cp[s..e] inclusive, high-to-low powers."""
+        qs = np.where(s > 0, q[np.maximum(s - 1, 0)], np.uint64(0))
+        return pow257[e] * (q[e] - qs)
+
+    w = int(window)
+    doc_of_pos = np.searchsorted(offsets, np.arange(m), side="right") - 1
+    doc_start = offsets[doc_of_pos]
+    e_all = np.arange(m, dtype=np.int64)
+    eligible = e_all - doc_start >= w - 1  # window fully inside the doc
+    e_pos = e_all[eligible]
+    hw = poly(e_pos - (w - 1), e_pos)
+    bmask = splitmix64(hw) % np.uint64(divisor) == 0
+    bp = e_pos[bmask]
+    # drop boundaries at a doc's last char (implicit chunk end already)
+    doc_last = offsets[1:] - 1
+    bp = bp[~np.isin(bp, doc_last[doc_last >= 0])]
+    nonempty = np.flatnonzero(offsets[1:] > offsets[:-1])
+    ends = np.sort(np.concatenate([bp, doc_last[nonempty]]))
+    chunk_doc = np.searchsorted(offsets, ends, side="right") - 1
+    first_of_doc = np.ones(len(ends), dtype=bool)
+    first_of_doc[1:] = chunk_doc[1:] != chunk_doc[:-1]
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[first_of_doc] = offsets[chunk_doc[first_of_doc]]
+    starts[~first_of_doc] = ends[np.flatnonzero(~first_of_doc) - 1] + 1
+    lens = ends - starts + 1
+    ch = SEED31 * pow257[lens] + poly(starts, ends)
+    counts = np.bincount(chunk_doc, minlength=n)
+    grp_start = np.flatnonzero(first_of_doc)
+    docs_with = chunk_doc[grp_start]
+    out_n[:] = counts
+    if len(grp_start):
+        out_xor[docs_with] = np.bitwise_xor.reduceat(ch, grp_start)
+        out_max[docs_with] = np.maximum.reduceat(lens, grp_start)
+    return {"n_chunks": out_n, "chunks_xor": out_xor, "max_chunk_len": out_max}

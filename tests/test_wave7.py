@@ -406,3 +406,45 @@ def test_bottom_k_sample_merge_invariance(ray_session):
     assert len(a) == 16 and a["rank"].tolist() == list(range(16))
     est = int(a["distinct_est"].iloc[0])
     assert 400 <= est <= 2000  # KMV estimate of 900 within sane bounds
+
+
+def test_cdc_shift_invariance():
+    """The CDC property: identical substrings chunk identically at any
+    offset — interior chunk hashes of a shared long substring appear in
+    both docs despite different prefixes."""
+    from geowave_ray.stages.texthash import cdc_chunk_stats, _codepoints, splitmix64, SEED31
+
+    shared = "the quick brown fox jumps over the lazy dog " * 20
+    a = "PREFIX-A " + shared
+    b = "a completely different and longer prefix here " + shared
+
+    # chunk-hash lists per doc via the kernel's own building blocks
+    def chunks(text):
+        import numpy as np
+        st = cdc_chunk_stats([text])
+        return st
+
+    # brute chunk hash sets
+    def chunk_hashes(t, W=16, D=64):
+        M = 1 << 64
+        L = len(t)
+        bnds = []
+        for p in range(W, L + 1):
+            h = 0
+            for ch in t[p - W:p]:
+                h = (h * 257 + ord(ch)) % M
+            if int(splitmix64(np.array([h], np.uint64))[0]) % D == 0:
+                bnds.append(p)
+        ends = [x for x in bnds if x < L] + [L]
+        out, s = [], 1
+        for e in ends:
+            h = int(SEED31)
+            for ch in t[s - 1:e]:
+                h = (h * 257 + ord(ch)) % M
+            out.append(h)
+            s = e + 1
+        return out
+
+    ha, hb = chunk_hashes(a), chunk_hashes(b)
+    common = set(ha) & set(hb)
+    assert len(common) >= max(len(ha), len(hb)) - 3  # only edges differ

@@ -4771,6 +4771,50 @@ SQL_TEXT_SEARCH = (
 )
 
 
+TEXT_PREFIX_TERM = "key"
+TEXT_SUFFIX_TERM = "table"
+
+
+def q_text_prefix_search(sf_dir: str):
+    """FORWARD text-index begins-with search (TextIndexType.java:11
+    FORWARD; TextIndexUtils case folding) — completes driver evidence
+    for the remaining two TextIndexStrategy modes alongside the NGRAM
+    `text_search`."""
+    import ray
+
+    from ..stages.textindex import build_text_index, search_text_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    idx = build_text_index(docs, "text", "doc_id", kinds=("forward",))
+    return search_text_index(idx, TEXT_PREFIX_TERM, "begins_with", "doc_id")
+
+
+SQL_TEXT_PREFIX = (
+    f"SELECT doc_id FROM documents WHERE lower(text) LIKE '{TEXT_PREFIX_TERM}%'"
+)
+
+
+def q_text_suffix_search(sf_dir: str):
+    """REVERSE text-index ends-with search (TextIndexType.java:12
+    REVERSE: terms stored reversed so a suffix query is a prefix scan)."""
+    import ray
+
+    from ..stages.textindex import build_text_index, search_text_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    idx = build_text_index(docs, "text", "doc_id", kinds=("reverse",))
+    return search_text_index(idx, TEXT_SUFFIX_TERM, "ends_with", "doc_id")
+
+
+SQL_TEXT_SUFFIX = (
+    f"SELECT doc_id FROM documents WHERE lower(text) LIKE '%{TEXT_SUFFIX_TERM}'"
+)
+
+
 def q_expr_filter(sf_dir: str):
     """Composed expression filter — And / Between / StartsWith / arithmetic
     over events (VERDICT r3 #6).  Reference: the typed expression surface
@@ -6407,6 +6451,8 @@ QUERIES = {
     "polygon_validity": q_polygon_validity,
     "bottom_k_users": q_bottom_k_users,
     "cdc_chunks": q_cdc_chunks,
+    "text_prefix_search": q_text_prefix_search,
+    "text_suffix_search": q_text_suffix_search,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6501,6 +6547,8 @@ ORACLE_SQL = {
     "polygon_validity": _sql_polygon_validity(),
     "bottom_k_users": _sql_bottom_k_users(),
     "cdc_chunks": _sql_cdc_chunks(),
+    "text_prefix_search": SQL_TEXT_PREFIX,
+    "text_suffix_search": SQL_TEXT_SUFFIX,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

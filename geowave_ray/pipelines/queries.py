@@ -5446,6 +5446,75 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+MIX_BUDGET_DIV = 2  # mixture budget = total rows // 2
+
+
+def q_corpus_mix(sf_dir: str):
+    """Proportional source-mixture assembly (the training-mix step:
+    "source s contributes share_s of the budget"): per-source target
+    counts k_s = min(n_s, budget * share_permille(s) // 1000) with
+    deterministic per-mille shares derived from the source id, then the
+    k_s docs with the SMALLEST splitmix64(doc_id) per source — exact
+    counts, no float thresholds.  Two small aggregates (source counts)
+    plus per_group_quota's combiner-pruned selection
+    (stages/analytics.py::per_group_quota)."""
+    import ray
+
+    from ..stages.analytics import per_group_quota
+    from ..stages.texthash import splitmix64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(d.astype(np.uint64))
+        return batch.append_column("hh", pa.array(h))  # uint64: unsigned order == HUGEINT order
+
+    add_hash.__name__ = "mix_add_hash"
+    hds = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    # source counts: a configuration-scale aggregate (n_sources rows)
+    counts = hds.groupby("source").count().to_pandas()
+    total = int(counts["count()"].sum())
+    budget = total // MIX_BUDGET_DIV
+    quotas = {}
+    for _, row in counts.iterrows():
+        sid = int(str(row["source"])[3:])
+        share = 20 + (sid * 37) % 80  # permille
+        quotas[row["source"]] = min(int(row["count()"]), budget * share // 1000)
+    out = per_group_quota(hds, "source", "hh", quotas)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "source"])
+
+    strip.__name__ = "mix_strip"
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def _sql_corpus_mix() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("doc_id::HUGEINT")
+    return f"""
+WITH n AS (
+  SELECT source, CAST(substr(source, 4) AS BIGINT) AS sid, COUNT(*) AS n_s
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_s) // {MIX_BUDGET_DIV} AS budget FROM n),
+k AS (
+  SELECT source, LEAST(n_s, budget * (20 + (sid * 37) % 80) // 1000) AS k_s
+  FROM n CROSS JOIN tot),
+h AS (SELECT doc_id, source, ({sm}) AS hh FROM documents),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h)
+SELECT r.doc_id, r.source
+FROM r JOIN k ON r.source = k.source WHERE r.rn <= k.k_s
+"""
+
+
 CDC_W = 16
 CDC_D = 64
 
@@ -6453,6 +6522,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "text_prefix_search": q_text_prefix_search,
     "text_suffix_search": q_text_suffix_search,
+    "corpus_mix": q_corpus_mix,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6549,6 +6619,7 @@ ORACLE_SQL = {
     "cdc_chunks": _sql_cdc_chunks(),
     "text_prefix_search": SQL_TEXT_PREFIX,
     "text_suffix_search": SQL_TEXT_SUFFIX,
+    "corpus_mix": _sql_corpus_mix(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

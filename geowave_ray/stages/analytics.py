@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify", "budget_capped_sample", "geofence_transitions"]
+__all__ = ["kmeans", "choose_k_jump", "distortion", "weighted_sample", "group_convex_hulls", "per_group_cap", "shard_assign", "track_simplify", "budget_capped_sample", "geofence_transitions", "per_group_quota"]
 
 
 def _row_u01(x: np.ndarray, salt: int) -> np.ndarray:
@@ -714,3 +714,46 @@ def geofence_transitions(
             )
 
     return assigned.groupby(key_col).map_groups(_Transitions(), batch_format="pyarrow")
+
+
+def per_group_quota(ds, key_col: str, order_col: str, quotas: dict, default: int = 0):
+    """``per_group_cap`` with a PER-KEY quota map: keep the ``quotas[key]``
+    rows with the smallest ``order_col`` per key (keys absent from the
+    map get ``default``) — the mixture-assembly primitive ("this source
+    contributes k_s documents").
+
+    Same scale shape as per_group_cap: a vectorized per-batch combiner
+    prunes every block to its per-key quota before the shuffle, so hot
+    sources move at most quota * n_blocks rows; the quota map is
+    configuration-sized and broadcast once via ray.put."""
+    import ray
+
+    qref = ray.put(dict(quotas))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        q = ray.get(qref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        order = batch.column(order_col).to_numpy(zero_copy_only=False)
+        uk, codes = np.unique(keys, return_inverse=True)
+        kv = np.array([int(q.get(k, default)) for k in uk.tolist()], dtype=np.int64)
+        sel = np.lexsort((order, codes))
+        codes_s = codes[sel]
+        new_key = np.empty(len(sel), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = codes_s[1:] != codes_s[:-1]
+        first_pos = np.maximum.accumulate(np.where(new_key, np.arange(len(sel)), 0))
+        rank = np.arange(len(sel)) - first_pos
+        return batch.take(pa.array(np.sort(sel[rank < kv[codes_s]])))
+
+    topk.__name__ = "per_group_quota"
+    partial = ds.map_batches(topk, batch_format="pyarrow")
+
+    class _GroupQuota:
+        __name__ = "per_group_quota_final"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            return topk(group)
+
+    return partial.groupby(key_col).map_groups(_GroupQuota(), batch_format="pyarrow")

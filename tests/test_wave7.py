@@ -448,3 +448,27 @@ def test_cdc_shift_invariance():
     ha, hb = chunk_hashes(a), chunk_hashes(b)
     common = set(ha) & set(hb)
     assert len(common) >= max(len(ha), len(hb)) - 3  # only edges differ
+
+
+def test_per_group_quota_brute(ray_session):
+    import ray
+
+    from geowave_ray.stages.analytics import per_group_quota
+
+    rng = np.random.default_rng(23)
+    n = 800
+    key = rng.choice(["a", "b", "c", "d"], n)
+    order = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"k": pa.array(key), "o": pa.array(order),
+                    "id": pa.array(np.arange(n, dtype=np.int64))})
+    quotas = {"a": 5, "b": 0, "c": 100, "d": 17}
+    out = per_group_quota(
+        ray.data.from_arrow(tbl).repartition(6), "k", "o", quotas
+    ).to_pandas()
+    import pandas as pd
+    df = tbl.to_pandas()
+    exp = (
+        df.sort_values(["k", "o"]).groupby("k", group_keys=False)
+        .apply(lambda g: g.head(quotas[g.name]), include_groups=True)
+    )
+    assert sorted(out["id"].tolist()) == sorted(exp["id"].tolist())

@@ -2984,6 +2984,47 @@ GROUP BY level, cell
 """
 
 
+def q_kde_percentiles(sf_dir: str):
+    """Percentile-normalized KDE output — the missing half of the
+    reference's KDEReducer, which emits PERCENTILE-normalized raster
+    values, not raw sums (analytics/mapreduce/.../kde/KDEReducer.java:
+    the reducer ranks cell summations and writes rank/total): per level,
+    pct_milli = 1000 * (rank - 1) // (n_cells - 1) with deterministic
+    (weight, cell) rank order.  Levels are small (2^(2L-1) cells), so
+    the rank step is one tiny per-level map_groups after the
+    distributed splat+sum."""
+    from ..stages.kde import kde_cells
+
+    pts = _events_points(sf_dir)
+    cells = kde_cells(pts, levels=(5, 6), radius=1, kernel="binomial")
+
+    class _Rank:
+        __name__ = "kde_percentile_rank"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            w = group.column("weight").to_numpy(zero_copy_only=False)
+            c = group.column("cell").to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, w))
+            rank = np.empty(len(w), dtype=np.int64)
+            rank[order] = np.arange(len(w), dtype=np.int64)
+            denom = max(len(w) - 1, 1)
+            return group.append_column(
+                "pct_milli", pa.array(1000 * rank // denom)
+            )
+
+    return cells.groupby("level").map_groups(_Rank(), batch_format="pyarrow")
+
+
+def _sql_kde_percentiles() -> str:
+    return f"""
+WITH base AS ({_sql_kde_cells()})
+SELECT level, cell, weight,
+       1000 * (ROW_NUMBER() OVER (PARTITION BY level ORDER BY weight, cell) - 1)
+         // GREATEST(COUNT(*) OVER (PARTITION BY level) - 1, 1) AS pct_milli
+FROM base
+"""
+
+
 def q_xz_zone_keys(sf_dir: str):
     """XZ-order keys for the zone layer (extended-object keying; rows-only —
     the float log level rule is not byte-stable across SQL engines).  Runs
@@ -6523,6 +6564,7 @@ QUERIES = {
     "text_prefix_search": q_text_prefix_search,
     "text_suffix_search": q_text_suffix_search,
     "corpus_mix": q_corpus_mix,
+    "kde_percentiles": q_kde_percentiles,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6620,6 +6662,7 @@ ORACLE_SQL = {
     "text_prefix_search": SQL_TEXT_PREFIX,
     "text_suffix_search": SQL_TEXT_SUFFIX,
     "corpus_mix": _sql_corpus_mix(),
+    "kde_percentiles": _sql_kde_percentiles(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -5487,6 +5487,96 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+TWA_DAY_US = 86_400_000_000
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Per-user per-day TIME-WEIGHTED value aggregation with
+    step-function (hold-until-next-event) semantics — the telemetry
+    analog of the engine's windowed aggregates: each event's value
+    holds over [t, t_next); segments split exactly across day
+    boundaries and contribute integer-cent x microsecond weights, so
+    the result is exact (wsum, covered_us) with no float accumulation.
+    One groupby shuffle; the per-group kernel is one sort + one CSR
+    day-range expansion (the trajectory_resample bucket-split shape)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    d_us = TWA_DAY_US
+
+    class _Twa:
+        __name__ = "time_weighted_avg"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            v = np.floor(
+                group.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            sel = np.lexsort((ev, t))
+            t, v = t[sel], v[sel]
+            t1, t2, val = t[:-1], t[1:], v[:-1]
+            m = t2 > t1
+            t1, t2, val = t1[m], t2[m], val[m]
+            empty = pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "wsum": pa.array([], pa.int64()),
+                    "covered_us": pa.array([], pa.int64()),
+                }
+            )
+            if len(t1) == 0:
+                return empty
+            g1 = t1 // d_us
+            g2 = (t2 - 1) // d_us
+            rep = g2 - g1 + 1
+            idx = np.repeat(np.arange(len(t1)), rep)
+            cum = np.concatenate(([0], np.cumsum(rep)[:-1]))
+            g = g1[idx] + (np.arange(int(rep.sum())) - np.repeat(cum, rep))
+            lo = np.maximum(t1[idx], g * d_us)
+            hi = np.minimum(t2[idx], (g + 1) * d_us)
+            w = hi - lo
+            days, inv = np.unique(g, return_inverse=True)
+            wsum = np.bincount(inv, weights=val[idx] * w).astype(np.int64)
+            cov = np.bincount(inv, weights=w).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": pa.array(np.full(len(days), uid, np.int64)),
+                    "day": pa.array(days),
+                    "wsum": pa.array(wsum),
+                    "covered_us": pa.array(cov),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_Twa(), batch_format="pyarrow")
+
+
+SQL_TWA = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events),
+s AS (
+  SELECT user_id, t, v,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t2
+  FROM p),
+seg AS (
+  SELECT user_id, v, t, t2,
+         unnest(range(t // {TWA_DAY_US}, (t2 - 1) // {TWA_DAY_US} + 1)) AS g
+  FROM s WHERE t2 IS NOT NULL AND t2 > t)
+SELECT user_id, g AS day,
+       CAST(SUM(v * (LEAST(t2, (g + 1) * {TWA_DAY_US})
+                     - GREATEST(t, g * {TWA_DAY_US}))) AS BIGINT) AS wsum,
+       CAST(SUM(LEAST(t2, (g + 1) * {TWA_DAY_US})
+                - GREATEST(t, g * {TWA_DAY_US})) AS BIGINT) AS covered_us
+FROM seg GROUP BY user_id, g
+"""
+
+
 MIX_BUDGET_DIV = 2  # mixture budget = total rows // 2
 
 
@@ -6565,6 +6655,7 @@ QUERIES = {
     "text_suffix_search": q_text_suffix_search,
     "corpus_mix": q_corpus_mix,
     "kde_percentiles": q_kde_percentiles,
+    "time_weighted_avg": q_time_weighted_avg,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6663,6 +6754,7 @@ ORACLE_SQL = {
     "text_suffix_search": SQL_TEXT_SUFFIX,
     "corpus_mix": _sql_corpus_mix(),
     "kde_percentiles": _sql_kde_percentiles(),
+    "time_weighted_avg": SQL_TWA,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

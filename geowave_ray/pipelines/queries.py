@@ -5487,6 +5487,193 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+def q_areal_interp(sf_dir: str):
+    """AREAL INTERPOLATION: transfer event-box values onto order-box
+    targets weighted by exact integer overlap area — the zone-to-zone
+    reaggregation GIS op (population reallocation between
+    incompatible zone systems), built on the same PBSM rect_join
+    cogroup; the join carries each side's envelope as int64 columns so
+    the weight is computed post-join with no second lookup.  Output per
+    target: SUM(v * overlap_area) and the covered area, both exact."""
+    import ray
+
+    from ..stages.join import rect_join
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def ev_boxes(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        x0 = (e * 7919 + u) % 36000 - 18000
+        y0 = (e * 104729 + u * 13) % 18000 - 9000
+        x1 = x0 + e % 97 + 5
+        y1 = y0 + e % 53 + 5
+        return pa.table(
+            {
+                "x0": pa.array(x0), "y0": pa.array(y0),
+                "x1": pa.array(x1), "y1": pa.array(y1),
+                "lv": pa.array(e % 1000 + 1),
+                "lx0": pa.array(x0), "ly0": pa.array(y0),
+                "lx1": pa.array(x1), "ly1": pa.array(y1),
+            }
+        )
+
+    def od_boxes(batch: pa.Table) -> pa.Table:
+        o = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        x0 = (o * 7919 + c) % 36000 - 18000
+        y0 = (o * 104729 + c * 13) % 18000 - 9000
+        x1 = x0 + o % 89 + 5
+        y1 = y0 + o % 59 + 5
+        return pa.table(
+            {
+                "x0": pa.array(x0), "y0": pa.array(y0),
+                "x1": pa.array(x1), "y1": pa.array(y1),
+                "order_id": batch.column("o_orderkey"),
+                "rx0": pa.array(x0), "ry0": pa.array(y0),
+                "rx1": pa.array(x1), "ry1": pa.array(y1),
+            }
+        )
+
+    ev_boxes.__name__ = "ai_event_boxes"
+    od_boxes.__name__ = "ai_order_boxes"
+    pairs = rect_join(
+        ev.map_batches(ev_boxes, batch_format="pyarrow"),
+        od.map_batches(od_boxes, batch_format="pyarrow"),
+        cell_size=RECT_CELL,
+        left_cols=("lv", "lx0", "ly0", "lx1", "ly1"),
+        right_cols=("order_id", "rx0", "ry0", "rx1", "ry1"),
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        g = {c: batch.column(c).to_numpy(zero_copy_only=False) for c in batch.column_names}
+        ox = np.maximum(
+            np.minimum(g["lx1"], g["rx1"]) - np.maximum(g["lx0"], g["rx0"]), 0
+        )
+        oy = np.maximum(
+            np.minimum(g["ly1"], g["ry1"]) - np.maximum(g["ly0"], g["ry0"]), 0
+        )
+        area = ox * oy
+        return pa.table(
+            {
+                "order_id": pa.array(g["order_id"]),
+                "vsum": pa.array(g["lv"] * area),
+                "area": pa.array(area),
+            }
+        )
+
+    weight.__name__ = "ai_overlap_weight"
+    return (
+        pairs.map_batches(weight, batch_format="pyarrow")
+        .groupby("order_id")
+        .aggregate(Sum("vsum", alias_name="vsum"), Sum("area", alias_name="area"))
+    )
+
+
+SQL_AREAL_INTERP = """
+WITH l AS (
+  SELECT event_id % 1000 + 1 AS lv,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS x0,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS y0,
+         (event_id * 7919 + user_id) % 36000 - 18000 + event_id % 97 + 5 AS x1,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 + event_id % 53 + 5 AS y1
+  FROM events
+), r AS (
+  SELECT o_orderkey AS order_id,
+         (o_orderkey * 7919 + o_custkey) % 36000 - 18000 AS x0,
+         (o_orderkey * 104729 + o_custkey * 13) % 18000 - 9000 AS y0,
+         (o_orderkey * 7919 + o_custkey) % 36000 - 18000 + o_orderkey % 89 + 5 AS x1,
+         (o_orderkey * 104729 + o_custkey * 13) % 18000 - 9000 + o_orderkey % 59 + 5 AS y1
+  FROM orders
+), p AS (
+  SELECT r.order_id, l.lv,
+         GREATEST(LEAST(l.x1, r.x1) - GREATEST(l.x0, r.x0), 0)
+           * GREATEST(LEAST(l.y1, r.y1) - GREATEST(l.y0, r.y0), 0) AS area
+  FROM l JOIN r
+    ON l.x0 <= r.x1 AND r.x0 <= l.x1 AND l.y0 <= r.y1 AND r.y0 <= l.y1)
+SELECT order_id, CAST(SUM(lv * area) AS BIGINT) AS vsum,
+       CAST(SUM(area) AS BIGINT) AS area
+FROM p GROUP BY order_id
+"""
+
+
+BURN_NX, BURN_NY = 128, 64
+
+
+def q_rasterize_zones(sf_dir: str):
+    """Vector->raster BURN: each cell of a BURN_NX x BURN_NY world grid
+    takes the smallest zone_id whose fence box contains the cell center
+    (in doubled coordinates so centers stay integer) — the
+    rasterization inverse of zonal_stats and the vector->raster
+    companion of KDE.  Map-only over the generated grid; the fence set
+    is the broadcast-scale side."""
+    import ray
+
+    z = _geofence_zone_arrays()
+    # doubled centi-degree coordinates: center of cell (gx, gy) is exact
+    zx0, zx1 = z["minx"] * 2, z["maxx"] * 2
+    zy0, zy1 = z["miny"] * 2, z["maxy"] * 2
+    zid = z["zone_id"]
+
+    def burn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = ids % BURN_NX
+        gy = ids // BURN_NX
+        cx = (gx * 36000 // BURN_NX) * 2 + 36000 // BURN_NX - 36000
+        cy = (gy * 18000 // BURN_NY) * 2 + 18000 // BURN_NY - 18000
+        inside = (
+            (cx[:, None] >= zx0[None, :])
+            & (cx[:, None] <= zx1[None, :])
+            & (cy[:, None] >= zy0[None, :])
+            & (cy[:, None] <= zy1[None, :])
+        )
+        any_z = inside.any(axis=1)
+        zone = np.where(any_z, zid[np.argmax(inside, axis=1)], np.int64(-1))
+        keep = zone >= 0
+        return pa.table(
+            {
+                "gx": pa.array(gx[keep]),
+                "gy": pa.array(gy[keep]),
+                "zone_id": pa.array(zone[keep]),
+            }
+        )
+
+    burn.__name__ = "rasterize_burn"
+    ds = ray.data.range(BURN_NX * BURN_NY, override_num_blocks=4)
+    return ds.map_batches(burn, batch_format="pyarrow")
+
+
+SQL_RASTERIZE = f"""
+WITH z AS (
+  SELECT j AS zone_id,
+         (((j * 37) % 340) - 170) * 200 AS minx,
+         (((j * 53) % 160) - 80) * 200 AS miny,
+         ((((j * 37) % 340) - 170) + 3 + (j % 7)) * 200 AS maxx,
+         ((((j * 53) % 160) - 80) + 2 + (j % 5)) * 200 AS maxy
+  FROM range({GEOFENCE_ZONES}) t(j)),
+g AS (
+  SELECT i % {BURN_NX} AS gx, i // {BURN_NX} AS gy,
+         ((i % {BURN_NX}) * 36000 // {BURN_NX}) * 2
+           + 36000 // {BURN_NX} - 36000 AS cx,
+         ((i // {BURN_NX}) * 18000 // {BURN_NY}) * 2
+           + 18000 // {BURN_NY} - 18000 AS cy
+  FROM range({BURN_NX * BURN_NY}) r(i)),
+b AS (
+  SELECT gx, gy,
+         (SELECT MIN(zone_id) FROM z
+          WHERE cx BETWEEN z.minx AND z.maxx
+            AND cy BETWEEN z.miny AND z.maxy) AS zone_id
+  FROM g)
+SELECT gx, gy, zone_id FROM b WHERE zone_id IS NOT NULL
+"""
+
+
 TWA_DAY_US = 86_400_000_000
 
 
@@ -6656,6 +6843,8 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "kde_percentiles": q_kde_percentiles,
     "time_weighted_avg": q_time_weighted_avg,
+    "rasterize_zones": q_rasterize_zones,
+    "areal_interp": q_areal_interp,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6755,6 +6944,8 @@ ORACLE_SQL = {
     "corpus_mix": _sql_corpus_mix(),
     "kde_percentiles": _sql_kde_percentiles(),
     "time_weighted_avg": SQL_TWA,
+    "rasterize_zones": SQL_RASTERIZE,
+    "areal_interp": SQL_AREAL_INTERP,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -5576,6 +5576,117 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+DISSOLVE_N = 1500
+
+
+def q_dissolve_groups(sf_dir: str):
+    """DISSOLVE (JTS unary-union grouping): overlapping/touching
+    event-derived boxes merge into connected groups, label = smallest
+    member id — the standard GIS dissolve, expressed as PBSM
+    self-rect-join edges + the engine's distributed min-label
+    connected components (the dbscan/components machinery reused for
+    geometry topology).  Output (box_id, group_id) for every box."""
+    import ray
+
+    from ..stages.components import connected_components_min_label
+    from ..stages.join import rect_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def subset(batch: pa.Table) -> pa.Table:
+        # deterministic order-free subset (LIMIT would depend on file order)
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(e % 7 == 0))
+
+    subset.__name__ = "dissolve_subset"
+    ev = ev.map_batches(subset, batch_format="pyarrow")
+
+    def boxes(name):
+        def mk(batch: pa.Table) -> pa.Table:
+            e = batch.column("event_id").to_numpy(zero_copy_only=False)
+            u = batch.column("user_id").to_numpy(zero_copy_only=False)
+            x0 = (e * 7919 + u) % 36000 - 18000
+            y0 = (e * 104729 + u * 13) % 18000 - 9000
+            return pa.table(
+                {
+                    name: batch.column("event_id"),
+                    "x0": pa.array(x0),
+                    "y0": pa.array(y0),
+                    "x1": pa.array(x0 + e % 197 + 40),
+                    "y1": pa.array(y0 + e % 153 + 40),
+                }
+            )
+
+        mk.__name__ = f"dissolve_boxes_{name}"
+        return mk
+
+    left = ev.map_batches(boxes("id_a"), batch_format="pyarrow")
+    right = ev.map_batches(boxes("id_b"), batch_format="pyarrow")
+    pairs = rect_join(
+        left, right, cell_size=RECT_CELL, left_cols=("id_a",), right_cols=("id_b",)
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"e_a": pa.array(a[m]), "e_b": pa.array(b[m])})
+
+    edges.__name__ = "dissolve_edges"
+    labels = connected_components_min_label(
+        pairs.map_batches(edges, batch_format="pyarrow")
+    )
+
+    # boxes with no overlap partner are their own group: LEFT-join the
+    # full box list with the component labels, coalescing to self
+    def self_row(batch: pa.Table) -> pa.Table:
+        v = batch.column("id_a")
+        return pa.table({"node": v, "self_label": v})
+
+    self_row.__name__ = "dissolve_selfrows"
+    from ..stages.util import safe_join
+
+    j = safe_join(
+        left.map_batches(self_row, batch_format="pyarrow"),
+        labels,
+        "left_outer",
+        8,
+        ("node",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        lab = pc.coalesce(batch.column("label"), batch.column("self_label"))
+        return pa.table(
+            {"box_id": batch.column("node"), "group_id": lab.cast(pa.int64())}
+        )
+
+    fin.__name__ = "dissolve_final"
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_DISSOLVE = f"""
+WITH RECURSIVE b AS (
+  SELECT event_id AS id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS x0,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS y0,
+         (event_id * 7919 + user_id) % 36000 - 18000 + event_id % 197 + 40 AS x1,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 + event_id % 153 + 40 AS y1
+  FROM events WHERE event_id % 7 = 0),
+e AS (
+  SELECT a.id AS ia, b2.id AS ib
+  FROM b a JOIN b b2
+    ON a.x0 <= b2.x1 AND b2.x0 <= a.x1 AND a.y0 <= b2.y1 AND b2.y0 <= a.y1),
+es AS (SELECT ia AS a, ib AS bb FROM e UNION SELECT ib, ia FROM e),
+reach(pid, lab) AS (
+  SELECT id, id FROM b
+  UNION
+  SELECT es.bb, r.lab FROM reach r JOIN es ON es.a = r.pid WHERE r.lab <= es.bb)
+SELECT pid AS box_id, MIN(lab) AS group_id FROM reach GROUP BY pid
+"""
+
+
 SQL_AREAL_INTERP = """
 WITH l AS (
   SELECT event_id % 1000 + 1 AS lv,
@@ -6845,6 +6956,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "rasterize_zones": q_rasterize_zones,
     "areal_interp": q_areal_interp,
+    "dissolve_groups": q_dissolve_groups,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -6946,6 +7058,7 @@ ORACLE_SQL = {
     "time_weighted_avg": SQL_TWA,
     "rasterize_zones": SQL_RASTERIZE,
     "areal_interp": SQL_AREAL_INTERP,
+    "dissolve_groups": SQL_DISSOLVE,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -5576,6 +5576,79 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+ANOM_K_MILLI = 3000  # flag when |v - median| * 1000 > 3000 * MAD
+
+
+def q_anomaly_flags(sf_dir: str):
+    """Per-user robust anomaly detection over event values: flag events
+    whose |value - median| exceeds 3x the median absolute deviation —
+    median/MAD in exact integer cents with the LOWER-median convention
+    (k = (n-1)//2 smallest), so the flags are deterministic and
+    SQL-replayable with zero float hazards (the robust-statistics
+    telemetry op; the value-column analog of the engine's
+    MinimalBinDistanceHistogram outlier surface).  One groupby shuffle;
+    per-group kernel is two partitions + one compare."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    class _Anom:
+        __name__ = "anomaly_flags"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            v = np.floor(
+                group.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            n = len(v)
+            k = (n - 1) // 2
+            med = np.partition(v, k)[k]
+            dev = np.abs(v - med)
+            mad = np.partition(dev, k)[k]
+            flag = dev * 1000 > ANOM_K_MILLI * mad
+            keep = np.flatnonzero(flag)
+            uid = group.column("user_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": pa.array(uid[keep]),
+                    "event_id": pa.array(ev[keep]),
+                    "v_cents": pa.array(v[keep]),
+                    "med_cents": pa.array(np.full(len(keep), med)),
+                    "mad_cents": pa.array(np.full(len(keep), mad)),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_Anom(), batch_format="pyarrow")
+
+
+SQL_ANOMALY = f"""
+WITH p AS (
+  SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events),
+med AS (
+  SELECT user_id, v AS med FROM (
+    SELECT user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM p) WHERE rn = (n - 1) // 2 + 1),
+dev AS (
+  SELECT p.user_id, p.event_id, p.v, med.med, ABS(p.v - med.med) AS d
+  FROM p JOIN med ON p.user_id = med.user_id),
+mad AS (
+  SELECT user_id, d AS mad FROM (
+    SELECT user_id, d,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM dev) WHERE rn = (n - 1) // 2 + 1)
+SELECT dev.user_id, dev.event_id, dev.v AS v_cents,
+       dev.med AS med_cents, mad.mad AS mad_cents
+FROM dev JOIN mad ON dev.user_id = mad.user_id
+WHERE dev.d * 1000 > {ANOM_K_MILLI} * mad.mad
+"""
+
+
 DISSOLVE_N = 1500
 
 
@@ -6957,6 +7030,7 @@ QUERIES = {
     "rasterize_zones": q_rasterize_zones,
     "areal_interp": q_areal_interp,
     "dissolve_groups": q_dissolve_groups,
+    "anomaly_flags": q_anomaly_flags,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7059,6 +7133,7 @@ ORACLE_SQL = {
     "rasterize_zones": SQL_RASTERIZE,
     "areal_interp": SQL_AREAL_INTERP,
     "dissolve_groups": SQL_DISSOLVE,
+    "anomaly_flags": SQL_ANOMALY,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

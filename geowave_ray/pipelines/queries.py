@@ -5576,6 +5576,243 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered FUNNEL analysis per user (view -> click -> purchase):
+    the deepest strictly-ordered stage reached, using the earliest
+    qualifying timestamp at each step (ties broken by event_id) — the
+    canonical event-analytics op over the engine's spatial-temporal
+    event stream.  One groupby shuffle; per-group kernel is one sort +
+    three masked argmins."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    class _Funnel:
+        __name__ = "funnel_stages"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            ty = group.column("event_type").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((ev, t))
+            t, ty = t[sel], ty[sel]
+            stage = 0
+            # first index of each step strictly after the previous step's hit
+            prev = -1
+            for step in FUNNEL_STEPS:
+                idx = np.flatnonzero((ty == step) & (np.arange(len(t)) > prev))
+                if len(idx) == 0:
+                    break
+                prev = idx[0]
+                stage += 1
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "stage": pa.array([stage], pa.int64()),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_Funnel(), batch_format="pyarrow")
+
+
+SQL_FUNNEL = f"""
+WITH p AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+s1 AS (SELECT user_id, MIN(rn) AS r1 FROM p
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT p.user_id, MIN(rn) AS r2 FROM p JOIN s1 ON p.user_id = s1.user_id
+       WHERE event_type = '{FUNNEL_STEPS[1]}' AND rn > s1.r1 GROUP BY p.user_id),
+s3 AS (SELECT p.user_id, MIN(rn) AS r3 FROM p JOIN s2 ON p.user_id = s2.user_id
+       WHERE event_type = '{FUNNEL_STEPS[2]}' AND rn > s2.r2 GROUP BY p.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+RETENTION_WEEK_US = 7 * 86_400_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly RETENTION cohorts: cohort = a user's first-activity week,
+    matrix cell = distinct users of cohort c active in week w — the
+    standard cohort-retention analysis in ONE user-keyed shuffle: each
+    user's group emits its unique weeks tagged with cohort = min week
+    (distinctness is free inside the group), then per-batch combiners
+    pre-sum the (cohort, week) counts before the tiny final groupby."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pa.array(t // RETENTION_WEEK_US),
+            }
+        )
+
+    weeks.__name__ = "retention_weeks"
+    wk = ds.map_batches(weeks, batch_format="pyarrow")
+
+    class _UserWeeks:
+        __name__ = "retention_user_weeks"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            w = np.unique(group.column("week").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "cohort": pa.array(np.full(len(w), w.min(), np.int64)),
+                    "week": pa.array(w),
+                }
+            )
+
+    pairs = wk.groupby("user_id").map_groups(_UserWeeks(), batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["cohort", "week"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort", "week", "n"])
+
+    count_partial.__name__ = "retention_count_partial"
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort", "week"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+SQL_RETENTION = f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {RETENTION_WEEK_US} AS week FROM events),
+first AS (SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id),
+trip AS (
+  SELECT DISTINCT first.cohort, wk.week, wk.user_id
+  FROM wk JOIN first ON wk.user_id = first.user_id)
+SELECT cohort, week, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM trip GROUP BY cohort, week
+"""
+
+
+ROLLUP_L = 6  # finest level: 2^L x 2^(L-1) equal-angle grid
+
+
+def q_agg_rollup(sf_dir: str):
+    """Multi-resolution AGGREGATION PYRAMID: per-cell (count, sum) at
+    the finest grid level rolled up level-by-level by summing the four
+    children of each parent cell — the statistics counterpart of the
+    raster tile pyramid (BinningAggregation composed across the tier
+    ladder; serving zoomable heat/choropleth layers without rescanning).
+    The base aggregate is ONE distributed shuffle; every coarser level
+    derives from the previous one's (already tiny) cell table, so the
+    rollup costs no second pass over the data."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    nx, ny = 1 << ROLLUP_L, 1 << (ROLLUP_L - 1)
+
+    def base(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ix = (e * 7919 + u) % 36000
+        iy = (e * 104729 + u * 13) % 18000
+        gx = ix * nx // 36000
+        gy = iy * ny // 18000
+        t = pa.table(
+            {"gx": pa.array(gx), "gy": pa.array(gy), "n": pa.array(np.ones(len(e), np.int64)), "s": pa.array(v)}
+        )
+        g = pa.TableGroupBy(t, ["gx", "gy"]).aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["gx", "gy", "n", "s"])
+
+    base.__name__ = "rollup_base_partial"
+    from ray.data.aggregate import Sum
+
+    lvl = (
+        ds.map_batches(base, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def tag(level):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "level", pa.array(np.full(len(batch), level, np.int64))
+            ).select(["level", "gx", "gy", "n", "s"])
+
+        f.__name__ = f"rollup_tag_{level}"
+        return f
+
+    _ = tag  # base level tagged inside the rollup block below
+
+    # the base cell table is GRID-bounded (<= 2^(2L-1) rows — configuration,
+    # not data), so all coarser levels compute in ONE bounded block instead
+    # of three more shuffle rounds (was 3x groupby+union: 11s -> ~4s)
+    def rollup_all(batch: pa.Table) -> pa.Table:
+        gx = batch.column("gx").to_numpy(zero_copy_only=False)
+        gy = batch.column("gy").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        frames = []
+        for level in range(ROLLUP_L, ROLLUP_L - 4, -1):
+            sh = ROLLUP_L - level
+            key = (gx >> sh) * (np.int64(2) * ny) + (gy >> sh)
+            uk, inv = np.unique(key, return_inverse=True)
+            frames.append(
+                pa.table(
+                    {
+                        "level": pa.array(np.full(len(uk), level, np.int64)),
+                        "gx": pa.array(uk // (2 * ny)),
+                        "gy": pa.array(uk % (2 * ny)),
+                        "n": pa.array(np.bincount(inv, weights=n).astype(np.int64)),
+                        "s": pa.array(np.bincount(inv, weights=s).astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(frames)
+
+    rollup_all.__name__ = "rollup_all_levels"
+    return lvl.repartition(1).map_batches(rollup_all, batch_format="pyarrow")
+
+
+def _sql_agg_rollup() -> str:
+    nx, ny = 1 << ROLLUP_L, 1 << (ROLLUP_L - 1)
+    parts = []
+    for level in range(ROLLUP_L, ROLLUP_L - 4, -1):
+        sh = ROLLUP_L - level
+        parts.append(f"""
+  SELECT {level} AS level,
+         ((event_id * 7919 + user_id) % 36000) * {nx} // 36000 // {1 << sh} AS gx,
+         ((event_id * 104729 + user_id * 13) % 18000) * {ny} // 18000 // {1 << sh} AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 2, 3""".strip())
+    u = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{u}\n)"
+
+
 ANOM_K_MILLI = 3000  # flag when |v - median| * 1000 > 3000 * MAD
 
 
@@ -7031,6 +7268,9 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "dissolve_groups": q_dissolve_groups,
     "anomaly_flags": q_anomaly_flags,
+    "agg_rollup": q_agg_rollup,
+    "funnel_stages": q_funnel_stages,
+    "retention_cohorts": q_retention_cohorts,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7134,6 +7374,9 @@ ORACLE_SQL = {
     "areal_interp": SQL_AREAL_INTERP,
     "dissolve_groups": SQL_DISSOLVE,
     "anomaly_flags": SQL_ANOMALY,
+    "agg_rollup": _sql_agg_rollup(),
+    "funnel_stages": SQL_FUNNEL,
+    "retention_cohorts": SQL_RETENTION,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -172,3 +172,83 @@ def test_dp_simplify_error_bound(pts, tol):
             else:
                 cr = dx * int(y[j] - y[a]) - dy * int(x[j] - x[a])
                 assert cr * cr <= tol_sq * (dx * dx + dy * dy)
+
+
+# ---------------------------------------------------------------- wave 7
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcXYZ019./?&#=_-",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_url_normalize_idempotent(urls):
+    import pyarrow as pa
+
+    from geowave_ray.stages.text import normalize_urls
+
+    u1, _ = normalize_urls(pa.array(["https://" + u for u in urls]))
+    u2, _ = normalize_urls(u1)
+    assert u1.to_pylist() == u2.to_pylist()
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_segment_box_sat_invariants(data):
+    import numpy as np
+
+    x1 = data.draw(st.integers(-50, 50))
+    y1 = data.draw(st.integers(-50, 50))
+    x2 = data.draw(st.integers(-50, 50))
+    y2 = data.draw(st.integers(-50, 50))
+    bx0 = data.draw(st.integers(-50, 40))
+    by0 = data.draw(st.integers(-50, 40))
+    bx1 = bx0 + data.draw(st.integers(0, 30))
+    by1 = by0 + data.draw(st.integers(0, 30))
+
+    def sat(x1, y1, x2, y2):
+        if max(x1, x2) < bx0 or min(x1, x2) > bx1:
+            return False
+        if max(y1, y2) < by0 or min(y1, y2) > by1:
+            return False
+        dx, dy = x2 - x1, y2 - y1
+        cr = [dx * (cy - y1) - dy * (cx - x1) for cx in (bx0, bx1) for cy in (by0, by1)]
+        return min(cr) <= 0 <= max(cr)
+
+    got = sat(x1, y1, x2, y2)
+    # endpoint-swap symmetry
+    assert got == sat(x2, y2, x1, y1)
+    # both endpoints inside -> must intersect
+    if bx0 <= x1 <= bx1 and by0 <= y1 <= by1 and bx0 <= x2 <= bx1 and by0 <= y2 <= by1:
+        assert got
+    # sampled points on the segment inside the box -> must intersect
+    for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+        px, py = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+        if bx0 <= px <= bx1 and by0 <= py <= by1:
+            assert got
+            break
+
+
+@given(st.integers(3, 12), st.integers(50, 90))
+@settings(max_examples=40, deadline=None)
+def test_equal_radius_star_polygons_valid(m, r):
+    import numpy as np
+
+    from geowave_ray.geom.measures import ring_self_intersections
+
+    ux = np.array([100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38, 0, 38, 71, 92])
+    uy = np.array([0, 38, 71, 92, 100, 92, 71, 38, 0, -38, -71, -92, -100, -92, -71, -38])
+    a = (np.arange(m) * 16) // m
+    verts = np.zeros((1, m, 2), np.int64)
+    verts[0, :, 0] = r * ux[a]
+    verts[0, :, 1] = r * uy[a]
+    # equal radii on a monotone angle sweep -> convex ring -> valid
+    assert ring_self_intersections(verts, np.array([m], np.int64))[0] == 0

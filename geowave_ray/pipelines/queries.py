@@ -5576,6 +5576,63 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+def q_overzoom_tiles(sf_dir: str):
+    """OVERZOOM serving: requests one level DEEPER than the stored
+    pyramid are answered by nearest-neighbor upsampling the parent tile
+    and slicing the four children — the map-server behavior past the
+    deepest ingested level (GeoServer overzoom on GeoWave-served
+    RasterDataAdapter pyramids).  REAL path: PNG decode ->
+    resample_nearest 2x -> quadrant slice per tile, all in one map-only
+    stage (payloads never shuffle); the oracle replays each child's
+    pixel sum as 4x its parent-quadrant formula sum."""
+    import ray
+
+    from ..stages.imaging import decode_image, encode_image, resample_nearest
+
+    def gen_serve(batch: pa.Table) -> pa.Table:
+        ks = batch.column("id").to_numpy().astype(np.int64)
+        txs, tys, sums = [], [], []
+        for k in ks:
+            tx, ty = int(k) % _PYR_GRID, int(k) // _PYR_GRID
+            gx = tx * 16 + np.arange(16, dtype=np.int64)[None, :]
+            gy = ty * 16 + np.arange(16, dtype=np.int64)[:, None]
+            v = ((gx * 11 + gy * 53 + tx * 37 + ty * 29) % 256).astype(np.uint8)
+            blob = encode_image(v[:, :, None], "png")  # the stored tile
+            arr = decode_image(blob)[:, :, 0]
+            up = resample_nearest(arr[:, :, None], 32, 32)[:, :, 0].astype(np.int64)
+            for j in range(2):
+                for i in range(2):
+                    child = up[j * 16 : (j + 1) * 16, i * 16 : (i + 1) * 16]
+                    txs.append(2 * tx + i)
+                    tys.append(2 * ty + j)
+                    sums.append(int(child.sum()))
+        return pa.table(
+            {
+                "tx": pa.array(txs, type=pa.int64()),
+                "ty": pa.array(tys, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    gen_serve.__name__ = "overzoom_serve"
+    return ray.data.range(_PYR_GRID * _PYR_GRID, override_num_blocks=4).map_batches(
+        gen_serve, batch_format="pyarrow"
+    )
+
+
+def _sql_overzoom() -> str:
+    n_px = 16 * _PYR_GRID
+    return f"""
+WITH px AS (
+  SELECT x AS gx, y AS gy,
+         (x * 11 + y * 53 + (x // 16) * 37 + (y // 16) * 29) % 256 AS v
+  FROM generate_series(0, {n_px - 1}) xs(x),
+       generate_series(0, {n_px - 1}) ys(y))
+SELECT gx // 8 AS tx, gy // 8 AS ty, CAST(SUM(v) * 4 AS BIGINT) AS px_sum
+FROM px GROUP BY 1, 2
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -7271,6 +7328,7 @@ QUERIES = {
     "agg_rollup": q_agg_rollup,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
+    "overzoom_tiles": q_overzoom_tiles,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7377,6 +7435,7 @@ ORACLE_SQL = {
     "agg_rollup": _sql_agg_rollup(),
     "funnel_stages": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
+    "overzoom_tiles": _sql_overzoom(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

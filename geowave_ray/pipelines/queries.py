@@ -5576,6 +5576,54 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+def q_shapefile_ingest(sf_dir: str):
+    """Shapefile SOURCE at driver grade: events-derived integer points
+    are written to a real .shp/.shx/.dbf triple (pure-struct codec,
+    sources/shapefile.py — the GeoTools vector-format ingest capability,
+    GeoToolsVectorDataStoreIngestPlugin.java, rebuilt from the public
+    ESRI whitepaper), then read back through the .shx-BYTE-RANGE-SHARDED
+    Ray source (driver touches only the index sidecar; each task preads
+    its own .shp/.dbf slice).  Records are written in event_id order so
+    fid replays as ROW_NUMBER; integer-valued doubles keep coordinates
+    exact."""
+    import pyarrow.parquet as pq
+
+    from ..sources.shapefile import shapefile_dataset, write_point_shapefile
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    e = t.column("event_id").to_numpy()
+    u = t.column("user_id").to_numpy()
+    order = np.argsort(e, kind="stable")
+    e, u = e[order], u[order]
+    ix = (e * 7919 + u) % 36000 - 18000
+    iy = (e * 104729 + u * 13) % 18000 - 9000
+    base = f"/tmp/geowave_shp_{abs(hash(sf_dir)) % 99999}"
+    write_point_shapefile(base, ix.astype(np.float64), iy.astype(np.float64), {"val": e})
+    ds = shapefile_dataset(base, records_per_shard=2048)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fid": batch.column("fid"),
+                "ix": batch.column("x").cast(pa.int64()),
+                "iy": batch.column("y").cast(pa.int64()),
+                "event_id": batch.column("val"),
+            }
+        )
+
+    to_int.__name__ = "shp_to_int"
+    return ds.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_SHAPEFILE = """
+SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS fid,
+       (event_id * 7919 + user_id) % 36000 - 18000 AS ix,
+       (event_id * 104729 + user_id * 13) % 18000 - 9000 AS iy,
+       event_id
+FROM events
+"""
+
+
 def q_overzoom_tiles(sf_dir: str):
     """OVERZOOM serving: requests one level DEEPER than the stored
     pyramid are answered by nearest-neighbor upsampling the parent tile
@@ -7329,6 +7377,7 @@ QUERIES = {
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
     "overzoom_tiles": q_overzoom_tiles,
+    "shapefile_ingest": q_shapefile_ingest,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7436,6 +7485,7 @@ ORACLE_SQL = {
     "funnel_stages": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
     "overzoom_tiles": _sql_overzoom(),
+    "shapefile_ingest": SQL_SHAPEFILE,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

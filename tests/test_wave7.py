@@ -472,3 +472,39 @@ def test_per_group_quota_brute(ray_session):
         .apply(lambda g: g.head(quotas[g.name]), include_groups=True)
     )
     assert sorted(out["id"].tolist()) == sorted(exp["id"].tolist())
+
+
+def test_shapefile_roundtrip_sharded(ray_session, tmp_path):
+    from geowave_ray.sources.shapefile import (
+        read_point_records,
+        read_shx_offsets,
+        shapefile_dataset,
+        write_point_shapefile,
+    )
+
+    n = 5000
+    xs = (np.arange(n, dtype=np.float64) * 13) % 360 - 180
+    ys = (np.arange(n, dtype=np.float64) * 7) % 180 - 90
+    vals = np.arange(n, dtype=np.int64) * 11 - 5
+    base = str(tmp_path / "pts")
+    write_point_shapefile(base, xs, ys, {"val": vals})
+    df = (
+        shapefile_dataset(base, records_per_shard=512)
+        .to_pandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
+    assert len(df) == n
+    assert np.array_equal(df["x"].to_numpy(), xs)
+    assert np.array_equal(df["y"].to_numpy(), ys)
+    assert np.array_equal(df["val"].to_numpy(), vals)
+    assert df["fid"].tolist() == list(range(1, n + 1))
+    # unsupported shape type raises with the type named
+    offs = read_shx_offsets(base + ".shx")
+    import struct
+
+    with open(base + ".shp", "r+b") as f:
+        f.seek(int(offs[3, 0]) + 8)
+        f.write(struct.pack("<i", 5))  # Polygon
+    with pytest.raises(NotImplementedError, match="5"):
+        read_point_records(base + ".shp", offs[:10])

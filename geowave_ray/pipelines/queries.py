@@ -5576,6 +5576,61 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV SINK + SOURCE roundtrip (the reference's CSVQueryOutputFormat
+    export surface, core/store/.../cli/query/CSVQueryOutputFormat.java):
+    an aggregate result is written as sharded CSV via the native Ray
+    sink and read back with an explicit Arrow schema — proving the
+    export is lossless for integer analytics results (floats stay out
+    by the repo's integer-cents convention)."""
+    import ray
+    from pyarrow import csv as pacsv
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"), "v_cents": pa.array(v)}
+        )
+
+    pre.__name__ = "csv_pre"
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("v_cents", alias_name="sum_cents"))
+    )
+    out_dir = f"/tmp/geowave_csv_{abs(hash(sf_dir)) % 99999}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    agg.write_csv(out_dir)
+    back = ray.data.read_csv(
+        out_dir,
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "event_type": pa.string(),
+                "n": pa.int64(),
+                "sum_cents": pa.int64(),
+            }
+        ),
+    )
+    return back
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
 def q_shapefile_ingest(sf_dir: str):
     """Shapefile SOURCE at driver grade: events-derived integer points
     are written to a real .shp/.shx/.dbf triple (pure-struct codec,
@@ -7378,6 +7433,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
+    "csv_roundtrip": q_csv_roundtrip,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7486,6 +7542,7 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

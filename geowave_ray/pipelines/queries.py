@@ -5576,6 +5576,164 @@ def q_areal_interp(sf_dir: str):
     )
 
 
+TPJ_P = 100
+
+
+def _tpj_polys() -> dict:
+    """Convex integer star polygons in the x100 walk domain (equal radii
+    on a monotone 16-direction sweep -> always simple; the same trig-free
+    lattice as polygon_validity)."""
+    ux = np.array(_VALID_UX, np.int64)
+    uy = np.array(_VALID_UY, np.int64)
+    pid = np.arange(TPJ_P, dtype=np.int64)
+    m = 6 + pid % 5
+    ru = 40 + pid % 50
+    cx = ((pid * 97) % 4000) * 100
+    cy = ((pid * 53) % 4000) * 100
+    k = np.arange(10, dtype=np.int64)[None, :].repeat(TPJ_P, axis=0)
+    a = ((k * 16) // m[:, None]) % 16
+    verts = np.stack(
+        [cx[:, None] + ru[:, None] * ux[a], cy[:, None] + ru[:, None] * uy[a]],
+        axis=-1,
+    )
+    return {
+        "pid": pid,
+        "verts": verts,
+        "m": m,
+        "bx0": cx - ru * 100,
+        "by0": cy - ru * 100,
+        "bx1": cx + ru * 100,
+        "by1": cy + ru * 100,
+    }
+
+
+def q_track_polygon_join(sf_dir: str):
+    """LINE x TRUE-POLYGON spatial join: per-user walk segments (x100
+    integer domain) against convex integer star polygons with the EXACT
+    inside-or-edge-cross predicate — the reference's own canonical test
+    join (tornado_tracks lines filtered by polygons,
+    TestUtils.java:459-562) with real polygon boundaries, not envelopes
+    (stages/join.py::segment_polygon_join)."""
+    import ray
+
+    from ..stages.join import segment_polygon_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def steps(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "sx": pa.array((ev * 2654435761 + us * 97) % 101 - 50),
+                "sy": pa.array((ev * 40503 + us * 31) % 101 - 50),
+            }
+        )
+
+    steps.__name__ = "derive_steps_tpj"
+    pts = ds.map_batches(steps, batch_format="pyarrow")
+
+    class _Walk100:
+        __name__ = "walk_segments_x100"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ts = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            sx = group.column("sx").to_numpy(zero_copy_only=False).astype(np.int64)
+            sy = group.column("sy").to_numpy(zero_copy_only=False).astype(np.int64)
+            sel = np.lexsort((ev, ts))
+            uid = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            x = ((uid[0] * 7919) % 4000 + np.cumsum(sx[sel])) * 100
+            y = ((uid[0] * 104729) % 4000 + np.cumsum(sy[sel])) * 100
+            return pa.table(
+                {
+                    "user_id": pa.array(uid[:-1]),
+                    "event_id": pa.array(ev[sel][:-1]),
+                    "x1": pa.array(x[:-1]),
+                    "y1": pa.array(y[:-1]),
+                    "x2": pa.array(x[1:]),
+                    "y2": pa.array(y[1:]),
+                }
+            )
+
+    segs = pts.groupby("user_id").map_groups(_Walk100(), batch_format="pyarrow")
+    return segment_polygon_join(segs, _tpj_polys(), ("user_id", "event_id"))
+
+
+def _sql_track_polygon_join() -> str:
+    ux = "[" + ",".join(str(v) for v in _VALID_UX) + "]"
+    uy = "[" + ",".join(str(v) for v in _VALID_UY) + "]"
+    cross1 = """
+      (CASE WHEN (e.ay > s.y1) <> (e.by_ > s.y1) THEN
+        CASE WHEN e.by_ > e.ay
+             THEN (s.x1 - e.ax) * (e.by_ - e.ay) < (e.bx_ - e.ax) * (s.y1 - e.ay)
+             ELSE (s.x1 - e.ax) * (e.by_ - e.ay) > (e.bx_ - e.ax) * (s.y1 - e.ay)
+        END ELSE FALSE END)""".strip()
+    cross2 = cross1.replace("s.x1", "s.x2").replace("s.y1", "s.y2")
+    return f"""
+WITH pp AS (
+  SELECT pid, 6 + pid % 5 AS m, 40 + pid % 50 AS ru,
+         ((pid * 97) % 4000) * 100 AS cx, ((pid * 53) % 4000) * 100 AS cy
+  FROM range({TPJ_P}) t(pid)),
+v AS (
+  SELECT pid, k, m,
+         cx + ru * ({ux}[1 + (k * 16) // m]) AS vx,
+         cy + ru * ({uy}[1 + (k * 16) // m]) AS vy
+  FROM pp, generate_series(0, 9) kk(k) WHERE k < m),
+e AS (
+  SELECT a.pid, a.vx AS ax, a.vy AS ay, b.vx AS bx_, b.vy AS by_
+  FROM v a JOIN v b ON a.pid = b.pid AND b.k = (a.k + 1) % a.m),
+p AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 2654435761 + user_id * 97) % 101 - 50 AS sx,
+         (event_id * 40503 + user_id * 31) % 101 - 50 AS sy
+  FROM events),
+c AS (
+  SELECT user_id, event_id, ts,
+         ((user_id * 7919) % 4000 + SUM(sx) OVER w) * 100 AS x,
+         ((user_id * 104729) % 4000 + SUM(sy) OVER w) * 100 AS y
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)),
+s0 AS (
+  SELECT user_id, event_id, x AS x1, y AS y1,
+         LEAD(x) OVER w2 AS x2, LEAD(y) OVER w2 AS y2
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, x1, y1, x2, y2,
+         LEAST(x1, x2) AS lox, GREATEST(x1, x2) AS hix,
+         LEAST(y1, y2) AS loy, GREATEST(y1, y2) AS hiy
+  FROM s0 WHERE x2 IS NOT NULL),
+cand AS (
+  SELECT s.*, pp.pid
+  FROM s JOIN pp
+    ON s.hix >= pp.cx - pp.ru * 100 AND s.lox <= pp.cx + pp.ru * 100
+   AND s.hiy >= pp.cy - pp.ru * 100 AND s.loy <= pp.cy + pp.ru * 100),
+bits AS (
+  SELECT s.user_id, s.event_id, s.pid,
+         CAST({cross1} AS INTEGER) AS c1,
+         CAST({cross2} AS INTEGER) AS c2,
+         (((s.x2 - s.x1) * (e.ay - s.y1) - (s.y2 - s.y1) * (e.ax - s.x1) <= 0
+            AND (s.x2 - s.x1) * (e.by_ - s.y1) - (s.y2 - s.y1) * (e.bx_ - s.x1) >= 0)
+          OR ((s.x2 - s.x1) * (e.ay - s.y1) - (s.y2 - s.y1) * (e.ax - s.x1) >= 0
+            AND (s.x2 - s.x1) * (e.by_ - s.y1) - (s.y2 - s.y1) * (e.bx_ - s.x1) <= 0))
+         AND (((e.bx_ - e.ax) * (s.y1 - e.ay) - (e.by_ - e.ay) * (s.x1 - e.ax) <= 0
+            AND (e.bx_ - e.ax) * (s.y2 - e.ay) - (e.by_ - e.ay) * (s.x2 - e.ax) >= 0)
+          OR ((e.bx_ - e.ax) * (s.y1 - e.ay) - (e.by_ - e.ay) * (s.x1 - e.ax) >= 0
+            AND (e.bx_ - e.ax) * (s.y2 - e.ay) - (e.by_ - e.ay) * (s.x2 - e.ax) <= 0))
+         AND GREATEST(e.ax, e.bx_) >= s.lox AND LEAST(e.ax, e.bx_) <= s.hix
+         AND GREATEST(e.ay, e.by_) >= s.loy AND LEAST(e.ay, e.by_) <= s.hiy AS xseg
+  FROM cand s JOIN e ON e.pid = s.pid)
+SELECT user_id, event_id, pid
+FROM bits GROUP BY user_id, event_id, pid
+HAVING SUM(c1) % 2 = 1 OR SUM(c2) % 2 = 1 OR BOOL_OR(xseg)
+"""
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV SINK + SOURCE roundtrip (the reference's CSVQueryOutputFormat
     export surface, core/store/.../cli/query/CSVQueryOutputFormat.java):
@@ -7434,6 +7592,7 @@ QUERIES = {
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
+    "track_polygon_join": q_track_polygon_join,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7543,6 +7702,7 @@ ORACLE_SQL = {
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "track_polygon_join": _sql_track_polygon_join(),
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -508,3 +508,34 @@ def test_shapefile_roundtrip_sharded(ray_session, tmp_path):
         f.write(struct.pack("<i", 5))  # Polygon
     with pytest.raises(NotImplementedError, match="5"):
         read_point_records(base + ".shp", offs[:10])
+
+
+def test_segment_polygon_join_known(ray_session):
+    import ray
+
+    from geowave_ray.stages.join import segment_polygon_join
+
+    # one triangle (0,0)-(100,0)-(0,100), padded to mx=4
+    verts = np.zeros((1, 4, 2), np.int64)
+    verts[0, :3] = [(0, 0), (100, 0), (0, 100)]
+    polys = {
+        "pid": np.array([7], np.int64), "verts": verts, "m": np.array([3], np.int64),
+        "bx0": np.array([0]), "by0": np.array([0]),
+        "bx1": np.array([100]), "by1": np.array([100]),
+    }
+    segs = pa.table(
+        {
+            "sid": pa.array(np.arange(6, dtype=np.int64)),
+            "x1": pa.array([10, -50, 200, 60, -10, 300]),
+            "y1": pa.array([10, 50, 200, 60, -10, 300]),
+            "x2": pa.array([20, 150, 210, 90, -1, 310]),
+            "y2": pa.array([20, 50, 210, 90, -1, 310]),
+        }
+    )
+    out = segment_polygon_join(
+        ray.data.from_arrow(segs).repartition(2), polys, ("sid",)
+    ).to_pandas()
+    got = sorted(out["sid"].tolist())
+    # 0: fully inside; 1: crosses; 2: far outside; 3: outside near
+    # hypotenuse (60+60>100); 4: outside; 5: outside
+    assert got == [0, 1]

@@ -2261,6 +2261,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 AUDIO_RATE = 8000
 
 
+def q_audio_decimate(sf_dir: str):
+    """Audio 2x DECIMATION on real WAV payloads: decode -> average
+    adjacent sample pairs in shifted-unsigned integers ((u0+u1)//2 with
+    u = s + 32768, so numpy's flooring and DuckDB's truncating division
+    agree on the non-negative domain) -> per-clip digest (n_out, sum,
+    peak) — the sample-rate-reduction transform of the multimodal audio
+    family, exact end to end."""
+    import ray
+
+    from ..stages.audio import wav_decode, wav_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def synth_dec(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ev = ev[ev % 50 == 0]
+        ids, n_out, ssum, peak = [], [], [], []
+        for seed in ev:
+            ns = 512 + (int(seed) % 7) * 128
+            n = np.arange(ns, dtype=np.int64)
+            s = ((int(seed) * 48271 + n * 40503) % 65536 - 32768).astype(np.int16)
+            blob = wav_encode(s, AUDIO_RATE, bits=16)  # real container
+            dec, _rate = wav_decode(blob)
+            u = dec.astype(np.int64) + 32768
+            d = (u[0::2] + u[1::2]) // 2
+            ids.append(int(seed))
+            n_out.append(len(d))
+            ssum.append(int(d.sum()))
+            peak.append(int(d.max()))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, type=pa.int64()),
+                "n_out": pa.array(n_out, type=pa.int64()),
+                "sum_u": pa.array(ssum, type=pa.int64()),
+                "peak_u": pa.array(peak, type=pa.int64()),
+            }
+        )
+
+    synth_dec.__name__ = "audio_decimate"
+    return ds.map_batches(synth_dec, batch_format="pyarrow")
+
+
+SQL_AUDIO_DECIMATE = """
+WITH clips AS (
+  SELECT event_id AS clip_id, 512 + (event_id % 7) * 128 AS ns
+  FROM events WHERE event_id % 50 = 0),
+pairs AS (
+  SELECT clip_id,
+         (((clip_id * 48271 + (2 * i) * 40503) % 65536)
+          + ((clip_id * 48271 + (2 * i + 1) * 40503) % 65536)) // 2 AS d
+  FROM clips, LATERAL unnest(range(ns // 2)) t(i))
+SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(d) AS BIGINT) AS sum_u, CAST(MAX(d) AS BIGINT) AS peak_u
+FROM pairs GROUP BY clip_id
+"""
+
+
 def q_audio_features(sf_dir: str):
     """Audio plumbing end-to-end: deterministic PCM clips -> REAL WAV
     encode (stages/audio.py RIFF codec) -> binary column -> decode +
@@ -6572,6 +6629,90 @@ FROM r JOIN k ON r.source = k.source WHERE r.rn <= k.k_s
 """
 
 
+BPE_APPLY_K = 4
+
+
+def q_bpe_apply(sf_dir: str):
+    """BPE MERGE APPLICATION: the top-4 corpus character pairs (from the
+    bpe_pairs statistic, original counts — one-shot multi-merge apply)
+    are merged into single placeholder symbols inside every token, and
+    each doc reports its token-char total before/after — the
+    tokenizer-application half of BPE training.  Non-overlapping
+    left-to-right replace semantics are IDENTICAL between Python
+    str.replace / Arrow replace_substring and DuckDB replace(), so the
+    oracle chains the same 4 replaces with scalar-subquery merge
+    lookups.  Merges are a bounded collect (K rows, the operator
+    parameter — capped-broadcast convention)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.text import TOKEN_SPLIT_RE, bpe_pair_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges_tbl = bpe_pair_counts(ds, "text", "doc_id", BPE_APPLY_K).to_pandas()
+    merges = merges_tbl["pair"].tolist()  # bounded: K rows
+
+    def apply(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), TOKEN_SPLIT_RE
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            np.nan_to_num(lens).astype(np.int64),
+        )
+        before = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        merged = flat
+        for i, pair in enumerate(merges):
+            merged = pc.replace_substring(merged, pair, chr(0x100 + i))
+        after = pc.utf8_length(merged).to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "chars_before": pa.array(
+                    np.bincount(inv, weights=before).astype(np.int64)
+                ),
+                "chars_after": pa.array(
+                    np.bincount(inv, weights=after).astype(np.int64)
+                ),
+            }
+        )
+
+    apply.__name__ = "bpe_apply"
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _sql_bpe_apply() -> str:
+    merge_i = lambda i: (
+        f"(SELECT pair FROM merges WHERE rn = {i + 1})"
+    )
+    expr = "tok"
+    for i in range(BPE_APPLY_K):
+        expr = f"replace({expr}, {merge_i(i)}, chr({0x100 + i}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                tk -> tk <> '')) AS t(tok)),
+pairs AS (
+  SELECT substring(tok, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT tok, unnest(range(1, length(tok))) AS i FROM toks)),
+merges AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+  FROM (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT {BPE_APPLY_K}))
+SELECT doc_id,
+       CAST(SUM(length(tok)) AS BIGINT) AS chars_before,
+       CAST(SUM(length({expr})) AS BIGINT) AS chars_after
+FROM toks GROUP BY doc_id
+"""
+
+
 CDC_W = 16
 CDC_D = 64
 
@@ -7593,6 +7734,8 @@ QUERIES = {
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
     "track_polygon_join": q_track_polygon_join,
+    "bpe_apply": q_bpe_apply,
+    "audio_decimate": q_audio_decimate,
     "vocab_oov": q_vocab_oov,
     "bpe_pairs": q_bpe_pairs,
     "token_budget_sample": q_token_budget_sample,
@@ -7703,6 +7846,8 @@ ORACLE_SQL = {
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "track_polygon_join": _sql_track_polygon_join(),
+    "bpe_apply": _sql_bpe_apply(),
+    "audio_decimate": SQL_AUDIO_DECIMATE,
     "vocab_oov": SQL_VOCAB_OOV,
     "bpe_pairs": SQL_BPE_PAIRS,
     "collocations": SQL_COLLOCATIONS,

@@ -1395,9 +1395,12 @@ URL_RULES = (
     ("^www\\.", ""),             # canonical host prefix
     ("#.*$", ""),                # fragment
     ("(?:utm_[a-z]+|fbclid)=[^&#]*&?", ""),  # tracking params (+their &)
+    ("&&+", "&"),                # collapse & runs (removals can stack them)
     ("\\?&", "?"),               # separator debris after removals
-    ("[?&]+$", ""),              # dangling separators
-    ("/+$", ""),                 # trailing slash(es)
+    # one combined tail rule: stripping a trailing slash may EXPOSE a
+    # dangling separator (…&/ -> …&), so ?,& and / strip together —
+    # this is what makes normalization idempotent (property-tested)
+    ("[?&/]+$", ""),
 )
 
 # registrable domain of the host part: last two labels, or three when the

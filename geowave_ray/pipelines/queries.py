@@ -6019,6 +6019,68 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+ROLLING_W = 4  # window: weeks [w - 3, w]
+
+
+def q_rolling_active(sf_dir: str):
+    """Sliding-window DISTINCT: users active in the trailing 4-week
+    window ending at each week — the WAU/MAU rolling-distinct shape,
+    exact, in ONE user-keyed shuffle: each user's group expands its
+    unique weeks to the windows they fall into and dedups locally
+    (a user counts once per window no matter how many active weeks),
+    then per-batch combiners pre-sum window counts."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pa.array(t // RETENTION_WEEK_US),
+            }
+        )
+
+    weeks.__name__ = "rolling_weeks"
+    wk = ds.map_batches(weeks, batch_format="pyarrow")
+
+    class _UserWindows:
+        __name__ = "rolling_user_windows"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            w = np.unique(group.column("week").to_numpy(zero_copy_only=False))
+            wins = np.unique((w[:, None] + np.arange(ROLLING_W)[None, :]).ravel())
+            return pa.table({"window_week": pa.array(wins)})
+
+    pairs = wk.groupby("user_id").map_groups(_UserWindows(), batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["window_week"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window_week", "n"])
+
+    count_partial.__name__ = "rolling_count_partial"
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_week")
+        .aggregate(Sum("n", alias_name="n_active"))
+    )
+
+
+SQL_ROLLING_ACTIVE = f"""
+WITH wk AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {7 * 86_400_000_000} AS week
+  FROM events),
+wins AS (
+  SELECT DISTINCT user_id, week + o.o AS window_week
+  FROM wk, LATERAL unnest(range({ROLLING_W})) o(o))
+SELECT window_week, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM wins GROUP BY window_week
+"""
+
+
 RETENTION_WEEK_US = 7 * 86_400_000_000
 
 
@@ -7730,6 +7792,7 @@ QUERIES = {
     "agg_rollup": q_agg_rollup,
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
+    "rolling_active": q_rolling_active,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -7842,6 +7905,7 @@ ORACLE_SQL = {
     "agg_rollup": _sql_agg_rollup(),
     "funnel_stages": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
+    "rolling_active": SQL_ROLLING_ACTIVE,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

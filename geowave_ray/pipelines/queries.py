@@ -6019,6 +6019,135 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+TOPC_K = 5
+
+
+def q_top_contributors(sf_dir: str):
+    """Top-5 users per event_type by event count (ties: user ASC) —
+    grouped top-k over an aggregate, the 'top contributors per segment'
+    analytics shape.  Counts pre-combine per batch; the top-k reuses
+    per_group_cap's combiner-pruned selection on the composite order
+    key user_id - (n << 32) (n < 2^31, user < 2^32: exactly the
+    (n DESC, user ASC) order)."""
+    import ray
+
+    from ..stages.analytics import per_group_cap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["event_type", "user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    cnt_partial.__name__ = "topc_count_partial"
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("ord", pa.array(u - (n << np.int64(32))))
+
+    add_key.__name__ = "topc_order_key"
+    keyed = counts.map_batches(add_key, batch_format="pyarrow")
+    top = per_group_cap(keyed, "event_type", "ord", TOPC_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "user_id", "n"])
+
+    strip.__name__ = "topc_strip"
+    return top.map_batches(strip, batch_format="pyarrow")
+
+
+SQL_TOP_CONTRIB = f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rn
+  FROM c)
+SELECT event_type, user_id, n FROM r WHERE rn <= {TOPC_K}
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Distributed SKYLINE (Pareto front) of (value_cents, ts) — points
+    not dominated on (maximize value, maximize recency).  The classic
+    distributed shape: each batch prunes to its LOCAL skyline (a locally
+    dominated point is globally dominated — a true combiner), the tiny
+    union finishes in one block.  Deterministic dedup: dominance is
+    strict-on-one, >= on both; equal pairs keep the smaller event_id."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+
+    def _sky(v: np.ndarray, t: np.ndarray, e: np.ndarray) -> pa.Table:
+        # sort by (v DESC, t DESC, e ASC); a point survives iff its t is
+        # a strict running max (vectorized prefix-max scan)
+        sel = np.lexsort((e, -t, -v))
+        v, t, e = v[sel], t[sel], e[sel]
+        prev = np.concatenate(
+            ([np.int64(-(1 << 62))], np.maximum.accumulate(t)[:-1])
+        )
+        keep = t > prev
+        return pa.table(
+            {
+                "event_id": pa.array(e[keep]),
+                "ts_us": pa.array(t[keep]),
+                "v_cents": pa.array(v[keep]),
+            }
+        )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return _sky(v, t, e)
+
+    local_skyline.__name__ = "skyline_local"
+    pruned = ds.map_batches(local_skyline, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return _sky(
+            batch.column("v_cents").to_numpy(zero_copy_only=False),
+            batch.column("ts_us").to_numpy(zero_copy_only=False),
+            batch.column("event_id").to_numpy(zero_copy_only=False),
+        )
+
+    final.__name__ = "skyline_final"
+    return pruned.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_SKYLINE = """
+WITH p AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v_cents
+  FROM events)
+SELECT event_id, ts_us, v_cents FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.v_cents >= a.v_cents AND b.ts_us >= a.ts_us
+    AND (b.v_cents > a.v_cents OR b.ts_us > a.ts_us
+         OR (b.v_cents = a.v_cents AND b.ts_us = a.ts_us
+             AND b.event_id < a.event_id)))
+"""
+
+
 ROLLING_W = 4  # window: weeks [w - 3, w]
 
 
@@ -7793,6 +7922,8 @@ QUERIES = {
     "funnel_stages": q_funnel_stages,
     "retention_cohorts": q_retention_cohorts,
     "rolling_active": q_rolling_active,
+    "top_contributors": q_top_contributors,
+    "skyline": q_skyline,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -7906,6 +8037,8 @@ ORACLE_SQL = {
     "funnel_stages": SQL_FUNNEL,
     "retention_cohorts": SQL_RETENTION,
     "rolling_active": SQL_ROLLING_ACTIVE,
+    "top_contributors": SQL_TOP_CONTRIB,
+    "skyline": SQL_SKYLINE,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -6019,6 +6019,162 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+MORAN_NX, MORAN_NY = 64, 32
+
+
+def q_moran_terms(sf_dir: str):
+    """Global spatial-autocorrelation terms (Moran's I in exact integer
+    pieces): per-cell point counts on a 64x32 world grid, then the
+    rook-adjacency cross-product sum Σ_{i~j} n_i·n_j plus the moments
+    (Σn, Σn², occupied cells, adjacent pairs) — the spatial-statistics
+    summary a geo engine reports over a layer.  One distributed
+    count shuffle; the neighbor sum runs in one GRID-BOUNDED block
+    (2048 cells is configuration, not data)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        gx = ((e * 7919 + u) % 36000) * MORAN_NX // 36000
+        gy = ((e * 104729 + u * 13) % 18000) * MORAN_NY // 18000
+        t = pa.table(
+            {"gx": pa.array(gx), "gy": pa.array(gy),
+             "n": pa.array(np.ones(len(e), np.int64))}
+        )
+        g = pa.TableGroupBy(t, ["gx", "gy"]).aggregate([("n", "sum")])
+        return g.rename_columns(["gx", "gy", "n"])
+
+    cells.__name__ = "moran_cell_partial"
+    from ray.data.aggregate import Sum
+
+    grid = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def terms(batch: pa.Table) -> pa.Table:
+        gx = batch.column("gx").to_numpy(zero_copy_only=False)
+        gy = batch.column("gy").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        dense = np.zeros((MORAN_NY, MORAN_NX), np.int64)
+        dense[gy, gx] = n
+        # rook adjacency, each unordered pair once (right + down)
+        cross = int((dense[:, :-1] * dense[:, 1:]).sum()) + int(
+            (dense[:-1, :] * dense[1:, :]).sum()
+        )
+        n_pairs = MORAN_NY * (MORAN_NX - 1) + (MORAN_NY - 1) * MORAN_NX
+        return pa.table(
+            {
+                "cross_sum": pa.array([cross], pa.int64()),
+                "sum_n": pa.array([int(n.sum())], pa.int64()),
+                "sum_n2": pa.array([int((n * n).sum())], pa.int64()),
+                "occupied": pa.array([len(n)], pa.int64()),
+                "n_adj_pairs": pa.array([n_pairs], pa.int64()),
+            }
+        )
+
+    terms.__name__ = "moran_terms"
+    return grid.repartition(1).map_batches(terms, batch_format="pyarrow")
+
+
+SQL_MORAN = f"""
+WITH g AS (
+  SELECT ((event_id * 7919 + user_id) % 36000) * {MORAN_NX} // 36000 AS gx,
+         ((event_id * 104729 + user_id * 13) % 18000) * {MORAN_NY} // 18000 AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cross_r AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS s
+  FROM g a JOIN g b ON b.gx = a.gx + 1 AND b.gy = a.gy),
+cross_d AS (
+  SELECT COALESCE(SUM(a.n * b.n), 0) AS s
+  FROM g a JOIN g b ON b.gx = a.gx AND b.gy = a.gy + 1)
+SELECT CAST(cross_r.s + cross_d.s AS BIGINT) AS cross_sum,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM g) AS sum_n,
+       (SELECT CAST(SUM(n * n) AS BIGINT) FROM g) AS sum_n2,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS occupied,
+       CAST({MORAN_NY * (MORAN_NX - 1) + (MORAN_NY - 1) * MORAN_NX} AS BIGINT)
+         AS n_adj_pairs
+FROM cross_r, cross_d
+"""
+
+
+TRANSITION_TOP = 40
+
+
+def q_event_transitions(sf_dir: str):
+    """Behavioral Markov TRANSITION matrix: per-user timelines (ts,
+    event_id order) reduced to consecutive event_type pair counts —
+    the sequence-model statistic over the engine's event stream.  One
+    user-keyed shuffle; per-group kernel is a sort + one shifted
+    comparison; per-batch combiners pre-sum the (from, to) matrix."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    class _Transitions:
+        __name__ = "event_transitions"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            ty = group.column("event_type").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((e, t))
+            ty = ty[sel]
+            if len(ty) < 2:
+                return pa.table(
+                    {
+                        "from_type": pa.array([], pa.string()),
+                        "to_type": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            pair = np.char.add(np.char.add(ty[:-1].astype(str), ">"), ty[1:].astype(str))
+            uk, cnt = np.unique(pair, return_counts=True)
+            ft = np.char.partition(uk, ">")
+            return pa.table(
+                {
+                    "from_type": pa.array(ft[:, 0]),
+                    "to_type": pa.array(ft[:, 2]),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+    pairs = ds.groupby("user_id").map_groups(_Transitions(), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["from_type", "to_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    combine.__name__ = "transition_combine"
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(combine, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+"""
+
+
 TOPC_K = 5
 
 
@@ -7924,6 +8080,8 @@ QUERIES = {
     "rolling_active": q_rolling_active,
     "top_contributors": q_top_contributors,
     "skyline": q_skyline,
+    "moran_terms": q_moran_terms,
+    "event_transitions": q_event_transitions,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8039,6 +8197,8 @@ ORACLE_SQL = {
     "rolling_active": SQL_ROLLING_ACTIVE,
     "top_contributors": SQL_TOP_CONTRIB,
     "skyline": SQL_SKYLINE,
+    "moran_terms": SQL_MORAN,
+    "event_transitions": SQL_TRANSITIONS,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -6019,6 +6019,144 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+def q_turn_stats(sf_dir: str):
+    """Per-user TURN statistics over derived tracks: consecutive step
+    pairs classified left / right / straight by the SIGN of the integer
+    cross product (no trigonometry — the turn-angle analytics of
+    movement data, exact and SQL-replayable).  One groupby shuffle;
+    kernel is a sort + two shifted differences."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    class _Turns:
+        __name__ = "turn_stats"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((ev, t))
+            e = ev[sel]
+            u = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            x = (e * 7919 + u) % 36000 - 18000
+            y = (e * 104729 + u * 13) % 18000 - 9000
+            if len(x) < 3:
+                lt = rt = st = 0
+            else:
+                dx1, dy1 = np.diff(x)[:-1], np.diff(y)[:-1]
+                dx2, dy2 = np.diff(x)[1:], np.diff(y)[1:]
+                cr = dx1 * dy2 - dy1 * dx2
+                lt, rt, st = int((cr > 0).sum()), int((cr < 0).sum()), int((cr == 0).sum())
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_left": pa.array([lt], pa.int64()),
+                    "n_right": pa.array([rt], pa.int64()),
+                    "n_straight": pa.array([st], pa.int64()),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_Turns(), batch_format="pyarrow")
+
+
+SQL_TURN_STATS = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS x,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS y
+  FROM events),
+s AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx1, y - LAG(y) OVER w AS dy1,
+         LEAD(x) OVER w - x AS dx2, LEAD(y) OVER w - y AS dy2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT user_id, dx1 * dy2 - dy1 * dx2 AS cr
+  FROM s WHERE dx1 IS NOT NULL AND dx2 IS NOT NULL)
+SELECT p2.user_id,
+       CAST(COALESCE(SUM(CASE WHEN cr > 0 THEN 1 END), 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(SUM(CASE WHEN cr < 0 THEN 1 END), 0) AS BIGINT) AS n_right,
+       CAST(COALESCE(SUM(CASE WHEN cr = 0 THEN 1 END), 0) AS BIGINT) AS n_straight
+FROM (SELECT DISTINCT user_id FROM events) p2
+LEFT JOIN c ON c.user_id = p2.user_id
+GROUP BY p2.user_id
+"""
+
+
+def q_delta_varint(sf_dir: str):
+    """Sort-key COLUMN CODEC audit: per-user sorted event ids
+    delta-encoded to unsigned LEB128 varints (the TWKB/protobuf varint
+    the engine already ships in geom/twkb.py) — reports exact encoded
+    byte counts and the real ROUND-TRIP is asserted in-stage, the
+    storage-efficiency measurement for clustered sort keys.  Byte size
+    is pure integer arithmetic ((bit_length(delta)+6)//7), so DuckDB
+    replays it without executing the codec."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    class _Codec:
+        __name__ = "delta_varint"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            e = np.sort(group.column("event_id").to_numpy(zero_copy_only=False))
+            deltas = np.diff(np.concatenate(([0], e))).astype(np.int64)
+            # real encode + decode round-trip (LEB128, unsigned deltas)
+            buf = bytearray()
+            for d in deltas.tolist():
+                while True:
+                    b = d & 0x7F
+                    d >>= 7
+                    if d:
+                        buf.append(b | 0x80)
+                    else:
+                        buf.append(b)
+                        break
+            out, acc, shift, vals = bytes(buf), 0, 0, []
+            for b in out:
+                acc |= (b & 0x7F) << shift
+                if b & 0x80:
+                    shift += 7
+                else:
+                    vals.append(acc)
+                    acc, shift = 0, 0
+            assert np.array_equal(np.cumsum(vals), e), "varint round-trip broke"
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_vals": pa.array([len(e)], pa.int64()),
+                    "raw_bytes": pa.array([len(e) * 8], pa.int64()),
+                    "enc_bytes": pa.array([len(out)], pa.int64()),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_Codec(), batch_format="pyarrow")
+
+
+SQL_DELTA_VARINT = """
+WITH s AS (
+  SELECT user_id, event_id,
+         event_id - COALESCE(LAG(event_id) OVER (PARTITION BY user_id
+                                                 ORDER BY event_id), 0) AS d
+  FROM events),
+b AS (
+  SELECT user_id,
+         CASE WHEN d = 0 THEN 1
+              ELSE (CAST(FLOOR(LOG2(d)) AS BIGINT) + 7) // 7 END AS nb
+  FROM s)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(SUM(nb) AS BIGINT) AS enc_bytes
+FROM b GROUP BY user_id
+"""
+
+
 MORAN_NX, MORAN_NY = 64, 32
 
 
@@ -8082,6 +8220,8 @@ QUERIES = {
     "skyline": q_skyline,
     "moran_terms": q_moran_terms,
     "event_transitions": q_event_transitions,
+    "turn_stats": q_turn_stats,
+    "delta_varint": q_delta_varint,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8199,6 +8339,8 @@ ORACLE_SQL = {
     "skyline": SQL_SKYLINE,
     "moran_terms": SQL_MORAN,
     "event_transitions": SQL_TRANSITIONS,
+    "turn_stats": SQL_TURN_STATS,
+    "delta_varint": SQL_DELTA_VARINT,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -6824,6 +6824,11 @@ def q_dissolve_groups(sf_dir: str):
         "left_outer",
         8,
         ("node",),
+        left_schema=pa.schema(
+            [("node", pa.int64()), ("self_label", pa.int64())]
+        ),
+        right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        sentinel=-(1 << 62),  # fully streaming: no materialization barrier
     )
 
     def fin(batch: pa.Table) -> pa.Table:

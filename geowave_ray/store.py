@@ -444,6 +444,77 @@ class GeoStore:
             out = out.select_columns(columns)
         return out
 
+    # ------------------------------------------------------- snapshots
+    def snapshot(self, note: str = "") -> int:
+        """Record the CURRENT live file set as an immutable version
+        manifest (`_versions/v{N}.json`) — append-time travel: a query
+        pinned to version N sees exactly the rows ingested up to that
+        snapshot, because later ingests only ADD files.  Destructive
+        ops (delete / compact) rewrite files in place, so older
+        snapshots naming rewritten files become UNREADABLE by design;
+        `query_at` verifies and raises naming the missing file instead
+        of silently returning partial data (the honest contract without
+        copy-on-write).  Returns the version number."""
+        import json
+        import time as _time
+
+        vdir = os.path.join(self.root, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        existing = [
+            int(f[1:-5]) for f in os.listdir(vdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        ver = max(existing, default=0) + 1
+        files = []
+        for base, _dirs, names in os.walk(self.root):
+            if "_versions" in base:
+                continue
+            for nm in names:
+                if nm.endswith(".parquet"):
+                    p = os.path.join(base, nm)
+                    files.append(
+                        {"path": os.path.relpath(p, self.root),
+                         "size": os.path.getsize(p)}
+                    )
+        tmp = os.path.join(vdir, f".v{ver}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": ver, "note": note, "recorded_at": _time.time(),
+                 "files": sorted(files, key=lambda d: d["path"])},
+                f,
+            )
+        os.replace(tmp, os.path.join(vdir, f"v{ver}.json"))
+        return ver
+
+    def query_at(self, version: int, query: SpatialQuery, **kwargs):
+        """``query`` restricted to the file set of snapshot ``version``
+        (intersected with the normal tier/prefix pruning).  Raises
+        FileNotFoundError naming the first file a later destructive op
+        rewrote."""
+        import json
+
+        vpath = os.path.join(self.root, "_versions", f"v{version}.json")
+        with open(vpath) as f:
+            man = json.load(f)
+        live = {}
+        for ent in man["files"]:
+            p = os.path.join(self.root, ent["path"])
+            if not os.path.exists(p) or os.path.getsize(p) != ent["size"]:
+                raise FileNotFoundError(
+                    f"snapshot v{version} references {ent['path']} which a "
+                    "later delete/compact rewrote; snapshots only survive "
+                    "append-only history"
+                )
+            live[p] = True
+        import ray
+
+        pruned = set(self._expand_paths(self._pruned_paths(query)))
+        paths = sorted(p for p in live if p in pruned)
+        if not paths:
+            return ray.data.from_items([])
+        ds = ray.data.read_parquet(paths)
+        return query.apply(ds, **{k: v for k, v in kwargs.items() if k in ("lon_col", "lat_col")})
+
     def delete(
         self,
         query: SpatialQuery,

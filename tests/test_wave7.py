@@ -539,3 +539,37 @@ def test_segment_polygon_join_known(ray_session):
     # 0: fully inside; 1: crosses; 2: far outside; 3: outside near
     # hypotenuse (60+60>100); 4: outside; 5: outside
     assert got == [0, 1]
+
+
+def test_store_snapshot_time_travel(ray_session, tmp_path):
+    import ray
+
+    from geowave_ray.geom.wkb import box_polygon
+    from geowave_ray.query.planner import SpatialQuery
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(31)
+
+    def mk(lo, n):
+        return pa.table(
+            {
+                "image_id": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+                "lon": pa.array(rng.uniform(-30, 30, n)),
+                "lat": pa.array(rng.uniform(-30, 30, n)),
+            }
+        )
+
+    store = GeoStore(str(tmp_path / "tt"), prefix_bits=3)
+    store.ingest(ray.data.from_arrow(mk(0, 300)))
+    v1 = store.snapshot("after first ingest")
+    store.ingest(ray.data.from_arrow(mk(1000, 200)), compute_stats=False)
+    v2 = store.snapshot("after second ingest")
+    q = SpatialQuery(box_polygon(-40, -40, 40, 40))
+    n1 = store.query_at(v1, q).count()
+    n2 = store.query_at(v2, q).count()
+    n_now = store.query(q).count()
+    assert n1 == 300 and n2 == 500 and n_now == 500
+    # destructive op invalidates older snapshots LOUDLY
+    store.compact()
+    with pytest.raises(FileNotFoundError, match="v1|rewrote"):
+        store.query_at(v1, q).count()

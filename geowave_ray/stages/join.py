@@ -431,11 +431,18 @@ class _RectCellGroup:
 
     __name__ = "rect_cell_group"
 
-    def __init__(self, cell_size, left_cols, right_cols, max_group_pairs):
+    def __init__(self, cell_size, left_cols, right_cols, max_group_pairs,
+                 weighted=None):
         self.g = int(cell_size)
         self.left_cols = list(left_cols)
         self.right_cols = list(right_cols)
         self.max_pairs = int(max_group_pairs)
+        # weighted=(left_value_col, right_id_col): emit PRE-AGGREGATED
+        # (right_id, vsum=sum(v*overlap_area), area=sum(overlap_area))
+        # partials per cell instead of pair rows — the areal-interpolation
+        # regime; overlap comes from the kernel's own _x0.._y1 columns, so
+        # callers carry no duplicate coordinates through the shuffle
+        self.weighted = weighted
 
     def __call__(self, group: pa.Table) -> pa.Table:
         side = group.column("_side").to_numpy(zero_copy_only=False)
@@ -471,6 +478,38 @@ class _RectCellGroup:
         iy = np.maximum(ly0, ry0)
         hit &= (np.floor_divide(ix, self.g) == cx) & (np.floor_divide(iy, self.g) == cy)
         li, ri = np.nonzero(hit)
+        if self.weighted is not None:
+            vcol, rid_col = self.weighted
+            w_empty = pa.table(
+                {
+                    rid_col: pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.int64()),
+                    "area": pa.array([], pa.int64()),
+                }
+            )
+            if len(li) == 0:
+                return w_empty
+            ox = np.maximum(
+                np.minimum(lx1[li, 0], rx1[0, ri]) - np.maximum(lx0[li, 0], rx0[0, ri]), 0
+            )
+            oy = np.maximum(
+                np.minimum(ly1[li, 0], ry1[0, ri]) - np.maximum(ly0[li, 0], ry0[0, ri]), 0
+            )
+            area = ox * oy
+            v = lt.column(vcol).to_numpy(zero_copy_only=False)[li]
+            rid = rt.column(rid_col).to_numpy(zero_copy_only=False)[ri]
+            uk, inv = np.unique(rid, return_inverse=True)
+            return pa.table(
+                {
+                    rid_col: pa.array(uk.astype(np.int64)),
+                    "vsum": pa.array(
+                        np.bincount(inv, weights=(v * area).astype(np.float64)).astype(np.int64)
+                    ),
+                    "area": pa.array(
+                        np.bincount(inv, weights=area.astype(np.float64)).astype(np.int64)
+                    ),
+                }
+            )
         if len(li) == 0:
             return empty
         out = {}
@@ -489,6 +528,7 @@ def rect_join(
     right_cols: tuple,
     box_cols: tuple = ("x0", "y0", "x1", "y1"),
     max_group_pairs: int = 4_000_000,
+    weighted: tuple | None = None,
 ):
     """Extent (rectangle) intersection join of TWO datasets over integer
     coordinates: emit (left_cols x right_cols) for every pair of closed
@@ -562,7 +602,8 @@ def rect_join(
     lp = left_ds.map_batches(_prep(left_cols, 0), batch_format="pyarrow")
     rp = right_ds.map_batches(_prep(right_cols, 1), batch_format="pyarrow")
     return lp.union(rp).groupby("_cell").map_groups(
-        _RectCellGroup(cell_size, left_cols, right_cols, max_group_pairs),
+        _RectCellGroup(cell_size, left_cols, right_cols, max_group_pairs,
+                       weighted=weighted),
         batch_format="pyarrow",
     )
 

@@ -2813,6 +2813,44 @@ FROM reg
 SQL_HLL_STATE = None  # built lazily in oracle_sql() assembly below
 
 
+def q_hll_by_type(sf_dir: str):
+    """Per-event_type HyperLogLog register states (BinningAggregation x
+    sketch statistics — stages/aggregate.py::grouped_hll_states);
+    register-STATE parity per group, the binned form of
+    hll_distinct_users."""
+    import ray
+
+    from ..stages.aggregate import grouped_hll_states
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_hll_states(ds, "event_type", "user_id")
+
+
+def _sql_hll_by_type() -> str:
+    from ..stages.texthash import M64_SQL, sql_splitmix64
+
+    h = sql_splitmix64("user_id::HUGEINT")
+    msb = "(len(list_filter(range(64), b -> (rest >> b) >= 1)) - 1)"
+    return f"""
+WITH h AS (SELECT event_type, ({h}) AS h FROM events),
+r AS (SELECT event_type, h >> 52 AS idx,
+             (h * 4096) % {M64_SQL} + 1 AS rest FROM h),
+rk AS (SELECT event_type, idx,
+              LEAST(GREATEST(63 - {msb} + 1, 1), 52) AS rank FROM r),
+reg AS (SELECT event_type, idx, MAX(rank) AS r FROM rk
+        GROUP BY event_type, idx),
+d AS (SELECT event_type, CAST(SUM(r) AS BIGINT) AS sum_registers,
+             CAST(4096 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM reg GROUP BY event_type),
+c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type)
+SELECT d.event_type, d.sum_registers, d.zero_registers, c.n_rows
+FROM d JOIN c ON d.event_type = c.event_type
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distributed distinct count (groupby-then-count; the exact
     companion to the HLL sketch)."""
@@ -8221,6 +8259,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "turn_stats": q_turn_stats,
     "delta_varint": q_delta_varint,
+    "hll_by_type": q_hll_by_type,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8340,6 +8379,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_TRANSITIONS,
     "turn_stats": SQL_TURN_STATS,
     "delta_varint": SQL_DELTA_VARINT,
+    "hll_by_type": _sql_hll_by_type(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -498,3 +498,85 @@ def bottom_k_sample(ds, id_col: str, k: int):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def grouped_hll_states(ds, key_col: str, id_col: str, p: int = 12):
+    """BINNED HyperLogLog: one mergeable HLL register bank per group —
+    the reference's BinningAggregation composed with its sketch
+    statistics (query/aggregate/BinningAggregation.java x
+    statistics/field sketches).  Output per group: n_rows,
+    sum_registers, zero_registers — the same register-STATE parity
+    surface as the global hll query (an oracle can replay register
+    maxima exactly; a float estimate could not be hash-compared).
+
+    Scale shape: per-batch partials emit at most (groups-in-batch x m)
+    register rows pre-maxed locally; the global merge is
+    groupby(key, idx).max — register-bank-sized, not data-sized.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = HyperLogLog._hash(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64(1)
+        x = rest.copy()
+        msb = np.zeros(len(rest), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            sel = x >= (np.uint64(1) << np.uint64(shift))
+            msb[sel] += shift
+            x[sel] >>= np.uint64(shift)
+        rank = np.clip(63 - msb + 1, 1, 64 - p).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)  # groups are enum-scale
+        combined = inv * m + idx
+        regs = np.zeros(len(uk) * m, dtype=np.int64)
+        np.maximum.at(regs, combined, rank)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                key_col: pa.array(uk[nz // m]),
+                "idx": pa.array((nz % m).astype(np.int64)),
+                "rank": pa.array(regs[nz]),
+            }
+        )
+
+    partial.__name__ = f"hll_grouped_partial_p{p}"
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "idx"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    class _Digest:
+        __name__ = "hll_grouped_digest"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            r = group.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    key_col: group.column(key_col).slice(0, 1),
+                    "sum_registers": pa.array([int(r.sum())], pa.int64()),
+                    "zero_registers": pa.array([m - len(r)], pa.int64()),
+                }
+            )
+
+    digests = merged.groupby(key_col).map_groups(_Digest(), batch_format="pyarrow")
+
+    counts = ds.groupby(key_col).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([key_col, "n_rows"])
+
+    rename.__name__ = "hll_grouped_counts"
+    from .util import safe_join
+
+    return safe_join(
+        digests,
+        counts.map_batches(rename, batch_format="pyarrow"),
+        "inner",
+        4,
+        (key_col,),
+    )

@@ -5983,6 +5983,137 @@ FROM px GROUP BY 1, 2
 """
 
 
+TRIM_K = 10
+
+
+def q_trimmed_stats(sf_dir: str):
+    """Per-type TRIMMED aggregates: drop the k=10 smallest and largest
+    integer-cent values (ties by event_id — fully deterministic) and
+    report the trimmed count/sum — the robust-mean companion of the
+    engine's exact quantiles.  One per-key-population shuffle; kernel
+    is a lexsort + slice."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    class _Trim:
+        __name__ = "trimmed_stats"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            v = np.floor(
+                group.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((e, v))
+            kept = v[sel][TRIM_K : max(len(v) - TRIM_K, TRIM_K)]
+            return pa.table(
+                {
+                    "event_type": group.column("event_type").slice(0, 1),
+                    "n_kept": pa.array([len(kept)], pa.int64()),
+                    "trimmed_sum": pa.array([int(kept.sum())], pa.int64()),
+                }
+            )
+
+    return ds.groupby("event_type").map_groups(_Trim(), batch_format="pyarrow")
+
+
+SQL_TRIMMED = f"""
+WITH p AS (
+  SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM p)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS trimmed_sum
+FROM r WHERE rn > {TRIM_K} AND rn <= GREATEST(n - {TRIM_K}, {TRIM_K})
+GROUP BY event_type
+"""
+
+
+FUNNEL_GAP_US = 3 * 86_400_000_000
+
+
+def q_funnel_windowed(sf_dir: str):
+    """TIME-BOUNDED funnel: each next step must occur within 3 days of
+    the previous step's hit (the conversion-window form of
+    funnel_stages).  Same one-shuffle shape; the kernel tracks the
+    previous hit's position AND timestamp."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    class _WFunnel:
+        __name__ = "funnel_windowed"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            ty = group.column("event_type").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((ev, t))
+            t, ty = t[sel], ty[sel]
+            stage, prev, prev_t = 0, -1, None
+            pos = np.arange(len(t))
+            for si, step in enumerate(FUNNEL_STEPS):
+                ok = (ty == step) & (pos > prev)
+                if si > 0:
+                    ok &= t <= prev_t + FUNNEL_GAP_US
+                idx = np.flatnonzero(ok)
+                if len(idx) == 0:
+                    break
+                prev = idx[0]
+                prev_t = t[prev]
+                stage += 1
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "stage": pa.array([stage], pa.int64()),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_WFunnel(), batch_format="pyarrow")
+
+
+def _sql_funnel_windowed() -> str:
+    g = FUNNEL_GAP_US
+    a, b, c = FUNNEL_STEPS
+    return f"""
+WITH p AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+s1 AS (SELECT user_id, MIN(rn) AS r1 FROM p
+       WHERE event_type = '{a}' GROUP BY user_id),
+s1t AS (SELECT s1.user_id, s1.r1, p.t AS t1
+        FROM s1 JOIN p ON p.user_id = s1.user_id AND p.rn = s1.r1),
+s2 AS (SELECT p.user_id, MIN(rn) AS r2 FROM p JOIN s1t ON p.user_id = s1t.user_id
+       WHERE event_type = '{b}' AND rn > s1t.r1 AND p.t <= s1t.t1 + {g}
+       GROUP BY p.user_id),
+s2t AS (SELECT s2.user_id, s2.r2, p.t AS t2
+        FROM s2 JOIN p ON p.user_id = s2.user_id AND p.rn = s2.r2),
+s3 AS (SELECT p.user_id, MIN(rn) AS r3 FROM p JOIN s2t ON p.user_id = s2t.user_id
+       WHERE event_type = '{c}' AND rn > s2t.r2 AND p.t <= s2t.t2 + {g}
+       GROUP BY p.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -8260,6 +8391,8 @@ QUERIES = {
     "turn_stats": q_turn_stats,
     "delta_varint": q_delta_varint,
     "hll_by_type": q_hll_by_type,
+    "trimmed_stats": q_trimmed_stats,
+    "funnel_windowed": q_funnel_windowed,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8380,6 +8513,8 @@ ORACLE_SQL = {
     "turn_stats": SQL_TURN_STATS,
     "delta_varint": SQL_DELTA_VARINT,
     "hll_by_type": _sql_hll_by_type(),
+    "trimmed_stats": SQL_TRIMMED,
+    "funnel_windowed": _sql_funnel_windowed(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -5983,6 +5983,92 @@ FROM px GROUP BY 1, 2
 """
 
 
+CORRIDOR_UID = 7
+CORRIDOR_D = 400
+
+
+def q_corridor_points(sf_dir: str):
+    """CORRIDOR query: all derived event points within 400 centi-degree
+    units of user 7's track polyline — buffered-LineString DWITHIN with
+    the exact division-free point-to-segment test
+    (stages/join.py::points_within_segments).  The corridor track is a
+    bounded broadcast (one entity's ordered points); the point side
+    streams."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.join import points_within_segments
+
+    # corridor: user CORRIDOR_UID's ordered track (bounded — one entity)
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    m = t.column("user_id").to_numpy() == CORRIDOR_UID
+    ev = t.column("event_id").to_numpy()[m]
+    ts = t.column("ts").to_numpy()[m].astype("int64")
+    sel = np.lexsort((ev, ts))
+    ev = ev[sel]
+    cx = (ev * 7919 + CORRIDOR_UID) % 36000 - 18000
+    cy = (ev * 104729 + CORRIDOR_UID * 13) % 18000 - 9000
+    segs = {"x1": cx[:-1], "y1": cy[:-1], "x2": cx[1:], "y2": cy[1:]}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ix": pa.array((e * 7919 + u) % 36000 - 18000),
+                "iy": pa.array((e * 104729 + u * 13) % 18000 - 9000),
+            }
+        )
+
+    derive.__name__ = "corridor_derive"
+    pts = ds.map_batches(derive, batch_format="pyarrow")
+    return points_within_segments(pts, segs, CORRIDOR_D, ("event_id",))
+
+
+SQL_CORRIDOR = f"""
+WITH tr AS (
+  SELECT (event_id * 7919 + {CORRIDOR_UID}) % 36000 - 18000 AS x,
+         (event_id * 104729 + {CORRIDOR_UID} * 13) % 18000 - 9000 AS y,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id = {CORRIDOR_UID}),
+seg AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+  FROM tr a JOIN tr b ON b.rn = a.rn + 1),
+p AS (
+  SELECT event_id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS px,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS py
+  FROM events)
+SELECT event_id FROM p
+WHERE EXISTS (
+  SELECT 1 FROM seg
+  WHERE CASE
+    WHEN (p.px - seg.ax) * (seg.bx - seg.ax)
+         + (p.py - seg.ay) * (seg.by_ - seg.ay) <= 0
+      THEN (p.px - seg.ax) * (p.px - seg.ax)
+           + (p.py - seg.ay) * (p.py - seg.ay) <= {CORRIDOR_D * CORRIDOR_D}
+    WHEN (p.px - seg.ax) * (seg.bx - seg.ax)
+         + (p.py - seg.ay) * (seg.by_ - seg.ay)
+         >= (seg.bx - seg.ax) * (seg.bx - seg.ax)
+            + (seg.by_ - seg.ay) * (seg.by_ - seg.ay)
+      THEN (p.px - seg.bx) * (p.px - seg.bx)
+           + (p.py - seg.by_) * (p.py - seg.by_) <= {CORRIDOR_D * CORRIDOR_D}
+    ELSE ((seg.bx - seg.ax) * (p.py - seg.ay)
+          - (seg.by_ - seg.ay) * (p.px - seg.ax))::HUGEINT
+         * ((seg.bx - seg.ax) * (p.py - seg.ay)
+            - (seg.by_ - seg.ay) * (p.px - seg.ax))
+         <= {CORRIDOR_D * CORRIDOR_D}::HUGEINT
+            * ((seg.bx - seg.ax) * (seg.bx - seg.ax)
+               + (seg.by_ - seg.ay) * (seg.by_ - seg.ay))
+    END)
+"""
+
+
 TRIM_K = 10
 
 
@@ -8393,6 +8479,7 @@ QUERIES = {
     "hll_by_type": q_hll_by_type,
     "trimmed_stats": q_trimmed_stats,
     "funnel_windowed": q_funnel_windowed,
+    "corridor_points": q_corridor_points,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8515,6 +8602,7 @@ ORACLE_SQL = {
     "hll_by_type": _sql_hll_by_type(),
     "trimmed_stats": SQL_TRIMMED,
     "funnel_windowed": _sql_funnel_windowed(),
+    "corridor_points": SQL_CORRIDOR,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

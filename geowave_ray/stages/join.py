@@ -945,3 +945,62 @@ def segment_polygon_join(
 
     match.__name__ = "segment_polygon_match"
     return seg_ds.map_batches(match, batch_format="pyarrow")
+
+
+def points_within_segments(
+    pts_ds,
+    segs: dict,  # x1, y1, x2, y2 int64 arrays (the corridor polyline)
+    dist: int,
+    point_cols: tuple,
+    coord_cols: tuple = ("ix", "iy"),
+):
+    """Buffered-POLYLINE containment (corridor query): keep points
+    within ``dist`` of ANY segment of a broadcast polyline — the
+    line-geometry form of the reference's DWITHIN
+    (GeomWithinDistance.java applied to LineString constraints; the
+    point form is cql_dwithin).  Exact integer point-to-segment
+    distance with NO division: the perpendicular case compares
+    cross^2 <= dist^2 * len^2 (endpoint cases compare squared
+    distances directly), so results are SQL-replayable.
+
+    Scale shape: the corridor is configuration-scale (broadcast once);
+    the point side streams — a bbox-expanded candidate mask prunes the
+    (n_pts, n_segs) work before the exact kernel."""
+    import ray
+
+    x1 = np.asarray(segs["x1"], np.int64)
+    y1 = np.asarray(segs["y1"], np.int64)
+    x2 = np.asarray(segs["x2"], np.int64)
+    y2 = np.asarray(segs["y2"], np.int64)
+    sref = ray.put((x1, y1, x2, y2))
+    d = int(dist)
+    xc, yc = coord_cols
+
+    def within(batch: pa.Table) -> pa.Table:
+        ax, ay, bx, by = ray.get(sref)
+        px = batch.column(xc).to_numpy(zero_copy_only=False).astype(np.int64)[:, None]
+        py = batch.column(yc).to_numpy(zero_copy_only=False).astype(np.int64)[:, None]
+        lox = np.minimum(ax, bx)[None, :] - d
+        hix = np.maximum(ax, bx)[None, :] + d
+        loy = np.minimum(ay, by)[None, :] - d
+        hiy = np.maximum(ay, by)[None, :] + d
+        cand = (px >= lox) & (px <= hix) & (py >= loy) & (py <= hiy)
+        dx = (bx - ax)[None, :]
+        dy = (by - ay)[None, :]
+        rx = px - ax[None, :]
+        ry = py - ay[None, :]
+        dot = rx * dx + ry * dy
+        len2 = (dx * dx + dy * dy).astype(np.int64)
+        d2 = np.int64(d) * np.int64(d)
+        end_a = (rx * rx + ry * ry) <= d2
+        sx = px - bx[None, :]
+        sy = py - by[None, :]
+        end_b = (sx * sx + sy * sy) <= d2
+        cross = dx * ry - dy * rx
+        mid = cross * cross <= d2 * len2
+        hit = np.where(dot <= 0, end_a, np.where(dot >= len2, end_b, mid))
+        keep = (cand & hit).any(axis=1)
+        return batch.select(list(point_cols)).filter(pa.array(keep))
+
+    within.__name__ = "corridor_within"
+    return pts_ds.map_batches(within, batch_format="pyarrow")

@@ -5983,6 +5983,174 @@ FROM px GROUP BY 1, 2
 """
 
 
+FLOW_NX, FLOW_NY = 16, 8
+
+
+def q_cell_flows(sf_dir: str):
+    """Origin-destination FLOW matrix: consecutive per-user positions
+    snapped to a coarse grid, flows counted per (from_cell, to_cell) —
+    the flow-map / OD-matrix analytics over the engine's
+    spatial-temporal events (the spatial form of event_transitions).
+    Self-flows (same cell) excluded.  One user-keyed shuffle +
+    per-batch matrix combiners."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    class _Flows:
+        __name__ = "cell_flows"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((e, t))
+            e = e[sel]
+            u = group.column("user_id").to_numpy(zero_copy_only=False)[sel]
+            gx = ((e * 7919 + u) % 36000) * FLOW_NX // 36000
+            gy = ((e * 104729 + u * 13) % 18000) * FLOW_NY // 18000
+            cell = gy * FLOW_NX + gx
+            a, b = cell[:-1], cell[1:]
+            m = a != b
+            a, b = a[m], b[m]
+            if len(a) == 0:
+                return pa.table(
+                    {
+                        "from_cell": pa.array([], pa.int64()),
+                        "to_cell": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            key = a * (FLOW_NX * FLOW_NY) + b
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.table(
+                {
+                    "from_cell": pa.array(uk // (FLOW_NX * FLOW_NY)),
+                    "to_cell": pa.array(uk % (FLOW_NX * FLOW_NY)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+    pairs = ds.groupby("user_id").map_groups(_Flows(), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["from_cell", "to_cell"]).aggregate([("n", "sum")])
+        return g.rename_columns(["from_cell", "to_cell", "n"])
+
+    combine.__name__ = "flow_combine"
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(combine, batch_format="pyarrow")
+        .groupby(["from_cell", "to_cell"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_CELL_FLOWS = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (((event_id * 104729 + user_id * 13) % 18000) * {FLOW_NY} // 18000)
+           * {FLOW_NX}
+         + (((event_id * 7919 + user_id) % 36000) * {FLOW_NX} // 36000) AS cell
+  FROM events),
+s AS (
+  SELECT cell, LEAD(cell) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM p)
+SELECT cell AS from_cell, nxt AS to_cell, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL AND nxt <> cell
+GROUP BY cell, nxt
+"""
+
+
+def q_duplication_flows(sf_dir: str):
+    """Cross-source DUPLICATION flows: for every pair of documents with
+    IDENTICAL text, one count on the (source_a, source_b) edge (sources
+    ordered lexically) — the who-copies-from-whom diagnostic a corpus
+    curator reads before choosing per-source dedup priorities.  One
+    text-keyed shuffle; per-group all-pairs is bounded by dup-group
+    size (guarded), pairs pre-counted per group."""
+    from ..sources.images import crossmodal_ds
+
+    cm = crossmodal_ds(CAPTION_DUP_N)
+
+    def add_source(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        src = np.char.add("src", (ids % 20).astype("U"))
+        return pa.table(
+            {
+                "doc_id": batch.column("image_id"),
+                "text": batch.column("caption"),
+                "source": pa.array(src.astype(str)),
+            }
+        )
+
+    add_source.__name__ = "dupflow_source"
+    ds = cm.map_batches(add_source, batch_format="pyarrow")
+
+    class _DupFlows:
+        __name__ = "dup_flows"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+            k = len(group)
+            if k < 2:
+                return empty
+            if k > 10_000:
+                raise ValueError("dup group exceeds pair guard; pre-shard by source")
+            src = np.sort(group.column("source").to_numpy(zero_copy_only=False).astype(str))
+            ii, jj = np.triu_indices(k, k=1)
+            pair = np.char.add(np.char.add(src[ii], ">"), src[jj])
+            uk, cnt = np.unique(pair, return_counts=True)
+            parts = np.char.partition(uk, ">")
+            return pa.table(
+                {
+                    "source_a": pa.array(parts[:, 0]),
+                    "source_b": pa.array(parts[:, 2]),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+    pairs = ds.groupby("text").map_groups(_DupFlows(), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["source_a", "source_b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source_a", "source_b", "n"])
+
+    combine.__name__ = "dupflow_combine"
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.map_batches(combine, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _sql_dup_flows() -> str:
+    from ..sources.images import crossmodal_sql_cte
+
+    return f"""
+WITH {crossmodal_sql_cte(CAPTION_DUP_N)},
+d AS (SELECT image_id AS doc_id, caption AS text,
+             'src' || CAST(image_id % 20 AS VARCHAR) AS source FROM cm)
+SELECT LEAST(d1.source, d2.source) AS source_a,
+       GREATEST(d1.source, d2.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d d1 JOIN d d2
+  ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+GROUP BY 1, 2
+"""
+
+
 CORRIDOR_UID = 7
 CORRIDOR_D = 400
 
@@ -8480,6 +8648,8 @@ QUERIES = {
     "trimmed_stats": q_trimmed_stats,
     "funnel_windowed": q_funnel_windowed,
     "corridor_points": q_corridor_points,
+    "cell_flows": q_cell_flows,
+    "duplication_flows": q_duplication_flows,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8603,6 +8773,8 @@ ORACLE_SQL = {
     "trimmed_stats": SQL_TRIMMED,
     "funnel_windowed": _sql_funnel_windowed(),
     "corridor_points": SQL_CORRIDOR,
+    "cell_flows": SQL_CELL_FLOWS,
+    "duplication_flows": _sql_dup_flows(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -5983,6 +5983,77 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_score_percentiles(sf_dir: str):
+    """EXACT corpus-wide percentile normalization of quality scores
+    WITHOUT a global sort: quality_milli is integer-bounded (0..1020),
+    so the exact rank of every doc derives from the cumulative
+    histogram over distinct score values — a bounded-histogram
+    broadcast, the scale-correct pattern for percentile features at
+    100 TB (a distributed sort would shuffle the corpus; this shuffles
+    ~1k histogram rows).  pct_milli = 1000 * (# docs with strictly
+    smaller score) // (n - 1); ties share a percentile (standard
+    min-rank convention)."""
+    import ray
+
+    from ..stages.text import TextFeatures
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_milli").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(q, return_counts=True)
+        return pa.table(
+            {"q": pa.array(uk.astype(np.int64)), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    hist_partial.__name__ = "score_hist_partial"
+    from ray.data.aggregate import Sum
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("q")
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()  # bounded: <= 1021 distinct integer scores
+    hist = hist.sort_values("q")
+    qs = hist["q"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(hist["c"].to_numpy())[:-1]))
+    total = int(hist["c"].sum())
+    href = ray.put((qs, below, total))
+
+    def pct(batch: pa.Table) -> pa.Table:
+        qv, bl, n = ray.get(href)
+        q = batch.column("quality_milli").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(qv, q)
+        pm = 1000 * bl[pos] // max(n - 1, 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality_milli": batch.column("quality_milli"),
+                "pct_milli": pa.array(pm.astype(np.int64)),
+            }
+        )
+
+    pct.__name__ = "score_pct"
+    return scored.map_batches(pct, batch_format="pyarrow")
+
+
+def _sql_score_percentiles() -> str:
+    from .oracle_text import sql_quality
+
+    return f"""
+WITH qbase AS ({sql_quality()})
+SELECT doc_id, quality_milli,
+       CAST(1000 * (RANK() OVER (ORDER BY quality_milli) - 1)
+            // GREATEST((SELECT COUNT(*) FROM qbase) - 1, 1) AS BIGINT)
+         AS pct_milli
+FROM qbase
+"""
+
+
 FLOW_NX, FLOW_NY = 16, 8
 
 
@@ -8650,6 +8721,7 @@ QUERIES = {
     "corridor_points": q_corridor_points,
     "cell_flows": q_cell_flows,
     "duplication_flows": q_duplication_flows,
+    "score_percentiles": q_score_percentiles,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8775,6 +8847,7 @@ ORACLE_SQL = {
     "corridor_points": SQL_CORRIDOR,
     "cell_flows": SQL_CELL_FLOWS,
     "duplication_flows": _sql_dup_flows(),
+    "score_percentiles": _sql_score_percentiles(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

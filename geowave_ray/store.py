@@ -444,6 +444,92 @@ class GeoStore:
             out = out.select_columns(columns)
         return out
 
+    # ------------------------------------------------------ integrity
+    def record_integrity(self, id_col: str = "image_id") -> dict:
+        """Persist per-partition ORDER-INDEPENDENT content checksums
+        (XOR of splitmix64(id ^ mixed cell) over each partition's rows).
+        XOR is commutative and file-layout-blind, so the checksum is
+        invariant under compaction's file merges and row re-sorting —
+        `verify_integrity` after a compact proves no row was lost,
+        duplicated or moved across partitions (the scrub/consistency
+        check every production store runs)."""
+        import json
+
+        import ray
+
+        sums = self._partition_checksums(id_col)
+        with open(os.path.join(self.root, "_integrity.json"), "w") as f:
+            json.dump({"id_col": id_col, "partitions": sums}, f, sort_keys=True)
+        return sums
+
+    def verify_integrity(self) -> dict:
+        """-> {partition: 'ok' | 'MISMATCH' | 'MISSING'} against the
+        recorded manifest; any non-ok entry means rows changed."""
+        import json
+
+        with open(os.path.join(self.root, "_integrity.json")) as f:
+            man = json.load(f)
+        now = self._partition_checksums(man["id_col"])
+        out = {}
+        for part, want in man["partitions"].items():
+            if part not in now:
+                out[part] = "MISSING"
+            elif now[part] != want:
+                out[part] = "MISMATCH"
+            else:
+                out[part] = "ok"
+        for part in now:
+            if part not in man["partitions"]:
+                out[part] = "MISMATCH"  # new rows appeared
+        return out
+
+    def _partition_checksums(self, id_col: str) -> dict:
+        """Distributed per-(tier, cell_prefix) XOR checksums."""
+        import ray
+
+        from .stages.texthash import splitmix64
+
+        parts = {}
+        dirs = []
+        for d in sorted(os.listdir(self.root)):
+            if not d.startswith("tier="):
+                continue
+            tdir = os.path.join(self.root, d)
+            subs = [
+                os.path.join(tdir, p)
+                for p in sorted(os.listdir(tdir))
+                if p.startswith("cell_prefix=")
+            ] or [tdir]
+            dirs.extend(subs)
+        for pd in dirs:
+            files = self._expand_paths([pd])
+            if not files:
+                continue
+            ds = ray.data.read_parquet(files, columns=[id_col, "cell"])
+
+            def chk(batch: pa.Table, _c=id_col) -> pa.Table:
+                v = batch.column(_c).to_numpy(zero_copy_only=False).astype(np.uint64)
+                cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+                h = splitmix64(v ^ splitmix64(cell))
+                x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+                return pa.table(
+                    {"x": pa.array([np.int64(x)]), "n": pa.array([len(h)], pa.int64())}
+                )
+
+            chk.__name__ = "integrity_chk"
+            df = ds.map_batches(chk, batch_format="pyarrow").to_pandas()
+            xor = np.uint64(0)
+            rows = 0
+            if len(df):
+                for xv in df["x"].to_numpy().astype(np.int64):
+                    xor ^= np.uint64(xv)
+                rows = int(df["n"].sum())
+            parts[os.path.relpath(pd, self.root)] = {
+                "xor": int(np.int64(xor)),
+                "rows": rows,
+            }
+        return parts
+
     # ------------------------------------------------------- snapshots
     def snapshot(self, note: str = "") -> int:
         """Record the CURRENT live file set as an immutable version

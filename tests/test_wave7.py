@@ -573,3 +573,35 @@ def test_store_snapshot_time_travel(ray_session, tmp_path):
     store.compact()
     with pytest.raises(FileNotFoundError, match="v1|rewrote"):
         store.query_at(v1, q).count()
+
+
+def test_store_integrity_scrub(ray_session, tmp_path):
+    import ray
+
+    from geowave_ray.geom.wkb import box_polygon
+    from geowave_ray.query.planner import SpatialQuery
+    from geowave_ray.store import GeoStore
+
+    rng = np.random.default_rng(41)
+    n = 400
+    tbl = pa.table(
+        {
+            "image_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-20, 20, n)),
+            "lat": pa.array(rng.uniform(-20, 20, n)),
+        }
+    )
+    store = GeoStore(str(tmp_path / "scrub"), prefix_bits=3)
+    store.ingest(ray.data.from_arrow(tbl))
+    store.ingest(ray.data.from_arrow(tbl.slice(0, 50).set_column(
+        0, "image_id", pa.array(np.arange(1000, 1050, dtype=np.int64)))),
+        compute_stats=False)  # second ingest -> multiple files/partition
+    store.record_integrity()
+    # compaction merges files but must preserve content exactly
+    store.compact()
+    res = store.verify_integrity()
+    assert res and all(v == "ok" for v in res.values()), res
+    # deleting rows must be DETECTED
+    store.delete(SpatialQuery(box_polygon(-20, -20, 0, 0)))
+    res = store.verify_integrity()
+    assert any(v == "MISMATCH" for v in res.values()), res

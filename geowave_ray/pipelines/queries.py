@@ -5983,6 +5983,70 @@ FROM px GROUP BY 1, 2
 """
 
 
+ASOF_FWD_TOL_US = 2 * 86_400_000_000
+
+
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of with tolerance: each view matched to the user's
+    EARLIEST purchase within 2 days after it (the attribution-window
+    join — 'did this view convert?'), exercising the asof stage's
+    forward direction + tolerance at driver grade."""
+    import ray
+
+    from ..stages.asof import asof_join
+
+    def side(event_type):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch.column("event_type"), event_type)
+            return batch.filter(keep).drop_columns(["event_type"])
+
+        fn.__name__ = f"events_fwd_{event_type}"
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(side("view"), batch_format="pyarrow")
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols
+    ).map_batches(side("purchase"), batch_format="pyarrow")
+
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=("event_id", "ts"),
+        right_cols={"event_id": "purchase_event_id"},
+        tiebreak="event_id",
+        direction="forward",
+        tolerance_us=ASOF_FWD_TOL_US,
+        how="inner",
+    )
+
+
+SQL_ASOF_FORWARD = f"""
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'view'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'),
+m AS (
+  SELECT v.event_id, v.t,
+         (SELECT p.event_id FROM p
+          WHERE p.user_id = v.user_id AND p.t >= v.t
+            AND p.t <= v.t + {ASOF_FWD_TOL_US}
+          ORDER BY p.t, p.event_id LIMIT 1) AS purchase_event_id
+  FROM v)
+SELECT m.event_id, make_timestamp(m.t) AS ts, m.purchase_event_id,
+       v2.user_id
+FROM m JOIN v v2 ON v2.event_id = m.event_id
+WHERE m.purchase_event_id IS NOT NULL
+"""
+
+
 def q_score_percentiles(sf_dir: str):
     """EXACT corpus-wide percentile normalization of quality scores
     WITHOUT a global sort: quality_milli is integer-bounded (0..1020),
@@ -8722,6 +8786,7 @@ QUERIES = {
     "cell_flows": q_cell_flows,
     "duplication_flows": q_duplication_flows,
     "score_percentiles": q_score_percentiles,
+    "asof_forward": q_asof_forward,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8848,6 +8913,7 @@ ORACLE_SQL = {
     "cell_flows": SQL_CELL_FLOWS,
     "duplication_flows": _sql_dup_flows(),
     "score_percentiles": _sql_score_percentiles(),
+    "asof_forward": SQL_ASOF_FORWARD,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

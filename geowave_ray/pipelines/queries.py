@@ -3079,6 +3079,36 @@ GROUP BY level, cell
 """
 
 
+def q_kde_weighted(sf_dir: str):
+    """WEIGHTED KDE: each point splats with its own integer weight
+    (image_id % 7 + 1) times the binomial kernel — the weighted form of
+    the reference's GaussianCellMapper (which accepts a weight
+    attribute; GaussianCellMapper.java:73) with the exact-integer
+    discipline of kde_cells."""
+    pts = _events_points(sf_dir)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        i = batch.column("image_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("pw", pa.array((i % 7 + 1).astype(np.int64)))
+
+    add_w.__name__ = "kde_point_weight"
+    from ..stages.kde import kde_cells
+
+    return kde_cells(
+        pts.map_batches(add_w, batch_format="pyarrow"),
+        levels=(5, 6),
+        radius=1,
+        weight_col="pw",
+        kernel="binomial",
+    )
+
+
+def _sql_kde_weighted() -> str:
+    base = _sql_kde_cells()
+    # same splat CTEs; each contribution multiplies the POINT weight
+    return base.replace("o.w AS w,", "o.w * (image_id % 7 + 1) AS w,")
+
+
 def q_kde_percentiles(sf_dir: str):
     """Percentile-normalized KDE output — the missing half of the
     reference's KDEReducer, which emits PERCENTILE-normalized raster
@@ -8787,6 +8817,7 @@ QUERIES = {
     "duplication_flows": q_duplication_flows,
     "score_percentiles": q_score_percentiles,
     "asof_forward": q_asof_forward,
+    "kde_weighted": q_kde_weighted,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8914,6 +8945,7 @@ ORACLE_SQL = {
     "duplication_flows": _sql_dup_flows(),
     "score_percentiles": _sql_score_percentiles(),
     "asof_forward": SQL_ASOF_FORWARD,
+    "kde_weighted": _sql_kde_weighted(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

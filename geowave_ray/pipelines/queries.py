@@ -6013,6 +6013,104 @@ FROM px GROUP BY 1, 2
 """
 
 
+RANGE_SHARDS = 12
+RANGE_PREFIX_BITS = 16
+
+
+def q_range_shards(sf_dir: str):
+    """BALANCED RANGE SHARDING: rows are assigned to contiguous
+    key-range shards sized by the actual key distribution — the
+    reference's histogram-weighted split planning
+    (SplitsProvider.getSplits + RowRangeHistogramStatistic, weighting
+    ranges by estimated cardinality) as a write-side operator.  The
+    shard key is the 16-bit Hilbert cell prefix, whose value domain is
+    BOUNDED, so exact global ranks come from a <=65k-row cumulative
+    histogram broadcast (no global sort); shard = rank * S // total.
+    Output: per-shard row count + key range — the balance evidence."""
+    import ray
+
+    from ..stages.encode import CellEncoder
+    from ..stages.util import stage_fn
+
+    pts = _events_points(sf_dir)
+    enc = pts.map_batches(stage_fn(CellEncoder, bits=16), batch_format="pyarrow")
+
+    def key_of(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "pfx": pa.array((cell >> np.uint64(16)).astype(np.int64)),
+            }
+        )
+
+    key_of.__name__ = "range_shard_key"
+    keyed = enc.map_batches(key_of, batch_format="pyarrow")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        uk, cnt = np.unique(batch.column("pfx").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"pfx": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+
+    hist_partial.__name__ = "range_shard_hist"
+    from ray.data.aggregate import Sum
+
+    hist = (
+        keyed.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("pfx")
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas().sort_values("pfx")  # bounded: <= 2^16 distinct prefixes
+    ks = hist["pfx"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(hist["c"].to_numpy())[:-1]))
+    total = int(hist["c"].sum())
+    href = ray.put((ks, below, total))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        kv, bl, n = ray.get(href)
+        p = batch.column("pfx").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kv, p)
+        shard = bl[pos] * RANGE_SHARDS // max(n, 1)
+        return pa.table({"pfx": pa.array(p), "shard": pa.array(shard.astype(np.int64))})
+
+    assign.__name__ = "range_shard_assign"
+    assigned = keyed.map_batches(assign, batch_format="pyarrow")
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["shard"]).aggregate(
+            [("pfx", "count"), ("pfx", "min"), ("pfx", "max")]
+        )
+        return g.rename_columns(["shard", "n_rows", "min_pfx", "max_pfx"])
+
+    digest_partial.__name__ = "range_shard_digest"
+    from ray.data.aggregate import Max, Min
+
+    return (
+        assigned.map_batches(digest_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_pfx", alias_name="min_pfx"),
+            Max("max_pfx", alias_name="max_pfx"),
+        )
+    )
+
+
+def _sql_range_shards() -> str:
+    from .oracle_sfc import sql_hilbert_cells
+
+    return f"""
+WITH hc AS ({sql_hilbert_cells(_PTS_SQL, 16)}),
+k AS (SELECT image_id, cell >> 16 AS pfx FROM hc),
+a AS (
+  SELECT pfx,
+         CAST((RANK() OVER (ORDER BY pfx) - 1) * {RANGE_SHARDS}
+              // COUNT(*) OVER () AS BIGINT) AS shard
+  FROM k)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(pfx) AS min_pfx, MAX(pfx) AS max_pfx
+FROM a GROUP BY shard
+"""
+
+
 ASOF_FWD_TOL_US = 2 * 86_400_000_000
 
 
@@ -8818,6 +8916,7 @@ QUERIES = {
     "score_percentiles": q_score_percentiles,
     "asof_forward": q_asof_forward,
     "kde_weighted": q_kde_weighted,
+    "range_shards": q_range_shards,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -8946,6 +9045,7 @@ ORACLE_SQL = {
     "score_percentiles": _sql_score_percentiles(),
     "asof_forward": SQL_ASOF_FORWARD,
     "kde_weighted": _sql_kde_weighted(),
+    "range_shards": _sql_range_shards(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

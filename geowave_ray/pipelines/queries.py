@@ -6013,6 +6013,47 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_lang_by_source(sf_dir: str):
+    """Language mix per source: predicted language shares by corpus
+    source — the per-provider language QA report a curation pipeline
+    publishes (composition: LangId stage output x source column, one
+    small groupby with per-batch combiners)."""
+    import ray
+
+    from ..stages.text import LangId
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    pred = ds.map_batches(stage_fn(LangId), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source", "lang_pred"])
+        g = pa.TableGroupBy(t, ["source", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang_pred", "n"])
+
+    combine.__name__ = "lang_source_combine"
+    from ray.data.aggregate import Sum
+
+    return (
+        pred.map_batches(combine, batch_format="pyarrow")
+        .groupby(["source", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _sql_lang_by_source() -> str:
+    from .oracle_text import sql_langid
+
+    return f"""
+WITH lp AS ({sql_langid()})
+SELECT d.source, lp.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+GROUP BY d.source, lp.lang_pred
+"""
+
+
 RANGE_SHARDS = 12
 RANGE_PREFIX_BITS = 16
 
@@ -8917,6 +8958,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "kde_weighted": q_kde_weighted,
     "range_shards": q_range_shards,
+    "lang_by_source": q_lang_by_source,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -9046,6 +9088,7 @@ ORACLE_SQL = {
     "asof_forward": SQL_ASOF_FORWARD,
     "kde_weighted": _sql_kde_weighted(),
     "range_shards": _sql_range_shards(),
+    "lang_by_source": _sql_lang_by_source(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

@@ -6013,6 +6013,95 @@ FROM px GROUP BY 1, 2
 """
 
 
+FASTSS_N = 4000
+FASTSS_POOL = 600
+_FASTSS_ALPHA = "abcdefghijklmnop"
+
+
+def _fastss_strings(ids: np.ndarray) -> list[str]:
+    """Deterministic short codes with controlled single-char noise:
+    pool base string, then per-id substitution (id%3==1) or deletion
+    (id%3==2) — SQL regenerates the exact same strings."""
+    from ..stages.texthash import splitmix64
+
+    smp = splitmix64((ids % FASTSS_POOL).astype(np.uint64))
+    smi = splitmix64(ids.astype(np.uint64))
+    out = []
+    for j, (p, q) in enumerate(zip(smp.tolist(), smi.tolist())):
+        base = "".join(_FASTSS_ALPHA[(p >> (4 * k)) & 15] for k in range(8))
+        i = int(ids[j])
+        pos = i % 8
+        if i % 3 == 1:
+            base = base[:pos] + _FASTSS_ALPHA[(q >> 8) & 15] + base[pos + 1 :]
+        elif i % 3 == 2:
+            base = base[:pos] + base[pos + 1 :]
+        out.append(base)
+    return out
+
+
+def q_fastss_pairs(sf_dir: str):
+    """Edit-distance<=1 similarity join over deterministic short codes
+    (FastSS deletion neighborhoods + exact verify,
+    stages/dedupe.py::fastss_pairs) — the string-similarity join family
+    (fuzzy id/SKU matching), complete by the deletion-variant theorem
+    and exact by the verify pass."""
+    import ray
+
+    from ..stages.dedupe import fastss_pairs
+
+    ds = ray.data.range(FASTSS_N, override_num_blocks=8)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"sid": pa.array(ids), "code": pa.array(_fastss_strings(ids))}
+        )
+
+    synth.__name__ = "fastss_synth"
+    return fastss_pairs(ds.map_batches(synth, batch_format="pyarrow"), "sid", "code")
+
+
+def _sql_fastss() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    alpha = "'" + _FASTSS_ALPHA + "'"
+    smp = sql_splitmix64(f"(j % {FASTSS_POOL})::HUGEINT")
+    smi = sql_splitmix64("j::HUGEINT")
+    base = (
+        f"list_reduce(list_transform(range(8), k -> {alpha}[1 + CAST((({smp}) >> (4 * k)) % 16 AS INT)]),"
+        " (a, b) -> a || b)"
+    )
+    sub_ch = f"{alpha}[1 + CAST((({smi}) >> 8) % 16 AS INT)]"
+    return f"""
+WITH s0 AS (
+  SELECT j AS sid, ({base}) AS base, j % 8 + 1 AS pos,
+         ({sub_ch}) AS subch
+  FROM range({FASTSS_N}) t(j)),
+s AS (
+  SELECT sid,
+    CASE sid % 3
+      WHEN 1 THEN substring(base, 1, pos - 1) || subch || substring(base, pos + 1)
+      WHEN 2 THEN substring(base, 1, pos - 1) || substring(base, pos + 1)
+      ELSE base END AS code
+  FROM s0),
+p AS (
+  SELECT a.sid AS id_a, b.sid AS id_b, a.code AS ca, b.code AS cb
+  FROM s a JOIN s b
+    ON a.sid < b.sid AND abs(length(a.code) - length(b.code)) <= 1)
+SELECT id_a, id_b FROM p
+WHERE ca = cb
+   OR (length(ca) = length(cb)
+       AND len(list_filter(range(1, length(ca) + 1),
+                           i -> ca[i] <> cb[i])) <= 1)
+   OR (length(ca) = length(cb) + 1
+       AND len(list_filter(range(1, length(ca) + 1),
+               i -> substring(ca, 1, i - 1) || substring(ca, i + 1) = cb)) > 0)
+   OR (length(cb) = length(ca) + 1
+       AND len(list_filter(range(1, length(cb) + 1),
+               i -> substring(cb, 1, i - 1) || substring(cb, i + 1) = ca)) > 0)
+"""
+
+
 def q_lang_by_source(sf_dir: str):
     """Language mix per source: predicted language shares by corpus
     source — the per-provider language QA report a curation pipeline
@@ -8959,6 +9048,7 @@ QUERIES = {
     "kde_weighted": q_kde_weighted,
     "range_shards": q_range_shards,
     "lang_by_source": q_lang_by_source,
+    "fastss_pairs": q_fastss_pairs,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -9089,6 +9179,7 @@ ORACLE_SQL = {
     "kde_weighted": _sql_kde_weighted(),
     "range_shards": _sql_range_shards(),
     "lang_by_source": _sql_lang_by_source(),
+    "fastss_pairs": _sql_fastss(),
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

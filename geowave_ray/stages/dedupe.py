@@ -540,3 +540,110 @@ def exact_substring_dup_counts(
 
     rename.__name__ = "substr_rename"
     return per_doc.map_batches(rename, batch_format="pyarrow")
+
+
+def fastss_pairs(ds, id_col: str, str_col: str, max_len: int = 12):
+    """EXACT edit-distance<=1 similarity join via FastSS deletion
+    neighborhoods (Bocek et al. 2007, public): every string emits
+    itself plus each single-deletion variant; any pair within edit
+    distance 1 shares at least one variant (substitution -> both delete
+    the differing position; indel -> the longer's deletion equals the
+    shorter; equality -> the identity variant), so bucketing by variant
+    is a COMPLETE candidate generator.  Candidates are deduped by pair
+    key and verified with a vectorized exact check — no false
+    positives survive.
+
+    Scale shape (100 TB): two shuffles (variant buckets, pair dedup);
+    per-string fan-out is len+1 <= max_len+1 variants; bucket sizes are
+    bounded by near-duplicate multiplicity (the usual banding skew
+    assumption).  Returns (id_a, id_b) with id_a < id_b.
+    """
+
+    def variants(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ss = batch.column(str_col).to_pylist()
+        v_out, i_out, s_out = [], [], []
+        for i, s in zip(ids.tolist(), ss):
+            s = s or ""
+            if len(s) > max_len:
+                raise ValueError(f"fastss string longer than max_len={max_len}")
+            v_out.append(s)
+            i_out.append(i)
+            s_out.append(s)
+            for k in range(len(s)):
+                v_out.append(s[:k] + s[k + 1 :])
+                i_out.append(i)
+                s_out.append(s)
+        return pa.table(
+            {
+                "variant": pa.array(v_out),
+                id_col: pa.array(i_out, type=pa.int64()),
+                str_col: pa.array(s_out),
+            }
+        )
+
+    variants.__name__ = "fastss_variants"
+    var = ds.map_batches(variants, batch_format="pyarrow")
+
+    class _Bucket:
+        __name__ = "fastss_bucket"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            ss = np.asarray(group.column(str_col).to_pylist(), dtype=object)
+            ids, first = np.unique(ids, return_index=True)
+            ss = ss[first]
+            n = len(ids)
+            empty = pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "sa": pa.array([], pa.string()),
+                    "sb": pa.array([], pa.string()),
+                }
+            )
+            if n < 2:
+                return empty
+            if n > 2000:
+                raise ValueError("fastss bucket exceeds pair guard")
+            ii, jj = np.triu_indices(n, k=1)
+            return pa.table(
+                {
+                    "pair": pa.array((ids[ii] << np.int64(32)) + ids[jj]),
+                    "sa": pa.array(ss[ii].astype(str)),
+                    "sb": pa.array(ss[jj].astype(str)),
+                }
+            )
+
+    cands = var.groupby("variant").map_groups(_Bucket(), batch_format="pyarrow")
+
+    class _VerifyPair:
+        __name__ = "fastss_verify"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            # one pair may arrive from several shared variants: verify once
+            sa = group.column("sa")[0].as_py()
+            sb = group.column("sb")[0].as_py()
+            la, lb = len(sa), len(sb)
+            ok = False
+            if sa == sb:
+                ok = True
+            elif la == lb:
+                ok = sum(1 for x, y in zip(sa, sb) if x != y) <= 1
+            elif abs(la - lb) == 1:
+                lng, sht = (sa, sb) if la > lb else (sb, sa)
+                ok = any(
+                    lng[:k] + lng[k + 1 :] == sht for k in range(len(lng))
+                )
+            if not ok:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+                )
+            p = int(group.column("pair")[0].as_py())
+            return pa.table(
+                {
+                    "id_a": pa.array([p >> 32], pa.int64()),
+                    "id_b": pa.array([p & 0xFFFFFFFF], pa.int64()),
+                }
+            )
+
+    return cands.groupby("pair").map_groups(_VerifyPair(), batch_format="pyarrow")

@@ -605,3 +605,32 @@ def test_store_integrity_scrub(ray_session, tmp_path):
     store.delete(SpatialQuery(box_polygon(-20, -20, 0, 0)))
     res = store.verify_integrity()
     assert any(v == "MISMATCH" for v in res.values()), res
+
+
+def test_fastss_pairs_brute(ray_session):
+    import ray
+    from itertools import combinations
+
+    from geowave_ray.stages.dedupe import fastss_pairs
+
+    words = ["cat", "cats", "bat", "at", "dog", "dgo", "dog", "d0g", "zzz", ""]
+    tbl = pa.table({"sid": pa.array(range(len(words)), pa.int64()),
+                    "code": pa.array(words)})
+    out = fastss_pairs(ray.data.from_arrow(tbl).repartition(3), "sid", "code")
+    got = sorted(zip(out.to_pandas()["id_a"], out.to_pandas()["id_b"]))
+
+    def ed1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if abs(la - lb) == 1:
+            lng, sht = (a, b) if la > lb else (b, a)
+            return any(lng[:k] + lng[k + 1:] == sht for k in range(len(lng)))
+        return False
+
+    exp = sorted(
+        (i, j) for i, j in combinations(range(len(words)), 2) if ed1(words[i], words[j])
+    )
+    assert [(int(a), int(b)) for a, b in got] == exp

@@ -585,6 +585,31 @@ def fastss_pairs(ds, id_col: str, str_col: str, max_len: int = 12):
     variants.__name__ = "fastss_variants"
     var = ds.map_batches(variants, batch_format="pyarrow")
 
+    def _ed1_mask(pa_mat, la, pb_mat, lb):
+        """Vectorized exact ed<=1 over padded codepoint matrices."""
+        same_len = la == lb
+        ham = ((pa_mat != pb_mat) & (np.arange(pa_mat.shape[1])[None, :] < la[:, None])).sum(axis=1)
+        ok = same_len & (ham <= 1)
+        # indel: |len diff| == 1 -> longer minus one position equals shorter
+        d1 = np.abs(la - lb) == 1
+        if d1.any():
+            lng = np.where(la >= lb, la, lb)
+            L = pa_mat.shape[1]
+            big = np.where((la >= lb)[:, None], pa_mat, pb_mat)
+            sml = np.where((la >= lb)[:, None], pb_mat, pa_mat)
+            hit = np.zeros(len(la), dtype=bool)
+            for k in range(L):
+                # delete position k of the longer string
+                dele = np.concatenate(
+                    [big[:, :k], big[:, k + 1 :], np.zeros((len(la), 1), big.dtype)],
+                    axis=1,
+                )
+                col = np.arange(L)[None, :]
+                m = ((dele == sml) | (col >= (lng - 1)[:, None])).all(axis=1)
+                hit |= m & (k < lng)
+            ok |= d1 & hit
+        return ok
+
     class _Bucket:
         __name__ = "fastss_bucket"
 
@@ -594,56 +619,37 @@ def fastss_pairs(ds, id_col: str, str_col: str, max_len: int = 12):
             ids, first = np.unique(ids, return_index=True)
             ss = ss[first]
             n = len(ids)
-            empty = pa.table(
-                {
-                    "pair": pa.array([], pa.int64()),
-                    "sa": pa.array([], pa.string()),
-                    "sb": pa.array([], pa.string()),
-                }
-            )
+            empty = pa.table({"pair": pa.array([], pa.int64())})
             if n < 2:
                 return empty
             if n > 2000:
                 raise ValueError("fastss bucket exceeds pair guard")
+            # padded codepoint matrix once per bucket
+            L = max_len
+            mat = np.zeros((n, L), dtype=np.uint32)
+            lens = np.zeros(n, dtype=np.int64)
+            for r, t in enumerate(ss.tolist()):
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                mat[r, : len(cp)] = cp
+                lens[r] = len(cp)
             ii, jj = np.triu_indices(n, k=1)
-            return pa.table(
-                {
-                    "pair": pa.array((ids[ii] << np.int64(32)) + ids[jj]),
-                    "sa": pa.array(ss[ii].astype(str)),
-                    "sb": pa.array(ss[jj].astype(str)),
-                }
-            )
+            # VERIFY at bucket time (vectorized): only true ed<=1 pairs
+            # move on, so the dedup step is a native hash aggregate
+            ok = _ed1_mask(mat[ii], lens[ii], mat[jj], lens[jj])
+            ii, jj = ii[ok], jj[ok]
+            return pa.table({"pair": pa.array((ids[ii] << np.int64(32)) + ids[jj])})
 
     cands = var.groupby("variant").map_groups(_Bucket(), batch_format="pyarrow")
+    deduped = cands.groupby("pair").count()
 
-    class _VerifyPair:
-        __name__ = "fastss_verify"
+    def decode(batch: pa.Table) -> pa.Table:
+        p = batch.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(p >> np.int64(32)),
+                "id_b": pa.array(p & np.int64(0xFFFFFFFF)),
+            }
+        )
 
-        def __call__(self, group: pa.Table) -> pa.Table:
-            # one pair may arrive from several shared variants: verify once
-            sa = group.column("sa")[0].as_py()
-            sb = group.column("sb")[0].as_py()
-            la, lb = len(sa), len(sb)
-            ok = False
-            if sa == sb:
-                ok = True
-            elif la == lb:
-                ok = sum(1 for x, y in zip(sa, sb) if x != y) <= 1
-            elif abs(la - lb) == 1:
-                lng, sht = (sa, sb) if la > lb else (sb, sa)
-                ok = any(
-                    lng[:k] + lng[k + 1 :] == sht for k in range(len(lng))
-                )
-            if not ok:
-                return pa.table(
-                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-                )
-            p = int(group.column("pair")[0].as_py())
-            return pa.table(
-                {
-                    "id_a": pa.array([p >> 32], pa.int64()),
-                    "id_b": pa.array([p & 0xFFFFFFFF], pa.int64()),
-                }
-            )
-
-    return cands.groupby("pair").map_groups(_VerifyPair(), batch_format="pyarrow")
+    decode.__name__ = "fastss_decode"
+    return deduped.map_batches(decode, batch_format="pyarrow")

@@ -6013,6 +6013,60 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_gini_by_type(sf_dir: str):
+    """Per-type GINI inequality terms, exact: with values sorted
+    (v, event_id), sum|x_i - x_j| over all pairs equals
+    Σ (2·rank - n - 1)·x_i — an O(n log n) integer identity, so the
+    concentration measure needs no pair expansion and no floats
+    (report the numerator and n·Σx; gini = num / (n·Σx)).  One
+    per-key-population shuffle; kernel is a lexsort + one dot."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    class _Gini:
+        __name__ = "gini_terms"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            v = np.floor(
+                group.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((e, v))
+            v = v[sel]
+            n = len(v)
+            rank = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * rank - n - 1) * v).sum())
+            return pa.table(
+                {
+                    "event_type": group.column("event_type").slice(0, 1),
+                    "n": pa.array([n], pa.int64()),
+                    "gini_num": pa.array([num], pa.int64()),
+                    "sum_cents": pa.array([int(v.sum())], pa.int64()),
+                }
+            )
+
+    return ds.groupby("event_type").map_groups(_Gini(), batch_format="pyarrow")
+
+
+SQL_GINI = """
+WITH p AS (
+  SELECT event_type, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM p)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM((2 * rk - n - 1) * v) AS BIGINT) AS gini_num,
+       CAST(SUM(v) AS BIGINT) AS sum_cents
+FROM r GROUP BY event_type
+"""
+
+
 FASTSS_N = 4000
 FASTSS_POOL = 600
 _FASTSS_ALPHA = "abcdefghijklmnop"
@@ -9049,6 +9103,7 @@ QUERIES = {
     "range_shards": q_range_shards,
     "lang_by_source": q_lang_by_source,
     "fastss_pairs": q_fastss_pairs,
+    "gini_by_type": q_gini_by_type,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -9180,6 +9235,7 @@ ORACLE_SQL = {
     "range_shards": _sql_range_shards(),
     "lang_by_source": _sql_lang_by_source(),
     "fastss_pairs": _sql_fastss(),
+    "gini_by_type": SQL_GINI,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

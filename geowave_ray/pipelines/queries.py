@@ -6013,6 +6013,122 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit distribution per event_type —
+    the classic data-forensics QA statistic (fabricated or clipped
+    value columns break the expected digit law).  First digit by
+    repeated integer division (no logs, exact); zero values excluded.
+    Map-only combiners + one 9-digit-per-type groupby."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def digits(batch: pa.Table) -> pa.Table:
+        v = np.abs(
+            np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100)
+        ).astype(np.int64)
+        ty = batch.column("event_type").to_numpy(zero_copy_only=False)
+        m = v > 0
+        v, ty = v[m], ty[m]
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        t = pa.table({"event_type": pa.array(ty), "digit": pa.array(v)})
+        g = pa.TableGroupBy(t, ["event_type", "digit"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "digit", "n"])
+
+    digits.__name__ = "benford_digits"
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(digits, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_BENFORD = """
+WITH p AS (
+  SELECT event_type,
+         ABS(CAST(FLOOR(value * 100) AS BIGINT)) AS v
+  FROM events),
+d AS (
+  SELECT event_type,
+         CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM p WHERE v > 0)
+SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY event_type, digit
+"""
+
+
+PATHS_K = 25
+
+
+def q_top_paths(sf_dir: str):
+    """Most common 3-step event-type PATHS across user timelines —
+    sequence mining over the event stream (the trigram extension of
+    event_transitions).  Per-user kernel emits trigram counts; global
+    top-25 by (n DESC, path ASC) via distributed sort+limit."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    class _Paths:
+        __name__ = "top_paths"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            e = group.column("event_id").to_numpy(zero_copy_only=False)
+            ty = group.column("event_type").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((e, t))
+            ty = ty[sel].astype(str)
+            if len(ty) < 3:
+                return pa.table(
+                    {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            tri = np.char.add(
+                np.char.add(np.char.add(np.char.add(ty[:-2], ">"), ty[1:-1]), ">"),
+                ty[2:],
+            )
+            uk, cnt = np.unique(tri, return_counts=True)
+            return pa.table(
+                {"path": pa.array(uk.astype(str)), "n": pa.array(cnt.astype(np.int64))}
+            )
+
+    tri = ds.groupby("user_id").map_groups(_Paths(), batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["path"]).aggregate([("n", "sum")])
+        return g.rename_columns(["path", "n"])
+
+    combine.__name__ = "paths_combine"
+    from ray.data.aggregate import Sum
+
+    return (
+        tri.map_batches(combine, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "path"], descending=[True, False])
+        .limit(PATHS_K)
+    )
+
+
+SQL_TOP_PATHS = f"""
+WITH s AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE c IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {PATHS_K}
+"""
+
+
 def q_gini_by_type(sf_dir: str):
     """Per-type GINI inequality terms, exact: with values sorted
     (v, event_id), sum|x_i - x_j| over all pairs equals
@@ -9104,6 +9220,8 @@ QUERIES = {
     "lang_by_source": q_lang_by_source,
     "fastss_pairs": q_fastss_pairs,
     "gini_by_type": q_gini_by_type,
+    "benford_digits": q_benford_digits,
+    "top_paths": q_top_paths,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
     "csv_roundtrip": q_csv_roundtrip,
@@ -9236,6 +9354,8 @@ ORACLE_SQL = {
     "lang_by_source": _sql_lang_by_source(),
     "fastss_pairs": _sql_fastss(),
     "gini_by_type": SQL_GINI,
+    "benford_digits": SQL_BENFORD,
+    "top_paths": SQL_TOP_PATHS,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,

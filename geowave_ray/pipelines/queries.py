@@ -6013,6 +6013,110 @@ FROM px GROUP BY 1, 2
 """
 
 
+YIELD_Q_MIN = 500
+
+
+def q_corpus_yield(sf_dir: str):
+    """Curation-funnel YIELD report — the one-row summary every
+    training-data pipeline publishes: rows in, rows surviving exact
+    dedup (distinct text), rows passing the quality floor
+    (quality_milli >= 500), tokens in, and tokens surviving both
+    filters (kept = the min-doc_id representative of each distinct
+    text, quality-passing).  Composed from the deterministic
+    TextFeatures stage, all exact integers; distributed passes only."""
+    import ray
+
+    from ..stages.text import TextFeatures
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(stage_fn(TextFeatures), batch_format="pyarrow")
+
+    class _TextRep:
+        __name__ = "yield_text_rep"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = int(np.argmin(ids))
+            return group.select(["doc_id", "n_tokens", "quality_milli"]).slice(keep, 1)
+
+    reps = scored.groupby("text").map_groups(_TextRep(), batch_format="pyarrow")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_milli").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        ok = q >= YIELD_Q_MIN
+        return pa.table(
+            {
+                "rows_distinct": pa.array([len(q)], pa.int64()),
+                "rows_kept": pa.array([int(ok.sum())], pa.int64()),
+                "tokens_kept": pa.array([int(nt[ok].sum())], pa.int64()),
+            }
+        )
+
+    digest.__name__ = "yield_digest"
+    from ray.data.aggregate import Sum
+
+    rep_tot = (
+        reps.map_batches(digest, batch_format="pyarrow").sum(
+            ["rows_distinct", "rows_kept", "tokens_kept"]
+        )
+    )
+
+    def base_digest(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_milli").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rows_total": pa.array([len(q)], pa.int64()),
+                "tokens_total": pa.array([int(nt.sum())], pa.int64()),
+                "rows_quality_ok": pa.array([int((q >= YIELD_Q_MIN).sum())], pa.int64()),
+            }
+        )
+
+    base_digest.__name__ = "yield_base_digest"
+    base_tot = scored.map_batches(base_digest, batch_format="pyarrow").sum(
+        ["rows_total", "tokens_total", "rows_quality_ok"]
+    )
+    return pa.table(
+        {
+            "rows_total": pa.array([int(base_tot["sum(rows_total)"])], pa.int64()),
+            "tokens_total": pa.array([int(base_tot["sum(tokens_total)"])], pa.int64()),
+            "rows_quality_ok": pa.array(
+                [int(base_tot["sum(rows_quality_ok)"])], pa.int64()
+            ),
+            "rows_distinct": pa.array([int(rep_tot["sum(rows_distinct)"])], pa.int64()),
+            "rows_kept": pa.array([int(rep_tot["sum(rows_kept)"])], pa.int64()),
+            "tokens_kept": pa.array([int(rep_tot["sum(tokens_kept)"])], pa.int64()),
+        }
+    )
+
+
+def _sql_corpus_yield() -> str:
+    from .oracle_text import sql_quality
+
+    return f"""
+WITH qb AS ({sql_quality()}),
+j AS (SELECT d.doc_id, d.text, qb.n_tokens, qb.quality_milli
+      FROM documents d JOIN qb ON qb.doc_id = d.doc_id),
+rep AS (
+  SELECT text, MIN(doc_id) AS keep_id FROM j GROUP BY text),
+kept AS (
+  SELECT j.* FROM j JOIN rep ON j.doc_id = rep.keep_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS rows_total,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM j) AS tokens_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM j
+        WHERE quality_milli >= {YIELD_Q_MIN}) AS rows_quality_ok,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS rows_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept
+        WHERE quality_milli >= {YIELD_Q_MIN}) AS rows_kept,
+       (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM kept
+        WHERE quality_milli >= {YIELD_Q_MIN}) AS tokens_kept
+"""
+
+
 def q_benford_digits(sf_dir: str):
     """Benford first-significant-digit distribution per event_type —
     the classic data-forensics QA statistic (fabricated or clipped
@@ -9221,6 +9325,7 @@ QUERIES = {
     "fastss_pairs": q_fastss_pairs,
     "gini_by_type": q_gini_by_type,
     "benford_digits": q_benford_digits,
+    "corpus_yield": q_corpus_yield,
     "top_paths": q_top_paths,
     "overzoom_tiles": q_overzoom_tiles,
     "shapefile_ingest": q_shapefile_ingest,
@@ -9355,6 +9460,7 @@ ORACLE_SQL = {
     "fastss_pairs": _sql_fastss(),
     "gini_by_type": SQL_GINI,
     "benford_digits": SQL_BENFORD,
+    "corpus_yield": _sql_corpus_yield(),
     "top_paths": SQL_TOP_PATHS,
     "overzoom_tiles": _sql_overzoom(),
     "shapefile_ingest": SQL_SHAPEFILE,

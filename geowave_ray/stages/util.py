@@ -51,12 +51,19 @@ def broadcast_membership_filter(ds, ids, col: str, keep_members: bool):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bloom_m_bits(n_drop: int) -> int:
+    """Bloom capacity for ``n_drop`` ids: next power of two >= 10 bits/id
+    (fpr ~1.2% at k=4), clamped to [2^20, 2^30] so the broadcast bitmap
+    never exceeds 128 MiB."""
+    return 1 << max(20, min(30, (10 * max(1, n_drop) - 1).bit_length()))
+
+
 def bloom_anti_filter(
     ds,
     drop_ds,
     col: str,
     num_partitions: int = 32,
-    m_bits: int = 1 << 24,
+    m_bits: int | None = None,
     k: int = 4,
 ):
     """EXACT anti-filter of ``ds`` against a drop-id set TOO LARGE to
@@ -70,12 +77,22 @@ def bloom_anti_filter(
     maybe-member residue (|drops| x (1+fpr) rows, corpus-scale smaller)
     goes through the exact left_anti hash join.  False positives only
     route extra rows to the exact join — never a wrong drop, so the
-    result is exact.  ``col`` must be integer-typed."""
+    result is exact.  ``col`` must be integer-typed.
+
+    ``m_bits=None`` (the default) sizes the filter from the drop count:
+    next power of two >= 10 bits/id (fpr ~1.2% at k=4), clamped to
+    [2^20, 2^30] — the bitmap stays <= 128 MiB while the residual join
+    stays ~|drops| instead of degrading when |drops| outgrows a fixed
+    capacity."""
     import numpy as np
     import pyarrow as pa
     import ray
 
     from .aggregate import BloomFilter
+
+    drop_ds = drop_ds.materialize()  # consumed twice: bloom build + residual join
+    if m_bits is None:
+        m_bits = bloom_m_bits(drop_ds.count())
 
     def bpart(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(m_bits, k)
@@ -83,7 +100,6 @@ def bloom_anti_filter(
         return pa.table({"bits": pa.array([bf.to_bytes()], type=pa.large_binary())})
 
     bpart.__name__ = "bloom_partial"
-    drop_ds = drop_ds.materialize()  # consumed twice: bloom build + residual join
     parts = drop_ds.map_batches(bpart, batch_format="pyarrow").take_all()
     bits = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in parts:

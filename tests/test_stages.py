@@ -557,6 +557,22 @@ def test_dedup_corpus_join_fallback_matches_broadcast(ray_session):
     assert joined == bcast and len(bcast) > 0
 
 
+def test_ngram_jaccard_distributed_matches_broadcast(ray_session):
+    """pair_cap=0 forces the fully-distributed pair-verify path (semi-join
+    doc filter + per-side hash joins + left_outer zero-pair reinstatement);
+    it must equal the broadcast path row for row (VERDICT r4 #1)."""
+    from geowave_ray.pipelines.queries import q_ngram_jaccard
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(df):
+        return sorted(map(tuple, df[["id_a", "id_b", "jacc_milli"]].to_numpy()))
+
+    bcast = norm(q_ngram_jaccard(sf).to_pandas())
+    dist = norm(q_ngram_jaccard(sf, pair_cap=0).to_pandas())
+    assert dist == bcast and len(bcast) > 0
+
+
 def test_minimal_bin_distance_histogram():
     """MinimalBinDistanceHistogram.java analog: capped dynamic bins via
     closest-pair merging (Ben-Haim & Tom-Yom-Tov); mergeable partials;

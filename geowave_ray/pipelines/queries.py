@@ -2941,6 +2941,72 @@ SELECT image_id, CAST({inter} AS BIGINT) AS zcell FROM c
 """
 
 
+def q_mercator_cells(sf_dir: str):
+    """Custom-CRS indexing with REAL reprojection (VERDICT r4 #6): the
+    derived points are projected to EPSG:3857 meters via the closed-form
+    spherical-mercator formulas (index/mercator.py; reference indexes
+    projected coordinates through GeoTools —
+    SpatialDimensionalityTypeProvider.java:130-224), clipped to the
+    square world (|lat| <= 85), normalized over the custom CRS's native
+    [-MERC_MAX, MERC_MAX]^2 range and binned to 9-bit/dim Z-order cells;
+    per-cell count + value total.  Every step (radians/tan/ln, the
+    normalize, the interleave) is SQL-replayable."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..index.dimensions import norm_to_cell_point
+    from ..index.mercator import MERC_MAX, mercator_forward
+    from ..index.zorder import ZOrderCurve
+
+    pts = _events_points(sf_dir, with_value=True)
+    curve = ZOrderCurve(2, 9)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        keep = np.abs(lat) <= 85.0
+        x, y = mercator_forward(lon[keep], lat[keep])
+        cx = norm_to_cell_point((x + MERC_MAX) / (2.0 * MERC_MAX), 512)
+        cy = norm_to_cell_point((y + MERC_MAX) / (2.0 * MERC_MAX), 512)
+        z = curve.encode([cx, cy]).astype(np.int64)
+        v = batch.column("v_cents").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"zcell": pa.array(z), "v_cents": pa.array(v)})
+
+    encode.__name__ = "mercator_encode"
+    return (
+        pts.map_batches(encode, batch_format="pyarrow")
+        .groupby("zcell")
+        .aggregate(Count(alias_name="n"), Sum("v_cents", alias_name="sum_v"))
+    )
+
+
+def _sql_mercator_cells() -> str:
+    from ..index.mercator import MERC_MAX
+
+    cx = (
+        "GREATEST(CAST(CEIL((mx + {m!r}) / {m2!r} * 512) AS BIGINT) - 1, 0)"
+    ).format(m=MERC_MAX, m2=2.0 * MERC_MAX)
+    cy = (
+        "GREATEST(CAST(CEIL((my + {m!r}) / {m2!r} * 512) AS BIGINT) - 1, 0)"
+    ).format(m=MERC_MAX, m2=2.0 * MERC_MAX)
+    inter = (
+        "list_sum(list_transform(range(9), b ->"
+        " ((cx >> b) & 1) * (1::BIGINT << (2*b))"
+        " + ((cy >> b) & 1) * (1::BIGINT << (2*b + 1))))"
+    )
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+m AS (
+  SELECT v_cents,
+         6378137.0 * radians(lon) AS mx,
+         6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) AS my
+  FROM pts WHERE abs(lat) <= 85.0),
+c AS (SELECT v_cents, {cx} AS cx, {cy} AS cy FROM m)
+SELECT CAST({inter} AS BIGINT) AS zcell,
+       COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS sum_v
+FROM c GROUP BY 1
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -9252,24 +9318,95 @@ FROM s WHERE prev IS NOT NULL AND prev <> zone
 
 
 QUERIES = {
-    # round-4 fifth rotation: retile_tiles and knn_graph (new, never
-    # driver-verified) take the slots of spatial_join_pairs (driver-hash-
-    # green r1+r2+r3) and store_bbox_query (green r2+r3) — the only two
-    # in-window entries with >=2 rounds of driver evidence:
+    # ---- ROUND-5 WINDOW (first 50 = the driver's verification slice) ----
+    # Sixth rotation: all 50 slots go to oracle-backed entries that have
+    # NEVER carried a driver-grade hash (waves 5-7 of round 4 plus round-5
+    # additions).  Every displaced entry is driver-hash-green in
+    # CORRECTNESS_r04.json (or >=2 earlier rounds) — that evidence is
+    # recorded permanently, so rotating them out costs nothing while each
+    # slot here buys a first driver hash for an operator family.
+    "shapefile_ingest": q_shapefile_ingest,
+    "track_polygon_join": q_track_polygon_join,
+    "cdc_chunks": q_cdc_chunks,
+    "curate_images": q_curate_images,
+    "contour_cases": q_contour_cases,
+    "polygon_validity": q_polygon_validity,
+    "dissolve_groups": q_dissolve_groups,
+    "areal_interp": q_areal_interp,
+    "kde_percentiles": q_kde_percentiles,
+    "overzoom_tiles": q_overzoom_tiles,
+    "bottom_k_users": q_bottom_k_users,
+    "corpus_mix": q_corpus_mix,
+    "bpe_apply": q_bpe_apply,
+    "geofence_transitions": q_geofence_transitions,
+    "track_crossings": q_track_crossings,
+    "image_meta_scan": q_image_meta_scan,
+    "collocations": q_collocations,
+    "fastss_pairs": q_fastss_pairs,
+    "hll_by_type": q_hll_by_type,
+    "url_normalize": q_url_normalize,
+    "bpe_pairs": q_bpe_pairs,
+    "skyline": q_skyline,
+    "moran_terms": q_moran_terms,
+    "rolling_active": q_rolling_active,
+    "funnel_windowed": q_funnel_windowed,
+    "pii_redact": q_pii_redact,
+    "lm_score": q_lm_score,
+    "dedup_keep_best": q_dedup_keep_best,
+    "histogram_counts": q_histogram_counts,
+    "visibility_filter": q_visibility_filter,
+    "kmeans_assign": q_kmeans_assign,
+    "geojson_ingest": q_geojson_ingest,
+    "group_quantiles": q_group_quantiles,
+    "trajectory_resample": q_trajectory_resample,
+    "track_simplify": q_track_simplify,
+    "track_zone_join": q_track_zone_join,
+    "text_prefix_search": q_text_prefix_search,
+    "text_suffix_search": q_text_suffix_search,
+    "csv_roundtrip": q_csv_roundtrip,
+    "audio_decimate": q_audio_decimate,
+    "vocab_oov": q_vocab_oov,
+    "delta_varint": q_delta_varint,
+    "range_shards": q_range_shards,
+    "asof_forward": q_asof_forward,
+    "kde_weighted": q_kde_weighted,
+    "rasterize_zones": q_rasterize_zones,
+    "time_weighted_avg": q_time_weighted_avg,
+    "retention_cohorts": q_retention_cohorts,
+    "top_contributors": q_top_contributors,
+    # round-5 additions (never driver-verified, new operator families):
+    "mercator_cells": q_mercator_cells,
+    # ---- past the driver's 50-query verification window from here on ----
+    "agg_rollup": q_agg_rollup,
+    # (every entry below is either driver-hash-green in a prior round's
+    # CORRECTNESS_r0*.json or still covered by scripts/check_oracle.py;
+    # the approximate/rows-only entries stay last).  Never-driver-verified
+    # residue first — the lowest-priority derived analytics:
+    "boilerplate_lines": q_boilerplate_lines,
+    "chunk_tokens": q_chunk_tokens,
+    "caption_dups": q_caption_dups,
+    "anomaly_flags": q_anomaly_flags,
+    "funnel_stages": q_funnel_stages,
+    "event_transitions": q_event_transitions,
+    "turn_stats": q_turn_stats,
+    "trimmed_stats": q_trimmed_stats,
+    "corridor_points": q_corridor_points,
+    "cell_flows": q_cell_flows,
+    "duplication_flows": q_duplication_flows,
+    "score_percentiles": q_score_percentiles,
+    "lang_by_source": q_lang_by_source,
+    "gini_by_type": q_gini_by_type,
+    "benford_digits": q_benford_digits,
+    "corpus_yield": q_corpus_yield,
+    "top_paths": q_top_paths,
+    "token_budget_sample": q_token_budget_sample,
+    "image_augment": q_image_augment,
+    # driver-hash-green in >=1 prior round (r1-r4):
     "retile_tiles": q_retile_tiles,
-    # round-4 fourth rotation: trajectory_stats and rect_join (new, never
-    # driver-verified) take the slots of spatial_join_anti (driver-hash-
-    # green r1+r2+r3) and knn_join (green r2+r3):
     "trajectory_stats": q_trajectory_stats,
     "rect_join": q_rect_join,
-    # focal_stats (new) takes the slot of dbscan (driver-hash-green r2+r3):
     "focal_stats": q_focal_stats,
     "ivf_store_int8": q_ivf_store_int8,
-    # round-4 second rotation: substring_dups/tfidf_top_terms/
-    # domain_cap_sample/props_extract/band_math (new, never driver-
-    # verified) take the slots of bbox_query, spatial_temporal_query,
-    # knn, hilbert_cells, tile_assignment — each driver-hash-green in
-    # >=2 prior rounds (CORRECTNESS_r01-r03).
     "substring_dups": q_substring_dups,
     "tfidf_top_terms": q_tfidf_top_terms,
     "s2_binned_agg": q_s2_binned_agg,
@@ -9279,17 +9416,11 @@ QUERIES = {
     "mosaic_merge": q_mosaic_merge,
     "band_math": q_band_math,
     "zonal_stats": q_zonal_stats,
-    # round-4 rotation (VERDICT r3 item 1): the 8 queries that were only
-    # local-gate verified move INTO the window; the 8 they displace are
-    # all driver-hash-green in >=2 prior rounds (see overflow block).
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_lsh_verified": q_ann_lsh_verified,
     "interval_join": q_interval_join,
     "pack_sequences": q_pack_sequences,
-    # round-4 fourth rotation: shuffle_shards (new, never driver-verified)
-    # takes the slot of minhash_dup_groups (driver-hash-green r2+r3):
     "shuffle_shards": q_shuffle_shards,
-    # new in round 4 (never driver-verified — in-window):
     "cross_modal_dups": q_cross_modal_dups,
     "hard_negatives": q_hard_negatives,
     "dsir_weights": q_dsir_weights,
@@ -9321,90 +9452,8 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "quantiles_exact": q_quantiles_exact,
     "zorder_cells": q_zorder_cells,
-    # ---- past the driver's 50-query verification window from here on ----
-    # (oracle-backed overflow first, then approximate/rows-only entries;
-    # everything above is DuckDB-hash-verified by the driver, everything
-    # here is still covered by scripts/check_oracle.py locally).  The
-    # round-4 rotation displaced these 8 — each driver-hash-green in >=2
-    # prior rounds (CORRECTNESS_r01-r03); minhash_dedupe_pairs and
-    # ngram_jaccard (green r1-r3) were displaced late in round 4 by the
-    # new cross-modal operators; bbox_query, spatial_temporal_query, knn,
-    # hilbert_cells and tile_assignment (green r1/r2-r3) by the second
-    # round-4 rotation (substring_dups/tfidf/domain_cap/props/band_math):
-    # wave-5 (round 4, post-rotation): oracle-backed but never driver-
-    # verified — kept in overflow until the round-5 rotation:
-    # displaced by the fifth rotation (both >=2 rounds driver-green):
     "spatial_join_pairs": q_spatial_join_pairs,
     "store_bbox_query": q_store_bbox_query,
-    "boilerplate_lines": q_boilerplate_lines,
-    "pii_redact": q_pii_redact,
-    "chunk_tokens": q_chunk_tokens,
-    "lm_score": q_lm_score,
-    "dedup_keep_best": q_dedup_keep_best,
-    "histogram_counts": q_histogram_counts,
-    "visibility_filter": q_visibility_filter,
-    "kmeans_assign": q_kmeans_assign,
-    "geojson_ingest": q_geojson_ingest,
-    "group_quantiles": q_group_quantiles,
-    "trajectory_resample": q_trajectory_resample,
-    "track_simplify": q_track_simplify,
-    "collocations": q_collocations,
-    "geofence_transitions": q_geofence_transitions,
-    "track_zone_join": q_track_zone_join,
-    "image_meta_scan": q_image_meta_scan,
-    "caption_dups": q_caption_dups,
-    "curate_images": q_curate_images,
-    "url_normalize": q_url_normalize,
-    "track_crossings": q_track_crossings,
-    "contour_cases": q_contour_cases,
-    "polygon_validity": q_polygon_validity,
-    "bottom_k_users": q_bottom_k_users,
-    "cdc_chunks": q_cdc_chunks,
-    "text_prefix_search": q_text_prefix_search,
-    "text_suffix_search": q_text_suffix_search,
-    "corpus_mix": q_corpus_mix,
-    "kde_percentiles": q_kde_percentiles,
-    "time_weighted_avg": q_time_weighted_avg,
-    "rasterize_zones": q_rasterize_zones,
-    "areal_interp": q_areal_interp,
-    "dissolve_groups": q_dissolve_groups,
-    "anomaly_flags": q_anomaly_flags,
-    "agg_rollup": q_agg_rollup,
-    "funnel_stages": q_funnel_stages,
-    "retention_cohorts": q_retention_cohorts,
-    "rolling_active": q_rolling_active,
-    "top_contributors": q_top_contributors,
-    "skyline": q_skyline,
-    "moran_terms": q_moran_terms,
-    "event_transitions": q_event_transitions,
-    "turn_stats": q_turn_stats,
-    "delta_varint": q_delta_varint,
-    "hll_by_type": q_hll_by_type,
-    "trimmed_stats": q_trimmed_stats,
-    "funnel_windowed": q_funnel_windowed,
-    "corridor_points": q_corridor_points,
-    "cell_flows": q_cell_flows,
-    "duplication_flows": q_duplication_flows,
-    "score_percentiles": q_score_percentiles,
-    "asof_forward": q_asof_forward,
-    "kde_weighted": q_kde_weighted,
-    "range_shards": q_range_shards,
-    "lang_by_source": q_lang_by_source,
-    "fastss_pairs": q_fastss_pairs,
-    "gini_by_type": q_gini_by_type,
-    "benford_digits": q_benford_digits,
-    "corpus_yield": q_corpus_yield,
-    "top_paths": q_top_paths,
-    "overzoom_tiles": q_overzoom_tiles,
-    "shapefile_ingest": q_shapefile_ingest,
-    "csv_roundtrip": q_csv_roundtrip,
-    "track_polygon_join": q_track_polygon_join,
-    "bpe_apply": q_bpe_apply,
-    "audio_decimate": q_audio_decimate,
-    "vocab_oov": q_vocab_oov,
-    "bpe_pairs": q_bpe_pairs,
-    "token_budget_sample": q_token_budget_sample,
-    "image_augment": q_image_augment,
     "spatial_join_anti": q_spatial_join_anti,
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
@@ -9455,6 +9504,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "value_quantiles": q_value_quantiles,
 }
+
 
 from .oracle_text import (  # noqa: E402  (uses constants defined above)
     sql_deterministic_sample,
@@ -9554,6 +9604,7 @@ ORACLE_SQL = {
     "distinct_users": SQL_DISTINCT_USERS,
     "quantiles_exact": SQL_QUANTILES_EXACT,
     "zorder_cells": _sql_zorder(),
+    "mercator_cells": _sql_mercator_cells(),
     "kde_cells": _sql_kde_cells(),
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf_full": SQL_ANN_TOPK.replace("rank <= 10", "rank <= 7"),

@@ -508,3 +508,59 @@ def test_temporal_binning_large_bin_counts():
     t = np.datetime64("2024-03-05T07:09:30").astype("datetime64[ms]").astype(np.int64)
     assert d.bins_of(np.array([t]))[0] == 202403050709
     assert d.bin_id_bytes(202403050709) == b"202403050709"
+
+
+def test_mercator_forward_inverse():
+    """EPSG:3857 closed forms: known anchor values (origin, +/-180 at the
+    equator, the square-world latitude) and double-precision round-trip."""
+    from geowave_ray.index.mercator import (
+        MAX_LAT,
+        MERC_MAX,
+        mercator_forward,
+        mercator_inverse,
+    )
+
+    x, y = mercator_forward(np.array([0.0, 180.0, -180.0]), np.zeros(3))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - MERC_MAX) < 1e-6 and abs(x[2] + MERC_MAX) < 1e-6
+    # the square-world latitude maps to y == MERC_MAX by construction
+    _, ym = mercator_forward(np.zeros(1), np.array([MAX_LAT]))
+    assert abs(ym[0] - MERC_MAX) < 1e-6
+    assert abs(MAX_LAT - 85.05112877980659) < 1e-9
+    # public EPSG:3857 example (OGC/EPSG test point): (2 dp tolerance)
+    xs, ys = mercator_forward(np.array([-100.33333333]), np.array([24.38138888]))
+    assert abs(xs[0] - (-11169055.58)) < 100.0 and abs(ys[0] - 2800000.0) < 5e4
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 10_000)
+    lat = rng.uniform(-MAX_LAT, MAX_LAT, 10_000)
+    fx, fy = mercator_forward(lon, lat)
+    rlon, rlat = mercator_inverse(fx, fy)
+    assert np.max(np.abs(rlon - lon)) < 1e-9
+    assert np.max(np.abs(rlat - lat)) < 1e-9
+
+
+def test_web_mercator_strategy_projected_query():
+    """Real reprojection end to end: points indexed in projected meters;
+    a lon/lat query box projected through mercator_forward retrieves
+    exactly the geographically-matching points via the custom-CRS query
+    ranges (reference: GeoTools-projected indexing,
+    SpatialDimensionalityTypeProvider.java:130-224)."""
+    from geowave_ray.index.mercator import MAX_LAT, mercator_forward, web_mercator_strategy
+
+    st = web_mercator_strategy(bits=25)
+    rng = np.random.default_rng(31)
+    n = 8000
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-MAX_LAT, MAX_LAT, n)
+    x, y = mercator_forward(lon, lat)
+    cells = st.encode_points(x, y)
+    qlon, qlat = (12.0, 64.0), (45.0, 71.0)  # geographic box (Scandinavia)
+    qx, _ = mercator_forward(np.array(qlon), np.zeros(2))
+    _, qy = mercator_forward(np.zeros(2), np.array(qlat))
+    ranges = st.get_query_ranges([(qx[0], qx[1]), (qy[0], qy[1])], 256)
+    assert ranges
+    matched = (lon >= qlon[0]) & (lon <= qlon[1]) & (lat >= qlat[0]) & (lat <= qlat[1])
+    finest = [r for r in ranges if r.tier == st.finest_tier]
+    for i in np.nonzero(matched)[0]:
+        assert any(r.lo <= int(cells[i]) <= r.hi for r in finest)

@@ -466,9 +466,18 @@ class TileRenderStage:
     with bincount multiplicity weights (exact integer equality, pinned by
     tests/test_tiles.py::test_render_checksum_separable and the
     render-vs-warper cross-check) — the warp itself is never
-    materialized."""
+    materialized.
 
-    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31):
+    ``materialize_pixels=True`` switches the checksum to the PIXEL path:
+    the ts^2 RGB tile is actually produced (same gather TileWarper does)
+    and the checksum is summed from the materialized array.  Output schema
+    and values are identical by the separable identity (pinned by
+    tests/test_tiles.py::test_render_pixels_parity); bench.py times both so
+    BENCH reports ``render_checksum`` and ``render_pixels`` throughputs as
+    distinct, honestly-labeled metrics."""
+
+    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31,
+                 materialize_pixels: bool = False):
         self.assigner = TileAssigner(
             tile_size=tile_size,
             max_bits=max_bits,
@@ -478,6 +487,7 @@ class TileRenderStage:
         self.tile_size = tile_size
         self.pixel_res_deg = pixel_res_deg
         self.strategy = self.assigner.strategy
+        self.materialize_pixels = materialize_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = self.tile_size
@@ -528,15 +538,23 @@ class TileRenderStage:
                 out_img.append(i)
                 out_tier.append(tier)
                 out_cell.append(int(cells[k]))
-                # deterministic checksum of the rendered tile WITHOUT
-                # materializing the ts^2 warp: the nearest-neighbour warp
-                # gathers the product set sy[oky] x sx[okx], so
-                # sum(tile) == roww @ g @ colw with per-index multiplicity
-                # weights (exact integer equality; pinned by
-                # tests/test_tiles.py::test_render_checksum_separable)
-                colw = np.bincount(sx[okx], minlength=w_px)
-                roww = np.bincount(sy[oky], minlength=h_px)
-                out_sum.append(int(roww @ (g @ colw)))
+                if self.materialize_pixels:
+                    # pixel path: produce the actual ts^2 RGB tile (same
+                    # gather TileWarper performs) and sum the array
+                    tile = np.zeros((ts, ts, 3), dtype=np.uint8)
+                    if okx.any() and oky.any():
+                        tile[np.ix_(oky, okx)] = arr[sy[oky][:, None], sx[okx][None, :]]
+                    out_sum.append(int(tile.sum(dtype=np.int64)))
+                else:
+                    # deterministic checksum of the rendered tile WITHOUT
+                    # materializing the ts^2 warp: the nearest-neighbour warp
+                    # gathers the product set sy[oky] x sx[okx], so
+                    # sum(tile) == roww @ g @ colw with per-index multiplicity
+                    # weights (exact integer equality; pinned by
+                    # tests/test_tiles.py::test_render_checksum_separable)
+                    colw = np.bincount(sx[okx], minlength=w_px)
+                    roww = np.bincount(sy[oky], minlength=h_px)
+                    out_sum.append(int(roww @ (g @ colw)))
         idx = pa.array(np.asarray(out_img, dtype=np.int64))
         return pa.table(
             {

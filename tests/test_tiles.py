@@ -170,6 +170,20 @@ def test_render_stage_matches_warper():
     assert int(tile.astype(np.int64).sum()) == out.column("tile_checksum")[row].as_py()
 
 
+def test_render_pixels_parity():
+    """materialize_pixels=True (actual 256^2 warp) yields byte-identical
+    output tables to the closed-form checksum path — the BENCH
+    render_pixels metric measures the same computation's pixel-producing
+    variant."""
+    from geowave_ray.sources.images import synth_images_table
+    from geowave_ray.stages.tiles import TileRenderStage
+
+    t = synth_images_table(40, with_bytes=True)
+    fast = TileRenderStage(pixel_res_deg=1e-4)(t)
+    px = TileRenderStage(pixel_res_deg=1e-4, materialize_pixels=True)(t)
+    assert fast.equals(px)
+
+
 def test_mosaic_merge_pipeline_combiner(ray_session):
     """mosaic_merge's pre-shuffle combiner (sum/mean/max/min) must produce
     exactly the single-level MosaicMerger result on a multi-block Dataset."""

@@ -4980,9 +4980,9 @@ def q_geotiff_tiles(sf_dir: str):
         for i in ids:
             px = ((int(i) * 7919 + y * 31 + x * 13) % 256).astype(np.uint8)
             # rotate through every codec profile so the driver's hash gate
-            # covers uncompressed/PackBits/LZW x strip/tile decode paths
-            comp = ("none", "packbits", "lzw")[int(i) % 3]
-            tile = None if (int(i) // 3) % 2 == 0 else (32, 32)
+            # covers uncompressed/PackBits/LZW/Deflate x strip/tile paths
+            comp = ("none", "packbits", "lzw", "deflate")[int(i) % 4]
+            tile = None if (int(i) // 4) % 2 == 0 else (32, 32)
             blobs.append(
                 geotiff_encode(
                     px, origin=(float(i) * 10.0, 0.0), pixel_scale=(0.25, 0.25),

@@ -12,8 +12,10 @@ Profile (TIFF 6.0 public spec + GeoTIFF 1.1 public spec):
 - STRIP or TILE organization (TileWidth/TileLength/TileOffsets, edge tiles
   padded to full size per spec section 15)
 - uncompressed (Compression=1), PackBits (Compression=32773, spec
-  section 9), or LZW (Compression=5, spec section 13 with the early
-  change); BitsPerSample 8
+  section 9), LZW (Compression=5, spec section 13 with the early
+  change), or Deflate (Compression=8 "Adobe" and the old-style 32946 —
+  both are one zlib stream per strip/tile, decoded via stdlib zlib);
+  BitsPerSample 8
 - grayscale (Photometric=1, SamplesPerPixel=1) or RGB (Photometric=2, SPP=3)
 - georeferencing via ModelPixelScaleTag (33550) + ModelTiepointTag (33922)
 
@@ -24,6 +26,7 @@ same guard discipline as stages/audio.py (MP3/AAC) and stages/video.py.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -210,6 +213,8 @@ _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _PACKBITS = 32773
 _LZW = 5
+_DEFLATE = 8
+_DEFLATE_OLD = 32946
 
 
 def geotiff_encode(
@@ -223,7 +228,7 @@ def geotiff_encode(
     """uint8 HxW (gray) or HxWx3 (RGB) -> GeoTIFF bytes.  ``origin`` is the
     model coordinate of the raster's top-left corner (tiepoint 0,0),
     ``pixel_scale`` the (sx, sy) model units per pixel.  ``compression``:
-    "none", "packbits" or "lzw".  ``tile=(tw, tl)`` switches from strip to tile
+    "none", "packbits", "lzw" or "deflate".  ``tile=(tw, tl)`` switches from strip to tile
     organization (edge tiles zero-padded to full size, TIFF 6.0 sec 15)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
@@ -236,7 +241,7 @@ def geotiff_encode(
         px3 = px
     else:
         raise ValueError(f"expected HxW or HxWx3 uint8, got shape {pixels.shape}")
-    comp_tags = {"none": 1, "packbits": _PACKBITS, "lzw": _LZW}
+    comp_tags = {"none": 1, "packbits": _PACKBITS, "lzw": _LZW, "deflate": _DEFLATE}
     if compression not in comp_tags:
         raise NotImplementedError(f"GeoTIFF: compression {compression!r} not supported")
     comp_tag = comp_tags[compression]
@@ -265,6 +270,8 @@ def geotiff_encode(
         chunks = [packbits_encode(c) for c in chunks]
     elif compression == "lzw":
         chunks = [lzw_encode(c) for c in chunks]
+    elif compression == "deflate":
+        chunks = [zlib.compress(c) for c in chunks]
 
     entries = []  # (tag, type, count, value_bytes_or_int)
 
@@ -380,7 +387,7 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
         tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
 
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, _PACKBITS, _LZW):
+    if comp not in (1, _PACKBITS, _LZW, _DEFLATE, _DEFLATE_OLD):
         raise NotImplementedError(f"GeoTIFF: compression {comp} not supported")
     bps = tags.get(_BITS_PER_SAMPLE, [8])
     if any(b != 8 for b in bps):
@@ -400,6 +407,8 @@ def geotiff_decode(data: bytes) -> tuple[np.ndarray, dict]:
             return packbits_decode(raw, expected)
         if comp == _LZW:
             return lzw_decode(raw, expected)
+        if comp in (_DEFLATE, _DEFLATE_OLD):
+            return zlib.decompress(raw)
         return raw
 
     if _TILE_OFFSETS in tags:

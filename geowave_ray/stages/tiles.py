@@ -167,13 +167,28 @@ class TileAssigner:
 
 class TileWarper:
     """Actor-pool map_batches: joined (image row + tier + cell) -> rendered
-    tileSize^2 RGB tile bytes for that cell.  Decode state is per-actor."""
+    tileSize^2 RGB tile bytes for that cell.  Decode state is per-actor.
 
-    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31, background: int = 0):
+    ``resample`` selects the warp kernel: "nearest" (the checksum-parity
+    default) or "bilinear" — the reference raster adapter's default
+    interpolation (RasterDataAdapter.java:596-810 warps through
+    Interpolation.INTERP_BILINEAR unless the adapter overrides it).
+    Bilinear is separable over the axis-aligned warp, so it costs four
+    row/col-indexed gathers + two lerps, no per-pixel loop.  The valid
+    footprint (which tile pixels come from the image vs background) is
+    identical for both kernels."""
+
+    _RESAMPLERS = ("nearest", "bilinear")
+
+    def __init__(self, tile_size: int = 256, pixel_res_deg: float = 1e-4, max_bits: int = 31, background: int = 0,
+                 resample: str = "nearest"):
+        if resample not in self._RESAMPLERS:
+            raise ValueError(f"resample must be one of {self._RESAMPLERS}, got {resample!r}")
         self.strategy = spatial_strategy(max_bits)
         self.tile_size = tile_size
         self.pixel_res_deg = pixel_res_deg
         self.background = background
+        self.resample = resample
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = self.tile_size
@@ -208,9 +223,28 @@ class TileWarper:
             okx = (sx >= 0) & (sx < w_px)
             oky = (sy >= 0) & (sy < h_px)
             if okx.any() and oky.any():
-                yy = sy[oky][:, None]
-                xx = sx[okx][None, :]
-                tile[np.ix_(oky, okx)] = arr[yy, xx]
+                if self.resample == "bilinear":
+                    # fractional source coords at tile pixel centers
+                    # (pixel-center convention: sample k covers [k, k+1))
+                    fx = (px[okx] - ix0) / self.pixel_res_deg - 0.5
+                    fy = (iy1 - py[oky]) / self.pixel_res_deg - 0.5
+                    x0 = np.floor(fx).astype(np.int64)
+                    y0 = np.floor(fy).astype(np.int64)
+                    wx = (fx - x0)[None, :, None]
+                    wy = (fy - y0)[:, None, None]
+                    x0c = np.clip(x0, 0, w_px - 1)
+                    x1c = np.clip(x0 + 1, 0, w_px - 1)
+                    y0c = np.clip(y0, 0, h_px - 1)
+                    y1c = np.clip(y0 + 1, 0, h_px - 1)
+                    af = arr.astype(np.float64)
+                    top = af[np.ix_(y0c, x0c)] * (1 - wx) + af[np.ix_(y0c, x1c)] * wx
+                    bot = af[np.ix_(y1c, x0c)] * (1 - wx) + af[np.ix_(y1c, x1c)] * wx
+                    vals = top * (1 - wy) + bot * wy
+                    tile[np.ix_(oky, okx)] = np.clip(np.rint(vals), 0, 255).astype(np.uint8)
+                else:
+                    yy = sy[oky][:, None]
+                    xx = sx[okx][None, :]
+                    tile[np.ix_(oky, okx)] = arr[yy, xx]
             out_tiles.append(tile.tobytes())
         return pa.table(
             {

@@ -41,7 +41,7 @@ def test_packbits_literal_cap_straddles_short_run():
     assert packbits_decode(packbits_encode(data), len(data)) == data
 
 
-@pytest.mark.parametrize("comp", ["none", "packbits"])
+@pytest.mark.parametrize("comp", ["none", "packbits", "deflate"])
 @pytest.mark.parametrize("tile", [None, (32, 16), (16, 32)])
 def test_geotiff_roundtrip(comp, tile):
     rng = np.random.default_rng(7)
@@ -67,8 +67,28 @@ def test_geotiff_guards():
         geotiff_decode(b"NOPE" + b"\0" * 16)
     with pytest.raises(ValueError, match="multiples of 16"):
         geotiff_encode(g, tile=(20, 16))
-    with pytest.raises(NotImplementedError, match="deflate"):
-        geotiff_encode(g, compression="deflate")
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        geotiff_encode(g, compression="jpeg")
+
+
+def test_geotiff_deflate_old_style_decodes():
+    """Compression=32946 (old-style Deflate) is the same zlib stream as the
+    Adobe tag 8; a retagged file must decode identically."""
+    g = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64) % 251
+    b = bytearray(geotiff_encode(g, compression="deflate"))
+    import struct as _s
+
+    (ifd_off,) = _s.unpack_from("<I", b, 4)
+    (n_entries,) = _s.unpack_from("<H", b, ifd_off)
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = _s.unpack_from("<HHI", b, base)
+        if tag == 259:  # Compression
+            (val,) = _s.unpack_from("<H", b, base + 8)
+            assert val == 8
+            _s.pack_into("<H", b, base + 8, 32946)
+    out, _ = geotiff_decode(bytes(b))
+    assert (out == g).all()
 
 
 def test_lzw_hand_vector_and_fuzz():

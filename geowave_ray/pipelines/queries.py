@@ -4155,6 +4155,43 @@ WHERE (lon - 10.0) * (lon - 10.0) + (lat - 30.0) * (lat - 30.0) <= 8.0 * 8.0
 """
 
 
+CQL_RELATE_TEXT = (
+    "RELATE(geom, 'POLYGON((0 30, 30 10, 60 30, 30 50, 0 30))', 'T*****FF*')"
+    " AND v_cents >= 1000"
+)
+
+
+def q_cql_relate(sf_dir: str):
+    """Generic DE-9IM RELATE predicate through CQL (round-4 verdict missing
+    #5; GeoTools ECQL relatePattern / JTS IntersectionMatrix.matches).  The
+    'T*****FF*' (contains) pattern over a tilted diamond selects points
+    strictly INTERIOR to the polygon — boundary points classify 'B' and
+    fail the pattern, unlike the named-op bbox path.  The pattern implies
+    intersection, so the planner's coarse envelope prune stays engaged
+    (``pattern_implies_intersection``)."""
+    from ..query.cql import parse_cql
+
+    pts = _events_points(sf_dir, with_value=True)
+    q = parse_cql(CQL_RELATE_TEXT)
+    return q.apply(pts).select_columns(["image_id", "v_cents"])
+
+
+# Oracle soundness: the derived lon/lat live on an exact 0.01-degree
+# lattice, so each edge cross-product is a rational multiple of 0.1 — the
+# 0.05 threshold separates "strictly interior" (cross >= 0.1) from
+# "on-edge or outside" (cross <= 0) with ~1e-12 float noise on either
+# engine, matching the engine's boundary-exclusive DE-9IM classification.
+SQL_CQL_RELATE = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT image_id, v_cents FROM pts
+WHERE 30.0 * lat + 20.0 * lon - 900.0 > 0.05
+  AND 30.0 * lat - 20.0 * lon + 300.0 > 0.05
+  AND -30.0 * lat - 20.0 * lon + 2100.0 > 0.05
+  AND -30.0 * lat + 20.0 * lon + 900.0 > 0.05
+  AND v_cents >= 1000
+"""
+
+
 
 def q_ngram_jaccard(sf_dir: str, pair_cap: int = 2_000_000):
     """Exact n-gram (3-token-shingle) Jaccard for every LSH candidate pair.
@@ -9588,6 +9625,7 @@ QUERIES = {
     "xz_zone_keys": q_xz_zone_keys,
     "kmeans_clusters": q_kmeans_clusters,
     "value_quantiles": q_value_quantiles,
+    "cql_relate": q_cql_relate,
 }
 
 
@@ -9696,6 +9734,7 @@ ORACLE_SQL = {
     "ann_ivf_full": SQL_ANN_TOPK.replace("rank <= 10", "rank <= 7"),
     "cql_or_query": SQL_CQL_OR_QUERY,
     "cql_dwithin": SQL_CQL_DWITHIN,
+    "cql_relate": SQL_CQL_RELATE,
     "phash_near_dup": _sql_phash_near_dup(),
     "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,

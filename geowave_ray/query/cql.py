@@ -364,6 +364,28 @@ def _parse_primary(p: _Parser):
 
         boxes = [] if word == "DISJOINT" else [bbox_of(g)]
         return None, [_SpatialTerm(geom, q)], boxes, None
+    if word == "RELATE":
+        # RELATE(geom, 'POLYGON(...)', 'T*F**F***') — the generic DE-9IM
+        # pattern predicate (GeoTools ECQL relatePattern; the 8 named ops
+        # are its fixed patterns).  Patterns carry no usable bbox algebra
+        # (e.g. disjoint-only patterns), so RELATE always takes the
+        # full-scan row-filter path like DISJOINT does.
+        p.next()
+        p.expect_op("(")
+        geom = p.next()[1]
+        p.expect_op(",")
+        wkt = p.next()[1]
+        p.expect_op(",")
+        pattern = p.next()[1].strip("'\"")
+        p.expect_op(")")
+        g = _parse_wkt(wkt)
+        if isinstance(g, tuple):
+            raise ValueError("RELATE needs a polygon operand")
+        from ..geom.predicates import matches_pattern
+
+        matches_pattern("FFFFFFFFF", pattern)  # validate eagerly
+        q = SpatialQuery(g, op=f"RELATE {pattern}")
+        return None, [_SpatialTerm(geom, q)], [], None
     if word == "DWITHIN":
         p.next()
         p.expect_op("(")

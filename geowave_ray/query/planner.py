@@ -49,6 +49,21 @@ def point_predicate_mask(lon, lat, geometry: Polygon, op: str) -> np.ndarray:
     if op in ("WITHIN", "EQUALS", "OVERLAPS", "CROSSES"):
         # a 2-D query region can never be within/equal/overlap a point
         return np.zeros(len(lon), dtype=bool)
+    if op.startswith("RELATE"):
+        # generic DE-9IM pattern (ECQL RELATE escape hatch): a point's
+        # matrix vs the query polygon takes exactly three values, one per
+        # location class, so the mask is a vectorized 3-way locate plus a
+        # per-class pattern test
+        from ..geom.predicates import locate_points, matches_pattern
+
+        pattern = op.split(None, 1)[1].strip("'\" ")
+        point_matrices = ("0F2FF1FF2", "FF20F1FF2", "FF2FF10F2")  # I, B, E
+        loc = locate_points(lon, lat, geometry)
+        mask = np.zeros(len(lon), dtype=bool)
+        for cls, mat in enumerate(point_matrices):
+            if matches_pattern(mat, pattern):
+                mask |= loc == cls
+        return mask
     raise ValueError(op)
 
 
@@ -113,10 +128,14 @@ class SpatialQuery:
                     mask &= (t >= lo) & (t <= hi)
                 return batch.filter(pa.array(mask))
 
+        from ..geom.predicates import pattern_implies_intersection
+
+        prunable = query.op != "DISJOINT" and (
+            not query.op.startswith("RELATE")
+            or pattern_implies_intersection(query.op.split(None, 1)[1].strip("'\" "))
+        )
         out = ds.map_batches(
-            lambda b: query.coarse_filter(b, lon_col, lat_col)
-            if query.op != "DISJOINT"
-            else b,
+            lambda b: query.coarse_filter(b, lon_col, lat_col) if prunable else b,
             batch_format="pyarrow",
         )
         if concurrency is not None:
@@ -206,41 +225,58 @@ class WkbRefiner:
     the DE-9IM predicate per surviving candidate."""
 
     def __init__(self, query: "SpatialQuery", wkb_col: str = "wkb"):
-        from ..geom.predicates import COMPARE_OPS, relate
+        from ..geom.predicates import COMPARE_OPS, evaluate, relate
         from ..geom.wkb import parse_wkb
 
         self.query = query
         self.wkb_col = wkb_col
         self._relate = relate
-        self._op = COMPARE_OPS[query.op]
+        if query.op.startswith("RELATE"):
+            # generic DE-9IM pattern: route through evaluate(); only
+            # intersection-implying patterns admit the bbox prune
+            self._op = None
+            self._evaluate = evaluate
+        else:
+            self._op = COMPARE_OPS[query.op]
         self._parse = parse_wkb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom.predicates import pattern_implies_intersection
+
         q = self.query
         minx, miny, maxx, maxy = q.bbox()
         cols = batch.column_names
+        is_relate = q.op.startswith("RELATE")
+        # prune only when the op can never match a bbox-disjoint pair
+        prunable = q.op != "DISJOINT" and (
+            not is_relate
+            or pattern_implies_intersection(q.op.split(None, 1)[1].strip("'\" "))
+        )
         if {"minx", "miny", "maxx", "maxy"} <= set(cols):
             bx0 = batch.column("minx").to_numpy(zero_copy_only=False)
             by0 = batch.column("miny").to_numpy(zero_copy_only=False)
             bx1 = batch.column("maxx").to_numpy(zero_copy_only=False)
             by1 = batch.column("maxy").to_numpy(zero_copy_only=False)
             coarse = (bx0 <= maxx) & (bx1 >= minx) & (by0 <= maxy) & (by1 >= miny)
-            if q.op == "DISJOINT":
-                # disjoint can still be true for bbox-overlapping rows; only
-                # bbox-disjoint rows are definitely DISJOINT=True
-                candidates = np.arange(len(batch))
-            else:
+            if prunable:
                 candidates = np.nonzero(coarse)[0]
+            else:
+                # non-prunable ops can still be true for bbox-disjoint rows
+                candidates = np.arange(len(batch))
         else:
             candidates = np.arange(len(batch))
         keep = np.zeros(len(batch), dtype=bool)
         if q.op == "DISJOINT" and {"minx", "miny", "maxx", "maxy"} <= set(cols):
+            # bbox-disjoint rows are definitely DISJOINT=True; refine the rest
             keep[~coarse] = True
             candidates = np.nonzero(coarse)[0]
         wkbs = batch.column(self.wkb_col).to_pylist()
         for i in candidates:
             geom = self._parse(wkbs[i])
-            keep[i] = self._op(self._relate(q.geometry, geom))
+            if self._op is None:
+                keep[i] = self._evaluate(q.op, q.geometry, geom)
+            else:
+                keep[i] = self._op(self._relate(q.geometry, geom))
         return batch.filter(pa.array(keep))
 
 

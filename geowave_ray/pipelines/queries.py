@@ -448,6 +448,59 @@ FROM hxcells GROUP BY hex_q, hex_r
 """
 
 
+H3_RES = 2
+
+
+def q_h3_binned_agg(sf_dir: str):
+    """Binned aggregation over icosahedral aperture-7 hex cells — the true
+    H3 construction (gnomonic face projection + Class-III aperture-7
+    lattice, index/h3grid.py; reference binning/H3BinningHelper.java:41-185)
+    rather than hex_binned_agg's equal-angle plane.  Cells are ~equal-area
+    on the SPHERE; the full encode chain (unit vector -> argmax face ->
+    gnomonic -> rotated axial -> cube round -> int64 pack) is replayed
+    bit-for-bit by the DuckDB oracle (h3_cell_cte)."""
+    from ..index.h3grid import h3_cell_ids
+    from ..stages.aggregate import binned_aggregate
+
+    pts = _events_points(sf_dir, with_value=True)
+
+    def add_h3(batch: pa.Table) -> pa.Table:
+        cells = h3_cell_ids(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            H3_RES,
+        )
+        return batch.append_column("h3cell", pa.array(cells))
+
+    add_h3.__name__ = "h3_encode"
+    out = binned_aggregate(
+        pts.map_batches(add_h3, batch_format="pyarrow"), ["h3cell"], "v_cents"
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h3cell": batch.column("h3cell"),
+                "n": batch.column("n"),
+                "sum_v": batch.column("sum_v").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_h3_binned_agg() -> str:
+    from ..index.h3grid import h3_cell_cte
+
+    return f"""
+WITH {h3_cell_cte(H3_RES, _PTS_SQL)}
+SELECT h3cell,
+       COUNT(*) AS n,
+       CAST(SUM(v_cents) AS BIGINT) AS sum_v
+FROM h3cells GROUP BY h3cell
+"""
+
+
 def q_mosaic_merge(sf_dir: str):
     """Distributed mosaic composition with the SUM band-merge strategy
     (RasterTileMergeStrategy SPI; round-2 verdict missing #5): one
@@ -9456,7 +9509,7 @@ QUERIES = {
     "overzoom_tiles": q_overzoom_tiles,
     "bottom_k_users": q_bottom_k_users,
     "corpus_mix": q_corpus_mix,
-    "bpe_apply": q_bpe_apply,
+    "h3_binned_agg": q_h3_binned_agg,
     "geofence_transitions": q_geofence_transitions,
     "track_crossings": q_track_crossings,
     "image_meta_scan": q_image_meta_scan,
@@ -9626,6 +9679,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "value_quantiles": q_value_quantiles,
     "cql_relate": q_cql_relate,
+    "bpe_apply": q_bpe_apply,
 }
 
 
@@ -9735,6 +9789,7 @@ ORACLE_SQL = {
     "cql_or_query": SQL_CQL_OR_QUERY,
     "cql_dwithin": SQL_CQL_DWITHIN,
     "cql_relate": SQL_CQL_RELATE,
+    "h3_binned_agg": _sql_h3_binned_agg(),
     "phash_near_dup": _sql_phash_near_dup(),
     "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,

@@ -45,23 +45,22 @@ class _Slicer:
         every source tile lands whole in ONE quadrant of one target tile —
         a pure pixel-block copy, no per-tile cover search.  Produces the
         same fragments as the general path (verified by the parity test in
-        tests/test_pyramid.py) with one stacked NumPy scatter per batch."""
-        from ..index.dimensions import norm_to_cell_min
+        tests/test_pyramid.py) with one stacked NumPy scatter per batch.
 
+        Cell coordinates come from the EXACT integer Hilbert decode, not a
+        geographic round-trip: boundary-rule cells (a point at lat -90
+        lands in grid row 15 of 64, whose lon/lat box lies outside the
+        physical latitude range) would have their decoded midpoint clamped
+        by normalize() into the neighboring row, silently reparenting the
+        tile (caught by the sf0.1 oracle diff; tests/test_pyramid.py::
+        test_retile_boundary_cell_parent pins the rule)."""
         ts, dts = self.src_ts, self.dst_ts
         n = len(batch)
         cells = batch.column("cell").to_numpy(zero_copy_only=False)
         tier = self.dst_tier + 1
-        los, his = self.strategy.decode_cells(tier, cells.astype(np.uint64))
-        lox, loy = los
-        hix, hiy = his
-        bins = np.int64(1 << tier)
-        ccx = norm_to_cell_min(
-            self.strategy.dims[0].normalize((lox + hix) / 2.0), bins
-        ).astype(np.int64)
-        ccy = norm_to_cell_min(
-            self.strategy.dims[1].normalize((loy + hiy) / 2.0), bins
-        ).astype(np.int64)
+        xy = self.strategy.curve(tier).decode(cells.astype(np.uint64))
+        ccx = xy[0].astype(np.int64)
+        ccy = xy[1].astype(np.int64)
         qx = ccx & 1
         qy = ccy & 1
         dst_cells = self.strategy.curve(self.dst_tier).encode(
@@ -114,8 +113,11 @@ class _Slicer:
                     *self.strategy.decode_cells(int(tiers[i]), np.asarray([cells[i]], dtype=np.uint64))
                 )
             ]
-            # covering target cells
-            rows, tcells = _cover(self.strategy, self.dst_tier, sx0, sy0, sx1, sy1)
+            # covering target cells — EXACT integer cover (tiers nest by
+            # powers of two, so the dst cells of a src cell are a bit-shift
+            # range; the old geographic bbox cover misplaced boundary-rule
+            # cells whose box lies outside the physical axis range)
+            tcells = _cover_int(self.strategy, int(tiers[i]), int(cells[i]), self.dst_tier)
             for tc in tcells:
                 (tx0, tx1), (ty0, ty1) = [
                     (lo[0], hi[0])
@@ -146,20 +148,24 @@ class _Slicer:
         )
 
 
-def _cover(strategy, tier, minx, miny, maxx, maxy):
-    from ..index.dimensions import norm_to_cell_max, norm_to_cell_min
-
-    bins = 1 << tier
-    eps = 1e-12
-    lo = [strategy.dims[0].normalize(np.asarray([minx + eps])), strategy.dims[1].normalize(np.asarray([miny + eps]))]
-    hi = [strategy.dims[0].normalize(np.asarray([maxx - eps])), strategy.dims[1].normalize(np.asarray([maxy - eps]))]
-    cmin = [norm_to_cell_min(lo[j], bins) for j in range(2)]
-    cmax = [np.maximum(norm_to_cell_max(hi[j], bins), cmin[j]) for j in range(2)]
-    xs = np.arange(int(cmin[0][0]), int(cmax[0][0]) + 1, dtype=np.uint64)
-    ys = np.arange(int(cmin[1][0]), int(cmax[1][0]) + 1, dtype=np.uint64)
+def _cover_int(strategy, src_tier: int, src_cell: int, dst_tier: int) -> np.ndarray:
+    """Dst-tier cells covering one src-tier cell, in exact integer cell
+    space (tier grids nest by powers of two: coarser dst -> the single
+    bit-shifted parent; finer dst -> the full shifted child block)."""
+    if dst_tier <= 0:
+        return np.zeros(1, np.uint64)
+    xy = strategy.curve(src_tier).decode(np.asarray([src_cell], dtype=np.uint64))
+    x, y = int(xy[0][0]), int(xy[1][0])
+    shift = src_tier - dst_tier
+    if shift >= 0:
+        xs = np.asarray([x >> shift], dtype=np.uint64)
+        ys = np.asarray([y >> shift], dtype=np.uint64)
+    else:
+        s = -shift
+        xs = np.arange(x << s, (x + 1) << s, dtype=np.uint64)
+        ys = np.arange(y << s, (y + 1) << s, dtype=np.uint64)
     gx, gy = np.meshgrid(xs, ys)
-    cells = strategy.curve(tier).encode([gx.ravel(), gy.ravel()]) if tier > 0 else np.zeros(1, np.uint64)
-    return None, cells
+    return strategy.curve(dst_tier).encode([gx.ravel(), gy.ravel()])
 
 
 def retile(

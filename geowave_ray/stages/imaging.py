@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["png_encode", "png_decode", "fjpg_encode", "fjpg_decode", "encode_image", "decode_image", "resample_nearest", "psnr", "sniff_image_meta"]
+__all__ = ["png_encode", "png_decode", "fjpg_encode", "fjpg_decode", "encode_image", "decode_image", "resample_nearest", "psnr", "sniff_image_meta", "ASPECT_BUCKETS", "aspect_bucket_assign"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -256,3 +256,35 @@ def sniff_image_meta(data: bytes) -> tuple[str, int, int, int]:
     raise NotImplementedError(
         "unsupported image payload; PNG, JPEG and FJPG headers are sniffable"
     )
+
+
+# SDXL-style aspect-ratio buckets (w, h) — the training-batch bucketing
+# step of large image pipelines (NovelAI bucketing / SDXL Appendix I):
+# every image is routed to the bucket whose aspect ratio is closest, so
+# batches share a resize target and no image is heavily letterboxed.
+ASPECT_BUCKETS = (
+    (1024, 1024),
+    (1152, 896),
+    (896, 1152),
+    (1216, 832),
+    (832, 1216),
+    (1344, 768),
+    (768, 1344),
+    (1536, 640),
+    (640, 1536),
+)
+
+
+def aspect_bucket_assign(w: np.ndarray, h: np.ndarray, buckets=ASPECT_BUCKETS):
+    """Vectorized nearest-aspect bucket assignment.  Closeness is the EXACT
+    integer cross-multiplication residual |w*bh - h*bw| (sign-free ratio
+    comparison — no float log-ratios, so the rule replays exactly in SQL),
+    ties -> smallest bucket index.  Returns (bucket_w, bucket_h) arrays."""
+    w = np.asarray(w, dtype=np.int64)
+    h = np.asarray(h, dtype=np.int64)
+    bw = np.array([b[0] for b in buckets], dtype=np.int64)
+    bh = np.array([b[1] for b in buckets], dtype=np.int64)
+    # (n, k) residual matrix; argmin takes the first (smallest index) tie
+    resid = np.abs(w[:, None] * bh[None, :] - h[:, None] * bw[None, :])
+    idx = np.argmin(resid, axis=1)
+    return bw[idx], bh[idx]

@@ -98,3 +98,29 @@ def test_augment_kernels():
 
     with pytest.raises(ValueError):
         center_crop(arr, 10, 2)
+
+
+def test_aspect_bucket_assign():
+    import numpy as np
+
+    from geowave_ray.stages.imaging import ASPECT_BUCKETS, aspect_bucket_assign
+
+    w = np.array([1024, 1920, 600, 1536, 640])
+    h = np.array([1024, 1080, 1200, 640, 1536])
+    bw, bh = aspect_bucket_assign(w, h)
+    assert list(zip(bw, bh)) == [
+        (1024, 1024),
+        (1344, 768),  # 16:9 routes to the widest sub-16:9 bucket by residual
+        (768, 1344),
+        (1536, 640),
+        (640, 1536),
+    ]
+    # exact-ratio match has residual 0 for its own bucket
+    for bwi, bhi in ASPECT_BUCKETS:
+        rw, rh = aspect_bucket_assign(np.array([bwi]), np.array([bhi]))
+        assert (rw[0], rh[0]) == (bwi, bhi)
+    # tie rule: a square input is equidistant from (1152,896) and (896,1152)
+    # only through symmetry with non-zero residual; 1024x1024 hits bucket 0
+    # exactly, so craft a genuine tie: ratio 1 against mirrored buckets
+    rw, rh = aspect_bucket_assign(np.array([700]), np.array([700]))
+    assert (rw[0], rh[0]) == (1024, 1024)  # residual 0 at idx 0 wins

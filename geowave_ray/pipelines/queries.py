@@ -9547,6 +9547,73 @@ FROM range({META_SCAN_N}) t(j)
 """
 
 
+WDS_RT_N = 600
+
+
+def q_wds_roundtrip(sf_dir: str):
+    """WebDataset SINK + SOURCE roundtrip over the north-rule image+caption
+    table: real PNG/JPEG rows are packed into per-block ustar shards
+    ({key}.{fmt} + {key}.txt members, sources/wds.py — the de-facto
+    streaming container for image-training corpora), read back
+    shard-parallel, and re-sniffed: fmt and dims in the output come ONLY
+    from the recovered payload bytes (PNG IHDR / JPEG SOFn), captions only
+    from the .txt members, so a codec that corrupted either could not
+    pass.  The DuckDB oracle regenerates every field from the shared
+    splitmix64 synthesis rule."""
+    import shutil
+
+    from ..sources.images import synth_images_ds
+    from ..sources.wds import wds_dataset, write_wds_shards
+    from ..stages.imaging import sniff_image_meta
+
+    ds = synth_images_ds(WDS_RT_N, with_bytes=True, byte_pool=None)
+    out_dir = f"/tmp/geowave_wds_{abs(hash(sf_dir)) % 99999}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_wds_shards(ds, out_dir).materialize()  # bounded manifest rows
+    back = wds_dataset(out_dir)
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes")
+        fmts, ws, hs = [], [], []
+        for i in range(len(batch)):
+            fmt, w, h, _ = sniff_image_meta(blobs[i].as_py())
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "fmt": pa.array(fmts),
+                "w": pa.array(ws, type=pa.int64()),
+                "h": pa.array(hs, type=pa.int64()),
+                "caption": batch.column("caption"),
+            }
+        )
+
+    sniff.__name__ = "wds_sniff"
+    return back.map_batches(sniff, batch_format="pyarrow")
+
+
+def _sql_wds_roundtrip() -> str:
+    from ..sources.images import _ADJ, _NOUN
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    adj = "[" + ",".join(f"'{a}'" for a in _ADJ) + "]"
+    noun = "[" + ",".join(f"'{b}'" for b in _NOUN) + "]"
+    return f"""
+WITH s AS (SELECT j, ({sm}) AS hv FROM range({WDS_RT_N}) t(j))
+SELECT 'img-' || lpad(CAST(j AS VARCHAR), 12, '0') AS image_id,
+       CASE WHEN hv % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(8 + ((hv >> 8) % 9) * 4 AS BIGINT) AS w,
+       CAST(8 + ((hv >> 8) % 9) * 4 AS BIGINT) AS h,
+       'a photo of ' || ({adj})[CAST(hv % 8 AS BIGINT) + 1] || ' ' ||
+       ({noun})[CAST((hv >> 3) % 8 AS BIGINT) + 1] || ' near place-' ||
+       CAST(hv % 100 AS VARCHAR) AS caption
+FROM s
+"""
+
+
 ASPECT_N = 20000
 
 
@@ -9911,6 +9978,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "semdedup": q_semdedup,
     "aspect_buckets": q_aspect_buckets,
+    "wds_roundtrip": q_wds_roundtrip,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10089,6 +10157,7 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "semdedup": SQL_SEMDEDUP,
     "aspect_buckets": _sql_aspect_buckets(),
+    "wds_roundtrip": _sql_wds_roundtrip(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

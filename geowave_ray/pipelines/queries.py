@@ -9547,6 +9547,95 @@ FROM range({META_SCAN_N}) t(j)
 """
 
 
+TILE_REPROJ_Z = 3
+TILE_REPROJ_TS = 32  # 64 tiles x 32^2 px: keeps the HUGEINT splitmix oracle fast
+TILE_REPROJ_W = 3600
+TILE_REPROJ_H = 1800
+
+
+def q_tile_reproject(sf_dir: str):
+    """Raster reprojection to web-mercator XYZ tiles — the serving-side
+    warp the reference runs when the stored raster CRS differs from the
+    request grid (RasterUtils.getCoverageOperations resample path,
+    extensions/adapters/raster/.../RasterDataAdapter.java:596-810, and
+    every GetMap against a geographic coverage): each slippy tile (tx, ty)
+    at zoom z inverts the mercator tile grid to lon/lat per pixel,
+    nearest-neighbour gathers from a deterministic global geographic
+    raster (value = splitmix64(r*W + c) % 256), and reduces to an exact
+    integer tile checksum.  Map-only and embarrassingly tile-parallel —
+    the 100-TB shape is one task per output tile reading only its source
+    footprint.  The inverse-mercator pixel math uses the same exp/ln
+    sinh composition as index/mercator.py so the DuckDB oracle replays
+    every pixel."""
+    import ray
+
+    from ..stages.texthash import splitmix64
+
+    z, ts, W, H = TILE_REPROJ_Z, TILE_REPROJ_TS, TILE_REPROJ_W, TILE_REPROJ_H
+    side = 2**z
+
+    ds = ray.data.range(side * side)
+
+    def warp(batch: pa.Table) -> pa.Table:
+        t = batch.column("id").to_numpy().astype(np.int64)
+        tx = t % side
+        ty = t // side
+        n = float(side * ts)
+        pj = np.arange(ts, dtype=np.float64) + 0.5
+        lon = (tx[:, None] * ts + pj[None, :]) / n * 360.0 - 180.0
+        py = ty[:, None] * ts + pj[None, :]
+        zz = np.pi * (1.0 - 2.0 * py / n)
+        lat = np.degrees(np.arctan((np.exp(zz) - np.exp(-zz)) / 2.0))
+        c = np.clip(
+            np.floor((lon + 180.0) / 360.0 * W).astype(np.int64), 0, W - 1
+        )
+        r = np.clip(
+            np.floor((90.0 - lat) / 180.0 * H).astype(np.int64), 0, H - 1
+        )
+        idx = (r[:, :, None] * np.int64(W) + c[:, None, :]).astype(np.uint64)
+        vals = (splitmix64(idx.ravel()) % np.uint64(256)).astype(np.int64)
+        checksum = vals.reshape(idx.shape).sum(axis=(1, 2))
+        return pa.table(
+            {
+                "tx": pa.array(tx),
+                "ty": pa.array(ty),
+                "checksum": pa.array(checksum),
+            }
+        )
+
+    warp.__name__ = "mercator_tile_warp"
+    return ds.map_batches(warp, batch_format="pyarrow")
+
+
+def _sql_tile_reproject() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    z, ts, W, H = TILE_REPROJ_Z, TILE_REPROJ_TS, TILE_REPROJ_W, TILE_REPROJ_H
+    side = 2**z
+    n = float(side * ts)
+    sm = sql_splitmix64("(r * {W} + c)::HUGEINT".format(W=W))
+    return f"""
+WITH tiles AS (SELECT j % {side} AS tx, j // {side} AS ty FROM range({side * side}) t(j)),
+pix AS (SELECT p FROM range({ts}) q(p)),
+pos AS (
+  SELECT tx, ty,
+         (tx * {ts} + pj.p + 0.5) / {n} * 360.0 - 180.0 AS lon,
+         pi() * (1.0 - 2.0 * (ty * {ts} + pi_.p + 0.5) / {n}) AS zz
+  FROM tiles CROSS JOIN pix pi_ CROSS JOIN pix pj),
+ll AS (
+  SELECT tx, ty, lon,
+         degrees(atan((exp(zz) - exp(-zz)) / 2.0)) AS lat
+  FROM pos),
+src AS (
+  SELECT tx, ty,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {W}) AS BIGINT), 0), {W - 1}) AS c,
+         LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * {H}) AS BIGINT), 0), {H - 1}) AS r
+  FROM ll)
+SELECT tx, ty, CAST(SUM(({sm}) % 256) AS BIGINT) AS checksum
+FROM src GROUP BY 1, 2
+"""
+
+
 WDS_RT_N = 600
 
 
@@ -9979,6 +10068,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "aspect_buckets": q_aspect_buckets,
     "wds_roundtrip": q_wds_roundtrip,
+    "tile_reproject": q_tile_reproject,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10158,6 +10248,7 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "aspect_buckets": _sql_aspect_buckets(),
     "wds_roundtrip": _sql_wds_roundtrip(),
+    "tile_reproject": _sql_tile_reproject(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

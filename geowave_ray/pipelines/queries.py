@@ -9547,6 +9547,96 @@ FROM range({META_SCAN_N}) t(j)
 """
 
 
+EXIF_N = 2000
+
+
+def q_exif_geotags(sf_dir: str):
+    """EXIF GPS geotag ingest: recover (lat, lon) for image rows FROM the
+    JPEG payload bytes themselves (APP1 "Exif" segment -> TIFF IFD0 ->
+    GPS IFD, stages/exif.py — the reference reads raster geo-metadata
+    through ImageIO/GeoTools readers the same way,
+    RasterDataAdapter.java:444-550), then bin into 1-degree cells.
+    Synthesis alternates TIFF byte orders (II/MM) per row so both parser
+    paths carry driver-grade hashes; coordinates ride as exact integer
+    centi-degree rationals, so extraction is lossless.  Payload pool is
+    worker-cached (16 base JPEGs); the per-row APP1 splice and the
+    header-hop parse are O(header bytes)."""
+    import ray
+
+    from ..stages.exif import build_exif_gps_app1, insert_app1, parse_exif_gps
+    from ..stages.imaging import encode_image
+    from ..stages.texthash import splitmix64
+    from ..stages.util import stage_fn
+
+    ds = ray.data.range(EXIF_N)
+
+    class Geotag:
+        def __init__(self):
+            from ..sources.images import _make_pixels
+
+            self.pool = [
+                encode_image(_make_pixels(s, 8), "jpeg") for s in range(16)
+            ]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").to_numpy().astype(np.int64)
+            hv = splitmix64(ids.astype(np.uint64))
+            lat = (hv % np.uint64(18000)).astype(np.int64) - 9000
+            lon = ((hv >> np.uint64(16)) % np.uint64(36000)).astype(np.int64) - 18000
+            blobs = [
+                insert_app1(
+                    self.pool[int(i) % 16],
+                    build_exif_gps_app1(int(la), int(lo), big_endian=bool(i % 2)),
+                )
+                for i, la, lo in zip(ids, lat, lon)
+            ]
+            return pa.table(
+                {
+                    "image_id": pa.array(ids),
+                    "bytes": pa.array(blobs, type=pa.large_binary()),
+                }
+            )
+
+    tagged = ds.map_batches(stage_fn(Geotag), batch_format="pyarrow")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        lats, lons = [], []
+        for b in batch.column("bytes").to_pylist():
+            la, lo = parse_exif_gps(b)
+            lats.append(la)
+            lons.append(lo)
+        lat = np.array(lats, dtype=np.int64)
+        lon = np.array(lons, dtype=np.int64)
+        cell = (lat + 9000) // 100 * 360 + (lon + 18000) // 100
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "lat_cd": pa.array(lat),
+                "lon_cd": pa.array(lon),
+                "cell": pa.array(cell),
+            }
+        )
+
+    extract.__name__ = "exif_extract"
+    return tagged.map_batches(extract, batch_format="pyarrow")
+
+
+def _sql_exif_geotags() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64("j::HUGEINT")
+    return f"""
+WITH s AS (SELECT j, ({sm}) AS hv FROM range({EXIF_N}) t(j))
+SELECT j AS image_id,
+       CAST(hv % 18000 AS BIGINT) - 9000 AS lat_cd,
+       CAST((hv >> 16) % 36000 AS BIGINT) - 18000 AS lon_cd,
+       (CAST(hv % 18000 AS BIGINT) // 100) * 360
+         + (CAST((hv >> 16) % 36000 AS BIGINT) // 100) AS cell
+FROM s
+"""
+
+
 TILE_REPROJ_Z = 3
 TILE_REPROJ_TS = 32  # 64 tiles x 32^2 px: keeps the HUGEINT splitmix oracle fast
 TILE_REPROJ_W = 3600
@@ -10069,6 +10159,7 @@ QUERIES = {
     "aspect_buckets": q_aspect_buckets,
     "wds_roundtrip": q_wds_roundtrip,
     "tile_reproject": q_tile_reproject,
+    "exif_geotags": q_exif_geotags,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10249,6 +10340,7 @@ ORACLE_SQL = {
     "aspect_buckets": _sql_aspect_buckets(),
     "wds_roundtrip": _sql_wds_roundtrip(),
     "tile_reproject": _sql_tile_reproject(),
+    "exif_geotags": _sql_exif_geotags(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

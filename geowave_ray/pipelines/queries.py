@@ -6022,6 +6022,68 @@ def q_geofence_transitions(sf_dir: str):
     )
 
 
+def q_nearest_zone(sf_dir: str):
+    """Nearest-feature join (reverse geocode): each derived centi-degree
+    point gets the id of the CLOSEST fence envelope and its exact integer
+    squared distance (0 when inside) — the reference's NN query surface
+    over polygon features (stages/join.py::nearest_envelope).  Broadcast
+    map-only stage; the oracle replays the box-distance argmin with a
+    per-event ROW_NUMBER."""
+    import ray
+
+    from ..stages.join import nearest_envelope
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def derive_int(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ix": pa.array((ev * 7919 + us) % 36000 - 18000),
+                "iy": pa.array((ev * 104729 + us * 13) % 18000 - 9000),
+            }
+        )
+
+    derive_int.__name__ = "derive_int_coords_nz"
+    pts = ds.map_batches(derive_int, batch_format="pyarrow")
+    return nearest_envelope(
+        pts, _geofence_zone_arrays(), "ix", "iy", keep_cols=("event_id",)
+    )
+
+
+def _sql_nearest_zone() -> str:
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         (event_id * 7919 + user_id) % 36000 - 18000 AS ix,
+         (event_id * 104729 + user_id * 13) % 18000 - 9000 AS iy
+  FROM events),
+z AS (
+  SELECT j AS zone_id,
+         (((j * 37) % 340) - 170) * 100 AS minx,
+         (((j * 53) % 160) - 80) * 100 AS miny,
+         (((j * 37) % 340) - 170) * 100 + (3 + (j % 7)) * 100 AS maxx,
+         (((j * 53) % 160) - 80) * 100 + (2 + (j % 5)) * 100 AS maxy
+  FROM range({GEOFENCE_ZONES}) t(j)),
+d AS (
+  SELECT p.event_id, z.zone_id,
+         GREATEST(0, z.minx - p.ix, p.ix - z.maxx) AS dx,
+         GREATEST(0, z.miny - p.iy, p.iy - z.maxy) AS dy
+  FROM pts p CROSS JOIN z),
+r AS (
+  SELECT event_id, zone_id, dx * dx + dy * dy AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id ORDER BY dx * dx + dy * dy, zone_id
+         ) AS rn
+  FROM d)
+SELECT event_id, zone_id, d2 FROM r WHERE rn = 1
+"""
+
+
 def q_areal_interp(sf_dir: str):
     """AREAL INTERPOLATION: transfer event-box values onto order-box
     targets weighted by exact integer overlap area — the zone-to-zone
@@ -10160,6 +10222,7 @@ QUERIES = {
     "wds_roundtrip": q_wds_roundtrip,
     "tile_reproject": q_tile_reproject,
     "exif_geotags": q_exif_geotags,
+    "nearest_zone": q_nearest_zone,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10341,6 +10404,7 @@ ORACLE_SQL = {
     "wds_roundtrip": _sql_wds_roundtrip(),
     "tile_reproject": _sql_tile_reproject(),
     "exif_geotags": _sql_exif_geotags(),
+    "nearest_zone": _sql_nearest_zone(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -1004,3 +1004,61 @@ def points_within_segments(
 
     within.__name__ = "corridor_within"
     return pts_ds.map_batches(within, batch_format="pyarrow")
+
+
+def nearest_envelope(
+    pts_ds,
+    zones: dict,
+    x_col: str,
+    y_col: str,
+    keep_cols: tuple = (),
+):
+    """Nearest-FEATURE join (reverse geocode): every point gets the id of
+    the closest zone envelope — exact integer box distance
+    dx = max(0, minx - x, x - maxx) (0 inside), argmin over zones with
+    ties to the smallest zone id.  The nearest-neighbor query surface of
+    the reference applied to polygon features (NNMapReduce
+    analytics/.../nn/NNMapReduce.java with non-point features; distance
+    to a geometry's envelope is JTS Envelope.distance).
+
+    ``zones`` is a dict of aligned arrays (zone_id, minx, miny, maxx,
+    maxy) — configuration-scale, broadcast once via ray.put and read per
+    worker.  Map-only, no shuffle.  For feature sets past broadcast
+    scale the knn_join cell-cover + ring-escalation regime applies
+    instead (stages/knn.py).
+    """
+    import ray
+
+    from .util import stage_fn
+
+    zref = ray.put(
+        (
+            np.asarray(zones["zone_id"], dtype=np.int64),
+            np.asarray(zones["minx"], dtype=np.int64),
+            np.asarray(zones["miny"], dtype=np.int64),
+            np.asarray(zones["maxx"], dtype=np.int64),
+            np.asarray(zones["maxy"], dtype=np.int64),
+        )
+    )
+
+    class _Nearest:
+        def __init__(self):
+            zid, minx, miny, maxx, maxy = ray.get(zref)
+            o = np.argsort(zid, kind="stable")  # argmin first-wins => id order
+            self.zid, self.minx, self.miny = zid[o], minx[o], miny[o]
+            self.maxx, self.maxy = maxx[o], maxy[o]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = batch.column(x_col).to_numpy(zero_copy_only=False)[:, None]
+            y = batch.column(y_col).to_numpy(zero_copy_only=False)[:, None]
+            zero = np.int64(0)
+            dx = np.maximum(zero, np.maximum(self.minx[None, :] - x, x - self.maxx[None, :]))
+            dy = np.maximum(zero, np.maximum(self.miny[None, :] - y, y - self.maxy[None, :]))
+            d2 = dx * dx + dy * dy
+            k = np.argmin(d2, axis=1)  # first min == smallest zone index/id
+            cols = {c: batch.column(c) for c in keep_cols}
+            cols["zone_id"] = pa.array(self.zid[k])
+            cols["d2"] = pa.array(d2[np.arange(len(k)), k])
+            return pa.table(cols)
+
+    return pts_ds.map_batches(stage_fn(_Nearest), batch_format="pyarrow")

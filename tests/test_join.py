@@ -271,3 +271,42 @@ def test_knn_join_zero_candidate_query_escalates(ray_session):
         want = sorted(range(len(d)), key=lambda i: (d[i], i))[:k]
         got = out[out["query_id"] == qid]["image_id"].tolist()
         assert got == want, (qid, got, want)
+
+
+def test_nearest_envelope():
+    """Reverse-geocode join: exact box distance, 0 inside, id tie-break."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geowave_ray.stages.join import nearest_envelope
+
+    zones = {
+        "zone_id": np.array([5, 1]),  # deliberately unsorted
+        "minx": np.array([0, 100]),
+        "miny": np.array([0, 100]),
+        "maxx": np.array([10, 110]),
+        "maxy": np.array([10, 110]),
+    }
+    pts = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ix": pa.array([5, 13, 55], type=pa.int64()),
+            "iy": pa.array([5, 10, 55], type=pa.int64()),
+        }
+    )
+    out = (
+        nearest_envelope(ray.data.from_arrow(pts), zones, "ix", "iy",
+                         keep_cols=("event_id",))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # p1 inside zone 5 -> d2 = 0
+    assert out.loc[0, "zone_id"] == 5 and out.loc[0, "d2"] == 0
+    # p2 is 3 right of zone 5 (d2=9) vs 87^2+90^2 to zone 1
+    assert out.loc[1, "zone_id"] == 5 and out.loc[1, "d2"] == 9
+    # p3 equidistant-ish? 45^2+45^2 to both boxes' corners: zone 5 corner
+    # (10,10) -> 45^2*2; zone 1 corner (100,100) -> 45^2*2 — exact tie,
+    # smallest id (1) wins despite unsorted input order
+    assert out.loc[2, "zone_id"] == 1 and out.loc[2, "d2"] == 45 * 45 * 2

@@ -2026,6 +2026,50 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_filtered(sf_dir: str):
+    """FILTERED vector search — exact cosine top-k restricted to rows
+    satisfying a metadata predicate (label % 2 = 0), with the filter
+    PUSHED BELOW the scan (pre-filter strategy): candidates are dropped
+    in the read stage before any distance is computed, so selectivity
+    directly cuts matmul work — the correct 100-TB shape vs
+    search-then-filter, which under-fills k whenever the predicate is
+    selective.  The named hard problem of modern vector stores
+    (filtered/hybrid ANN); same brute stage as ann_topk downstream."""
+    import ray
+
+    from ..stages.ann import brute_force_topk
+
+    queries = _query_vecs(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def pre_filter(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(lab % 2 == 0)).select(["vec_id", "embedding"])
+
+    pre_filter.__name__ = "ann_label_prefilter"
+    out = brute_force_topk(
+        ds.map_batches(pre_filter, batch_format="pyarrow"), queries, k=10
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN_FILTERED = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT 'v-' || CAST(q.qid AS VARCHAR) AS query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label % 2 = 0),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q_knn_graph(sf_dir: str):
     """Exact cosine k-NN graph over the embedding corpus (every vector is
     a query; self edge excluded) — the candidate-generation primitive for
@@ -10223,6 +10267,7 @@ QUERIES = {
     "tile_reproject": q_tile_reproject,
     "exif_geotags": q_exif_geotags,
     "nearest_zone": q_nearest_zone,
+    "ann_filtered": q_ann_filtered,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10405,6 +10450,7 @@ ORACLE_SQL = {
     "tile_reproject": _sql_tile_reproject(),
     "exif_geotags": _sql_exif_geotags(),
     "nearest_zone": _sql_nearest_zone(),
+    "ann_filtered": SQL_ANN_FILTERED,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

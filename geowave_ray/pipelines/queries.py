@@ -115,6 +115,68 @@ GROUP BY z.zone_id
 """
 
 
+def q_zonal_majority(sf_dir: str):
+    """Categorical zonal statistics — the MODAL class per zone (the
+    majority/mode zonal-stats variant GIS stacks pair with the numeric
+    one; reference zonal aggregation surface =
+    VectorAggregationQueryBuilder per-bin counts): spatial join ->
+    per-(zone, class) combiner counts -> per-zone argmax with ties to the
+    smallest class.  The only corpus-scale shuffle is the (zone, class)
+    groupby; the argmax group step sees one row per surviving class."""
+    matches = q_spatial_join_pairs(sf_dir)
+
+    def cat(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "zone_id": batch.column("zone_id"),
+                "cat": pa.array((ids % 23).astype(np.int64)),
+            }
+        )
+
+    cat.__name__ = "zonal_cat"
+    counted = (
+        matches.map_batches(cat, batch_format="pyarrow")
+        .groupby(["zone_id", "cat"])
+        .count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["zone_id", "cat", "n"])
+
+    rename.__name__ = "zonal_majority_rename"
+
+    class _Major:
+        __name__ = "zonal_majority_pick"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            c = group.column("cat").to_numpy(zero_copy_only=False)
+            order = np.lexsort((c, -n))
+            return group.take(pa.array(order[:1]))
+
+    return (
+        counted.map_batches(rename, batch_format="pyarrow")
+        .groupby("zone_id")
+        .map_groups(_Major(), batch_format="pyarrow")
+    )
+
+
+SQL_ZONAL_MAJORITY = f"""
+WITH pts AS ({_PTS_SQL}), zones AS ({_ZONES_CTE}),
+m AS (
+  SELECT z.zone_id, p.image_id % 23 AS cat
+  FROM pts p JOIN zones z
+    ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy),
+c AS (SELECT zone_id, cat, COUNT(*) AS n FROM m GROUP BY 1, 2),
+r AS (
+  SELECT zone_id, cat, n,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY n DESC, cat) AS rn
+  FROM c)
+SELECT zone_id, cat, n FROM r WHERE rn = 1
+"""
+
+
 def q_spatial_join_anti(sf_dir: str):
     pts = _events_points(sf_dir)
     out = broadcast_spatial_join(
@@ -10268,6 +10330,7 @@ QUERIES = {
     "exif_geotags": q_exif_geotags,
     "nearest_zone": q_nearest_zone,
     "ann_filtered": q_ann_filtered,
+    "zonal_majority": q_zonal_majority,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10451,6 +10514,7 @@ ORACLE_SQL = {
     "exif_geotags": _sql_exif_geotags(),
     "nearest_zone": _sql_nearest_zone(),
     "ann_filtered": SQL_ANN_FILTERED,
+    "zonal_majority": SQL_ZONAL_MAJORITY,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -2132,6 +2132,77 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+PQ_M = 8
+PQ_K = 16
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes over the embedding corpus
+    (stages/ann.py::pq_encode — 64-dim floats -> eight 4-bit subspace
+    codes, the 32x-compression storage layout 10^12-vector stores scan
+    instead of raw floats).  The codebook is seeded with the k
+    smallest-id vectors (the semdedup seed-row discipline; a trained
+    k-means codebook slots in unchanged at scale), so DuckDB replays the
+    whole encode: per-subspace slices, the cc - 2*xy ranking quantity,
+    ties to the smallest centroid, little-end 4-bit packing."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..stages.ann import _vec_matrix, pq_encode
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:PQ_K]
+        return batch.take(pa.array(take))
+
+    seed_partial.__name__ = "pq_seed_partial"
+    parts = ds.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:PQ_K]
+    emb = pa.array(
+        [parts[i]["embedding"] for i in order], type=pa.list_(pa.float32())
+    )
+    cmat = _vec_matrix(pa.chunked_array([emb]), dtype=np.float64)
+    cb = cmat.reshape(PQ_K, PQ_M, cmat.shape[1] // PQ_M)
+    return pq_encode(ds, ray.put(cb), PQ_M)
+
+
+def _sql_pq_codes() -> str:
+    sub = EMB_DIM // PQ_M
+    vslices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, embedding[{s * sub + 1}:{(s + 1) * sub}] AS v"
+        " FROM embeddings"
+        for s in range(PQ_M)
+    )
+    cslices = " UNION ALL ".join(
+        f"SELECT cidx, {s} AS s, embedding[{s * sub + 1}:{(s + 1) * sub}] AS c"
+        " FROM cent"
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+subs AS ({vslices}),
+csubs AS ({cslices}),
+d AS (
+  SELECT subs.vec_id, subs.s, csubs.cidx,
+         list_inner_product(csubs.c, csubs.c)
+           - 2 * list_inner_product(subs.v, csubs.c) AS score
+  FROM subs JOIN csubs ON subs.s = csubs.s),
+r AS (
+  SELECT vec_id, s, cidx,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score, cidx) AS rn
+  FROM d)
+SELECT vec_id, CAST(SUM(cidx << (4 * s)) AS BIGINT) AS pq_code
+FROM r WHERE rn = 1 GROUP BY vec_id
+"""
+
+
 def q_knn_graph(sf_dir: str):
     """Exact cosine k-NN graph over the embedding corpus (every vector is
     a query; self edge excluded) — the candidate-generation primitive for
@@ -10331,6 +10402,7 @@ QUERIES = {
     "nearest_zone": q_nearest_zone,
     "ann_filtered": q_ann_filtered,
     "zonal_majority": q_zonal_majority,
+    "pq_codes": q_pq_codes,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10515,6 +10587,7 @@ ORACLE_SQL = {
     "nearest_zone": _sql_nearest_zone(),
     "ann_filtered": SQL_ANN_FILTERED,
     "zonal_majority": SQL_ZONAL_MAJORITY,
+    "pq_codes": _sql_pq_codes(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "pq_encode"]
 
 
 
@@ -410,3 +410,49 @@ def knn_graph(
             )
         )
     return out
+
+
+def pq_encode(ds, cb_ref, m: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization encoding (Jegou, Douze & Schmid 2011, "Product
+    quantization for nearest neighbor search" — the standard 10^12-vector
+    compression: d-dim floats -> m 4-bit subspace codes = 32x smaller
+    scans).  Each vector is split into m contiguous subvectors; each
+    subvector takes the index of its nearest codebook centroid by L2,
+    ranked through the xx-free decomposition  cc - 2*xy  (the |x|^2 term
+    is constant per subvector, so it cannot change the argmin — and the
+    SQL oracle ranks by the IDENTICAL quantity, keeping the comparison
+    replayable).  Ties -> smallest centroid index.  Codes pack little-end
+    first: pq_code = sum_s code_s << (4*s).
+
+    ``cb_ref`` is a ``ray.put`` handle to a float64 codebook of shape
+    (k, m, d//m) with k <= 16.  Map-only; the codebook broadcasts once.
+    """
+    import ray
+
+    from .util import stage_fn
+
+    class _PQ:
+        def __init__(self):
+            cb = ray.get(cb_ref)  # (k, m, sub)
+            self.cb = cb
+            self.cc = np.einsum("kms,kms->km", cb, cb)  # (k, m)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _vec_matrix(batch.column(vec_col), dtype=np.float64)
+            n, d = v.shape
+            sub = d // m
+            x = v.reshape(n, m, sub)
+            xy = np.einsum("nms,kms->nmk", x, self.cb)
+            score = self.cc.T[None, :, :] - 2.0 * xy  # (n, m, k)
+            codes = np.argmin(score, axis=2).astype(np.int64)  # first-wins ties
+            packed = np.zeros(n, dtype=np.int64)
+            for s in range(m):
+                packed |= codes[:, s] << np.int64(4 * s)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "pq_code": pa.array(packed),
+                }
+            )
+
+    return ds.map_batches(stage_fn(_PQ), batch_format="pyarrow")

@@ -56,3 +56,35 @@ def test_semdedup_exact_dup_tie_breaks_by_id():
     vecs = [[1.0, 0.2], [1.0, 0.2]]
     cents = [[1.0, 0.0]]
     assert _run(ids, vecs, cents, eps=0.99) == [(4, 0)]
+
+
+def test_pq_encode_codes_and_ties():
+    """pq_encode: nearest-subvector codes, little-end 4-bit packing, ties
+    to the smallest centroid index."""
+    import numpy as np
+
+    from geowave_ray.stages.ann import pq_encode
+
+    # d=4, m=2 subspaces of 2 dims; codebook k=2
+    cb = np.array(
+        [  # centroid 0: sub0=(0,0), sub1=(1,1); centroid 1: sub0=(2,2), sub1=(1,1)
+            [[0.0, 0.0], [1.0, 1.0]],
+            [[2.0, 2.0], [1.0, 1.0]],
+        ]
+    )
+    vecs = [
+        [0.1, 0.1, 1.0, 1.0],  # sub0 -> c0, sub1 tie -> c0  => code 0 | 0<<4 = 0
+        [2.0, 2.0, 1.0, 1.0],  # sub0 -> c1, sub1 tie -> c0  => 1 | 0<<4 = 1
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        pq_encode(ray.data.from_arrow(t), ray.put(cb), 2)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(out["pq_code"]) == [0, 1]

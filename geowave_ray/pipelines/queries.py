@@ -2203,6 +2203,148 @@ FROM r WHERE rn = 1 GROUP BY vec_id
 """
 
 
+def q_pq_adc_topk(sf_dir: str):
+    """PQ search via ASYMMETRIC DISTANCE COMPUTATION (Jegou et al. 2011
+    §III): queries stay full-precision, the corpus is only its 4-bit PQ
+    codes, and per-query lookup tables LUT[s, k] = cc - 2*q_s.c_k turn
+    each distance into m table gathers + adds — the scan shape that makes
+    10^12-code search feasible.  Top-10 per query, ties to the smallest
+    vec_id; codes and LUTs share the seed-row codebook with pq_codes, so
+    the DuckDB oracle replays code assignment, LUT join and ranking."""
+    import ray
+
+    from ..stages.ann import _vec_matrix, pq_encode
+    from ..stages.util import stage_fn
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[: max(PQ_K, 5)]
+        return batch.take(pa.array(take))
+
+    seed_partial.__name__ = "pq_adc_seed_partial"
+    parts = ds.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    emb = pa.array(
+        [parts[i]["embedding"] for i in order[: max(PQ_K, 5)]],
+        type=pa.list_(pa.float32()),
+    )
+    mat = _vec_matrix(pa.chunked_array([emb]), dtype=np.float64)
+    sub = mat.shape[1] // PQ_M
+    cb = mat[:PQ_K].reshape(PQ_K, PQ_M, sub)
+    qids = ids[order][:5]
+    qmat = mat[np.searchsorted(ids[order], qids)].reshape(5, PQ_M, sub)
+    cc = np.einsum("kms,kms->km", cb, cb)  # (k, m)
+    lut = cc.T[None, :, :] - 2.0 * np.einsum("qms,kms->qmk", qmat, cb)  # (q, m, k)
+    refs = ray.put((qids, lut))
+
+    codes = pq_encode(ds, ray.put(cb), PQ_M)
+
+    class _ADC:
+        def __init__(self):
+            self.qids, self.lut = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            packed = batch.column("pq_code").to_numpy(zero_copy_only=False)
+            vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            c = np.stack(
+                [(packed >> (4 * s)) & 0xF for s in range(PQ_M)], axis=1
+            )  # (n, m)
+            nq = len(self.qids)
+            score = np.zeros((nq, len(vids)))
+            for s in range(PQ_M):
+                score += self.lut[:, s, :][:, c[:, s]]
+            out_q, out_v, out_s = [], [], []
+            k = min(10, len(vids))
+            for qi in range(nq):
+                part = np.lexsort((vids, score[qi]))[:k]
+                out_q.extend([int(self.qids[qi])] * len(part))
+                out_v.extend(vids[part].tolist())
+                out_s.extend(score[qi][part].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = codes.map_batches(stage_fn(_ADC), batch_format="pyarrow")
+
+    class _Final:
+        __name__ = "pq_adc_final"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            s = group.column("score").to_numpy(zero_copy_only=False)
+            v = group.column("vec_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, s))[:10]
+            return pa.table(
+                {
+                    "query_id": pa.array(
+                        [f"v-{group.column('qid')[0].as_py()}"] * len(order)
+                    ),
+                    "vec_id": pa.array(v[order]),
+                    "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                }
+            )
+
+    return partial.groupby("qid").map_groups(_Final(), batch_format="pyarrow")
+
+
+def _sql_pq_adc_topk() -> str:
+    sub = EMB_DIM // PQ_M
+    vslices = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, embedding[{s * sub + 1}:{(s + 1) * sub}] AS v"
+        " FROM embeddings"
+        for s in range(PQ_M)
+    )
+    cslices = " UNION ALL ".join(
+        f"SELECT cidx, {s} AS s, embedding[{s * sub + 1}:{(s + 1) * sub}] AS c"
+        " FROM cent"
+        for s in range(PQ_M)
+    )
+    qslices = " UNION ALL ".join(
+        f"SELECT vec_id AS qid, {s} AS s, embedding[{s * sub + 1}:{(s + 1) * sub}] AS qv"
+        " FROM embeddings WHERE vec_id < 5"
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+subs AS ({vslices}),
+csubs AS ({cslices}),
+d AS (
+  SELECT subs.vec_id, subs.s, csubs.cidx,
+         list_inner_product(csubs.c, csubs.c)
+           - 2 * list_inner_product(subs.v, csubs.c) AS score
+  FROM subs JOIN csubs ON subs.s = csubs.s),
+codes AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score, cidx) AS rn
+    FROM d) WHERE rn = 1),
+qsubs AS ({qslices}),
+lut AS (
+  SELECT q.qid, q.s, cs.cidx,
+         list_inner_product(cs.c, cs.c) - 2 * list_inner_product(q.qv, cs.c) AS term
+  FROM qsubs q JOIN csubs cs ON q.s = cs.s),
+scored AS (
+  SELECT l.qid, k.vec_id, SUM(l.term) AS adc
+  FROM codes k JOIN lut l ON l.s = k.s AND l.cidx = k.cidx
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT 'v-' || CAST(qid AS VARCHAR) AS query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q_knn_graph(sf_dir: str):
     """Exact cosine k-NN graph over the embedding corpus (every vector is
     a query; self edge excluded) — the candidate-generation primitive for
@@ -10403,6 +10545,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "zonal_majority": q_zonal_majority,
     "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10588,6 +10731,7 @@ ORACLE_SQL = {
     "ann_filtered": SQL_ANN_FILTERED,
     "zonal_majority": SQL_ZONAL_MAJORITY,
     "pq_codes": _sql_pq_codes(),
+    "pq_adc_topk": _sql_pq_adc_topk(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -10373,16 +10373,19 @@ FROM s WHERE prev IS NOT NULL AND prev <> zone
 
 QUERIES = {
     # ---- ROUND-5 WINDOW (first 50 = the driver's verification slice) ----
-    # Sixth rotation: 45 slots go to oracle-backed entries that have
-    # NEVER carried a driver-grade hash (waves 5-7 of round 4 plus round-5
-    # additions); 5 slots refresh the core §2 queries the r4 verdict asked
-    # to rotate back "within a round or two" (bbox_query, knn,
-    # tile_assignment, hilbert_cells, spatial_join_count_by_zone) — round 5
-    # is the last window, so core evidence must be fresh.  Each displaced
-    # never-verified entry belongs to an operator family that already has a
-    # driver-grade hash (text_search, audio_features, asof_join,
-    # windowed_agg, distinct_users — all pass-r4), so no family loses its
-    # only driver evidence.
+    # Sixth rotation (final window): 39 slots hold oracle-backed entries
+    # that have NEVER carried a driver-grade hash (waves 5-7 of round 4),
+    # 5 slots refresh the core §2 queries the r4 verdict asked to rotate
+    # back "within a round or two" (bbox_query, knn, tile_assignment,
+    # hilbert_cells, spatial_join_count_by_zone), and 6 slots carry this
+    # round's NEW operator-family firsts (semdedup, wds_roundtrip,
+    # tile_reproject, exif_geotags, pq_codes, nearest_zone).  Every
+    # displaced entry belongs to a family that keeps in-window or
+    # prior-round driver evidence (text_search, audio_features, asof_join,
+    # windowed_agg, distinct_users, heavy_hitters, kde_percentiles,
+    # domain_cap_sample, funnel_windowed — pass-r4 or still in-window), so
+    # no family loses its only driver evidence; all remain oracle-gated
+    # locally every round.
     "shapefile_ingest": q_shapefile_ingest,
     "track_polygon_join": q_track_polygon_join,
     "cdc_chunks": q_cdc_chunks,
@@ -10393,8 +10396,8 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "kde_percentiles": q_kde_percentiles,
     "overzoom_tiles": q_overzoom_tiles,
-    "bottom_k_users": q_bottom_k_users,
-    "corpus_mix": q_corpus_mix,
+    "exif_geotags": q_exif_geotags,
+    "semdedup": q_semdedup,
     "h3_binned_agg": q_h3_binned_agg,
     "geofence_transitions": q_geofence_transitions,
     "track_crossings": q_track_crossings,
@@ -10419,7 +10422,7 @@ QUERIES = {
     "trajectory_resample": q_trajectory_resample,
     "track_simplify": q_track_simplify,
     "track_zone_join": q_track_zone_join,
-    "text_prefix_search": q_text_prefix_search,
+    "wds_roundtrip": q_wds_roundtrip,
     "knn": q_knn,
     "csv_roundtrip": q_csv_roundtrip,
     "avro_roundtrip": q_avro_roundtrip,
@@ -10428,10 +10431,10 @@ QUERIES = {
     "delta_varint": q_delta_varint,
     "range_shards": q_range_shards,
     "spatial_join_count_by_zone": q_spatial_join_count_by_zone,
-    "kde_weighted": q_kde_weighted,
+    "tile_reproject": q_tile_reproject,
     "rasterize_zones": q_rasterize_zones,
-    "time_weighted_avg": q_time_weighted_avg,
-    "retention_cohorts": q_retention_cohorts,
+    "pq_codes": q_pq_codes,
+    "nearest_zone": q_nearest_zone,
     # round-5 additions (never driver-verified, new operator families):
     "mercator_cells": q_mercator_cells,
     # ---- past the driver's 50-query verification window from here on ----
@@ -10446,6 +10449,12 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "rolling_active": q_rolling_active,
     "hll_by_type": q_hll_by_type,
+    "bottom_k_users": q_bottom_k_users,
+    "corpus_mix": q_corpus_mix,
+    "text_prefix_search": q_text_prefix_search,
+    "kde_weighted": q_kde_weighted,
+    "time_weighted_avg": q_time_weighted_avg,
+    "retention_cohorts": q_retention_cohorts,
     # (every entry below is either driver-hash-green in a prior round's
     # CORRECTNESS_r0*.json or still covered by scripts/check_oracle.py;
     # the approximate/rows-only entries stay last).  Never-driver-verified
@@ -10536,15 +10545,9 @@ QUERIES = {
     "dedupe_exact": q_dedupe_exact,
     "hll_distinct_users": q_hll_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
-    "semdedup": q_semdedup,
     "aspect_buckets": q_aspect_buckets,
-    "wds_roundtrip": q_wds_roundtrip,
-    "tile_reproject": q_tile_reproject,
-    "exif_geotags": q_exif_geotags,
-    "nearest_zone": q_nearest_zone,
     "ann_filtered": q_ann_filtered,
     "zonal_majority": q_zonal_majority,
-    "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,

@@ -6403,6 +6403,124 @@ SELECT event_id, zone_id, d2 FROM r WHERE rn = 1
 """
 
 
+REACH_SEED_T = 3
+REACH_HOPS = 4
+
+
+def q_cell_reachability(sf_dir: str):
+    """Distributed BFS over the occupied-cell lattice: hop distance (<= 4)
+    from seed cells (occupancy >= 3) through 4-adjacent OCCUPIED 2-degree
+    cells — the reachability/iso-ring analysis shape over a spatial index
+    (cell adjacency is what tier-range decomposition exposes;
+    connected-components min-label machinery is the R=inf cousin,
+    stages/components.py).  Each round ships the bounded reached set
+    (hard lattice bound: 180 x 90 cells, the moran_terms grid-bounded
+    discipline) via ray.put and marks new cells in a distributed
+    map_batches over the occupied Dataset; the DuckDB oracle is a
+    recursive CTE expanded through an equality-joined direction table
+    (single self-reference rule) with MIN(hops) per cell."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def to_cell(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cx": pa.array((ev * 7919 + us) % 36000 // 200),
+                "cy": pa.array((ev * 104729 + us * 13) % 18000 // 200),
+            }
+        )
+
+    to_cell.__name__ = "reach_to_cell"
+    occ = ds.map_batches(to_cell, batch_format="pyarrow").groupby(["cx", "cy"]).count()
+
+    def seed_mark(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cx": batch.column("cx"),
+                "cy": batch.column("cy"),
+                "seed": pa.array(n >= REACH_SEED_T),
+            }
+        )
+
+    seed_mark.__name__ = "reach_seed_mark"
+    occ = occ.map_batches(seed_mark, batch_format="pyarrow").materialize()
+
+    # reached maps (cx, cy) -> hops; bounded by the 180 x 90 lattice
+    reached: dict[tuple, int] = {}
+    st = occ.map_batches(
+        lambda b: b.filter(b.column("seed")).select(["cx", "cy"]),
+        batch_format="pyarrow",
+    ).take_all()
+    for r in st:
+        reached[(int(r["cx"]), int(r["cy"]))] = 0
+
+    for hop in range(1, REACH_HOPS + 1):
+        front_keys = np.sort(
+            np.array([cx * 1000 + cy for cx, cy in reached], dtype=np.int64)
+        )
+        fref = ray.put(front_keys)
+
+        def expand(batch: pa.Table, _fref=fref) -> pa.Table:
+            import ray as _ray
+
+            front = _ray.get(_fref)
+            cx = batch.column("cx").to_numpy(zero_copy_only=False)
+            cy = batch.column("cy").to_numpy(zero_copy_only=False)
+            keys = cx * 1000 + cy  # cy < 90 << 1000, so packing is collision-free
+            nb = (
+                np.isin(keys + 1000, front)
+                | np.isin(keys - 1000, front)
+                | np.isin(keys + 1, front)
+                | np.isin(keys - 1, front)
+            )
+            keep = nb & ~np.isin(keys, front)
+            return batch.filter(pa.array(keep)).select(["cx", "cy"])
+
+        expand.__name__ = f"reach_expand_{hop}"
+        new = occ.map_batches(expand, batch_format="pyarrow").take_all()
+        if not new:
+            break
+        for r in new:
+            reached[(int(r["cx"]), int(r["cy"]))] = hop
+
+    cells = sorted(reached)
+    out = pa.table(
+        {
+            "cx": pa.array([c[0] for c in cells], pa.int64()),
+            "cy": pa.array([c[1] for c in cells], pa.int64()),
+            "hops": pa.array([reached[c] for c in cells], pa.int64()),
+        }
+    )
+    import ray as _ray
+
+    return _ray.data.from_arrow(out)
+
+
+SQL_CELL_REACHABILITY = f"""
+WITH RECURSIVE pts AS (
+  SELECT (event_id * 7919 + user_id) % 36000 // 200 AS cx,
+         (event_id * 104729 + user_id * 13) % 18000 // 200 AS cy
+  FROM events),
+occ AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+dirs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+reach(cx, cy, hops) AS (
+  SELECT cx, cy, 0 FROM occ WHERE n >= {REACH_SEED_T}
+  UNION
+  SELECT o.cx, o.cy, r.hops + 1
+  FROM reach r CROSS JOIN dirs d
+  JOIN occ o ON o.cx = r.cx + d.dx AND o.cy = r.cy + d.dy
+  WHERE r.hops < {REACH_HOPS})
+SELECT cx, cy, CAST(MIN(hops) AS BIGINT) AS hops
+FROM reach GROUP BY 1, 2
+"""
+
+
 def q_areal_interp(sf_dir: str):
     """AREAL INTERPOLATION: transfer event-box values onto order-box
     targets weighted by exact integer overlap area — the zone-to-zone
@@ -10549,6 +10667,7 @@ QUERIES = {
     "ann_filtered": q_ann_filtered,
     "zonal_majority": q_zonal_majority,
     "pq_adc_topk": q_pq_adc_topk,
+    "cell_reachability": q_cell_reachability,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10735,6 +10854,7 @@ ORACLE_SQL = {
     "zonal_majority": SQL_ZONAL_MAJORITY,
     "pq_codes": _sql_pq_codes(),
     "pq_adc_topk": _sql_pq_adc_topk(),
+    "cell_reachability": SQL_CELL_REACHABILITY,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

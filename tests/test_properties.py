@@ -252,3 +252,73 @@ def test_equal_radius_star_polygons_valid(m, r):
     verts[0, :, 1] = r * uy[a]
     # equal radii on a monotone angle sweep -> convex ring -> valid
     assert ring_self_intersections(verts, np.array([m], np.int64))[0] == 0
+
+
+@given(
+    st.integers(-9000, 9000),
+    st.integers(-18000, 18000),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_exif_gps_roundtrip_property(lat_cd, lon_cd, big_endian):
+    """Any centi-degree coordinate round-trips the EXIF APP1 codec in
+    either TIFF byte order."""
+    from geowave_ray.stages.exif import (
+        build_exif_gps_app1,
+        insert_app1,
+        parse_exif_gps,
+    )
+    from geowave_ray.stages.imaging import encode_image
+
+    base = encode_image(np.zeros((8, 8, 3), dtype=np.uint8), "jpeg")
+    j = insert_app1(base, build_exif_gps_app1(lat_cd, lon_cd, big_endian=big_endian))
+    assert parse_exif_gps(j) == (lat_cd, lon_cd)
+
+
+@given(st.integers(64, 4096), st.integers(64, 4096))
+@settings(max_examples=80, deadline=None)
+def test_aspect_bucket_is_argmin(w, h):
+    """The assigned bucket minimizes the integer cross-multiplication
+    residual over the whole bucket list (ties -> smallest index)."""
+    from geowave_ray.stages.imaging import ASPECT_BUCKETS, aspect_bucket_assign
+
+    bw, bh = aspect_bucket_assign(np.array([w]), np.array([h]))
+    got = (int(bw[0]), int(bh[0]))
+    resid = [abs(w * b[1] - h * b[0]) for b in ASPECT_BUCKETS]
+    best = min(resid)
+    # got must achieve the minimum, and be the FIRST bucket achieving it
+    assert abs(w * got[1] - h * got[0]) == best
+    assert got == ASPECT_BUCKETS[resid.index(best)]
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_pq_xxfree_argmin_equals_true_l2(data):
+    """pq_encode's cc - 2xy ranking selects the same centroid as the full
+    squared-L2 argmin (the |x|^2 term is constant per subvector)."""
+    import ray
+
+    from geowave_ray.stages.ann import pq_encode
+
+    k = data.draw(st.integers(2, 8))
+    m = 2
+    sub = 3
+    rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+    cb = rng.normal(size=(k, m, sub))
+    vecs = rng.normal(size=(4, m * sub)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        pq_encode(ray.data.from_arrow(t), ray.put(cb), m)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    x = vecs.astype(np.float64).reshape(4, m, sub)
+    d2 = ((x[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (n, k, m)
+    want = d2.argmin(axis=1)  # (n, m)
+    packed = (want * (16 ** np.arange(m))[None, :]).sum(axis=1)
+    assert list(out["pq_code"]) == packed.tolist()

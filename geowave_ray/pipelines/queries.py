@@ -9038,6 +9038,95 @@ SELECT gx, gy, zone_id FROM b WHERE zone_id IS NOT NULL
 TWA_DAY_US = 86_400_000_000
 
 
+THEIL_CAP = 40
+THEIL_K = 86_400_000_000  # cents/day: dv cents x (us per day) // dt us
+
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend per user — the median of all pairwise
+    slopes (Theil 1950 / Sen 1968), the outlier-robust alternative to
+    least-squares trend for telemetry QA.  Slopes use an exact integer
+    surrogate (cents/day): sign-split TRUNCATED division of
+    dv * 86400e6 by dt microseconds, so NumPy and DuckDB agree
+    bit-for-bit (the // parity discipline); the lower median at index
+    (n-1)//2 keeps selection deterministic under duplicate slopes.
+    Pairs are bounded per user by the first 40 events in (ts,
+    event_id) order (deterministic cap, ROW_NUMBER-replayable), so the
+    per-group kernel is O(cap^2) regardless of corpus size; one user
+    shuffle total."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    class _TheilSen:
+        __name__ = "theil_sen_group"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            uid = group.column("user_id")[0].as_py()
+            t = group.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+            ev = group.column("event_id").to_numpy(zero_copy_only=False)
+            v = np.floor(
+                group.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            sel = np.lexsort((ev, t))[:THEIL_CAP]
+            t, v = t[sel], v[sel]
+            i, j = np.triu_indices(len(t), k=1)
+            dt = t[j] - t[i]
+            keep = dt > 0
+            if not keep.any():
+                return pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "n_pairs": pa.array([], pa.int64()),
+                        "slope_med": pa.array([], pa.int64()),
+                    }
+                )
+            dv = (v[j] - v[i])[keep]
+            dt = dt[keep]
+            s = np.where(
+                dv < 0,
+                -((-dv) * THEIL_K // dt),
+                dv * THEIL_K // dt,
+            )
+            s.sort()
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_pairs": pa.array([len(s)], pa.int64()),
+                    "slope_med": pa.array([int(s[(len(s) - 1) // 2])], pa.int64()),
+                }
+            )
+
+    return ds.groupby("user_id").map_groups(_TheilSen(), batch_format="pyarrow")
+
+
+SQL_THEIL_SEN = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+f AS (SELECT user_id, t, v, rn FROM e WHERE rn <= {THEIL_CAP}),
+p AS (
+  SELECT a.user_id, b.v - a.v AS dv, b.t - a.t AS dt
+  FROM f a JOIN f b ON a.user_id = b.user_id AND a.rn < b.rn
+  WHERE b.t > a.t),
+s AS (
+  SELECT user_id,
+         CASE WHEN dv < 0 THEN -(((-dv) * {THEIL_K}) // dt)
+              ELSE (dv * {THEIL_K}) // dt END AS slope
+  FROM p),
+r AS (
+  SELECT user_id, slope,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM s)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS slope_med
+FROM r WHERE rn = (n - 1) // 2 + 1
+"""
+
+
 def q_time_weighted_avg(sf_dir: str):
     """Per-user per-day TIME-WEIGHTED value aggregation with
     step-function (hold-until-next-event) semantics — the telemetry
@@ -10668,6 +10757,7 @@ QUERIES = {
     "zonal_majority": q_zonal_majority,
     "pq_adc_topk": q_pq_adc_topk,
     "cell_reachability": q_cell_reachability,
+    "theil_sen": q_theil_sen,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10855,6 +10945,7 @@ ORACLE_SQL = {
     "pq_codes": _sql_pq_codes(),
     "pq_adc_topk": _sql_pq_adc_topk(),
     "cell_reachability": SQL_CELL_REACHABILITY,
+    "theil_sen": SQL_THEIL_SEN,
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

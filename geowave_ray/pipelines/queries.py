@@ -10225,6 +10225,82 @@ FROM s
 """
 
 
+EQ_TILES = 200
+EQ_PX = 256  # 16 x 16 single-band tiles
+EQ_LEVELS = 200
+
+
+def q_tile_equalize(sf_dir: str):
+    """Per-tile HISTOGRAM EQUALIZATION — the contrast-stretch surface the
+    reference computes per raster coverage (RasterHistogramStatistic /
+    HistogramConfig, extensions/adapters/raster/.../stats/
+    RasterHistogramStatistic.java): each 16x16 single-band tile builds
+    its 256-bin histogram, takes the CDF, and remaps every pixel with the
+    standard integer rule out = (cdf[v] - cdfmin) * 255 // (npx -
+    cdfmin); output is the exact per-tile remapped sum.  Fully
+    vectorized ACROSS tiles in a batch (one offset bincount + per-row
+    cumsum, no per-tile loop); map-only.  The oracle replays histogram,
+    windowed CDF and remap per pixel."""
+    import ray
+
+    from ..stages.texthash import splitmix64
+
+    ds = ray.data.range(EQ_TILES)
+
+    def equalize(batch: pa.Table) -> pa.Table:
+        tid = batch.column("id").to_numpy().astype(np.int64)
+        b = len(tid)
+        p = np.arange(EQ_PX, dtype=np.int64)
+        keys = (tid[:, None] * EQ_PX + p[None, :]).astype(np.uint64)
+        v = (splitmix64(keys.ravel()) % np.uint64(EQ_LEVELS)).astype(np.int64)
+        v = v.reshape(b, EQ_PX)
+        # 2D histogram via offset bincount; CDF per tile
+        flat = (np.arange(b)[:, None] * 256 + v).ravel()
+        hist = np.bincount(flat, minlength=b * 256).reshape(b, 256)
+        cdf = hist.cumsum(axis=1)
+        # cdfmin = cdf at the smallest present value = smallest nonzero cdf
+        cdfmin = np.where(cdf > 0, cdf, EQ_PX + 1).min(axis=1)
+        out = (np.take_along_axis(cdf, v, axis=1) - cdfmin[:, None]) * 255 // (
+            EQ_PX - cdfmin[:, None]
+        )
+        return pa.table(
+            {
+                "tile_id": pa.array(tid),
+                "eq_sum": pa.array(out.sum(axis=1)),
+                "orig_sum": pa.array(v.sum(axis=1)),
+            }
+        )
+
+    equalize.__name__ = "tile_equalize"
+    return ds.map_batches(equalize, batch_format="pyarrow")
+
+
+def _sql_tile_equalize() -> str:
+    from ..stages.texthash import sql_splitmix64
+
+    sm = sql_splitmix64(f"(t.j * {EQ_PX} + p.k)::HUGEINT")
+    return f"""
+WITH px AS (
+  SELECT t.j AS tile_id, CAST(({sm}) % {EQ_LEVELS} AS BIGINT) AS v
+  FROM range({EQ_TILES}) t(j) CROSS JOIN range({EQ_PX}) p(k)),
+hist AS (SELECT tile_id, v, COUNT(*) AS c FROM px GROUP BY 1, 2),
+cdf AS (
+  SELECT tile_id, v,
+         SUM(c) OVER (PARTITION BY tile_id ORDER BY v) AS cdf
+  FROM hist),
+cmin AS (SELECT tile_id, MIN(cdf) AS cdfmin FROM cdf GROUP BY 1),
+eq AS (
+  SELECT p.tile_id, p.v,
+         ((c.cdf - m.cdfmin) * 255) // ({EQ_PX} - m.cdfmin) AS outv
+  FROM px p
+  JOIN cdf c ON p.tile_id = c.tile_id AND p.v = c.v
+  JOIN cmin m ON p.tile_id = m.tile_id)
+SELECT tile_id, CAST(SUM(outv) AS BIGINT) AS eq_sum,
+       CAST(SUM(v) AS BIGINT) AS orig_sum
+FROM eq GROUP BY 1
+"""
+
+
 TILE_REPROJ_Z = 3
 TILE_REPROJ_TS = 32  # 64 tiles x 32^2 px: keeps the HUGEINT splitmix oracle fast
 TILE_REPROJ_W = 3600
@@ -10758,6 +10834,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "cell_reachability": q_cell_reachability,
     "theil_sen": q_theil_sen,
+    "tile_equalize": q_tile_equalize,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -10946,6 +11023,7 @@ ORACLE_SQL = {
     "pq_adc_topk": _sql_pq_adc_topk(),
     "cell_reachability": SQL_CELL_REACHABILITY,
     "theil_sen": SQL_THEIL_SEN,
+    "tile_equalize": _sql_tile_equalize(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -385,6 +385,72 @@ FROM s2cells GROUP BY s2cell
 """
 
 
+def q_s2_hierarchy(sf_dir: str):
+    """S2 HIERARCHY primitives — parent cell and [range_min, range_max]
+    descendant interval per occupied cell (the trailing-one-bit algebra
+    every S2 containment join runs on: a cell contains another iff the
+    other's id lies in its range; s2geometry S2CellId::parent/
+    range_min/range_max, reference binning S2BinningHelper.java).  Ids
+    stay in the canonical two's-complement int64 view; the arithmetic
+    never carries past the trailing-bit block, so parent masks and range
+    offsets are exact in BOTH engines.  Map-only after the cell count."""
+    from ..index.s2 import s2_cell_ids
+    from ..stages.aggregate import binned_aggregate
+
+    pts = _events_points(sf_dir, with_value=True)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        cells = s2_cell_ids(
+            batch.column("lon").to_numpy(zero_copy_only=False),
+            batch.column("lat").to_numpy(zero_copy_only=False),
+            S2_LEVEL,
+        )
+        return batch.append_column("s2cell", pa.array(cells))
+
+    add_cell.__name__ = "s2_encode_h"
+    counted = binned_aggregate(
+        pts.map_batches(add_cell, batch_format="pyarrow"), ["s2cell"], "v_cents"
+    )
+
+    lsb_child = np.uint64(1) << np.uint64(2 * (30 - S2_LEVEL))
+    lsb_par = lsb_child << np.uint64(4)  # two levels up
+
+    def hierarchy(batch: pa.Table) -> pa.Table:
+        u = batch.column("s2cell").to_numpy(zero_copy_only=False).view(np.uint64)
+        parent = (u & ~(np.uint64(2) * lsb_par - np.uint64(1))) | lsb_par
+        rmin = u - (lsb_child - np.uint64(1))
+        rmax = u + (lsb_child - np.uint64(1))
+        return pa.table(
+            {
+                "s2cell": batch.column("s2cell"),
+                "parent": pa.array(parent.view(np.int64)),
+                "range_min": pa.array(rmin.view(np.int64)),
+                "range_max": pa.array(rmax.view(np.int64)),
+                "n": batch.column("n"),
+            }
+        )
+
+    hierarchy.__name__ = "s2_hierarchy"
+    return counted.map_batches(hierarchy, batch_format="pyarrow")
+
+
+def _sql_s2_hierarchy() -> str:
+    from ..index.s2 import s2_cell_cte
+
+    lsb_child = 1 << (2 * (30 - S2_LEVEL))
+    lsb_par = lsb_child << 4
+    mask = 2 * lsb_par - 1
+    return f"""
+WITH {s2_cell_cte(S2_LEVEL, _PTS_SQL)}
+SELECT s2cell,
+       (s2cell & xor({mask}, -1)) | {lsb_par} AS parent,
+       s2cell - {lsb_child - 1} AS range_min,
+       s2cell + {lsb_child - 1} AS range_max,
+       COUNT(*) AS n
+FROM s2cells GROUP BY s2cell
+"""
+
+
 MOSAIC_TS = 8
 MOSAIC_COLOR_MOD = 199
 
@@ -10835,6 +10901,7 @@ QUERIES = {
     "cell_reachability": q_cell_reachability,
     "theil_sen": q_theil_sen,
     "tile_equalize": q_tile_equalize,
+    "s2_hierarchy": q_s2_hierarchy,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -11024,6 +11091,7 @@ ORACLE_SQL = {
     "cell_reachability": SQL_CELL_REACHABILITY,
     "theil_sen": SQL_THEIL_SEN,
     "tile_equalize": _sql_tile_equalize(),
+    "s2_hierarchy": _sql_s2_hierarchy(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

@@ -18,7 +18,7 @@ from functools import reduce
 
 import numpy as np
 
-__all__ = ["geohash_ints", "geohash_strings", "geohash_bounds", "geohash_cell_sql"]
+__all__ = ["geohash_ints", "geohash_strings", "geohash_bounds", "geohash_cell_sql", "geohash_from_xy", "geohash_xy_sql"]
 
 ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 _ALPHA_ARR = np.array(list(ALPHABET))
@@ -112,4 +112,48 @@ def geohash_cell_sql(precision: int, lon_expr: str, lat_expr: str) -> str:
     return (
         f"(SELECT {concat} FROM (SELECT ({h}) AS gh FROM "
         f"(SELECT {x} AS gx, {y} AS gy)))"
+    )
+
+
+def geohash_from_xy(x: np.ndarray, y: np.ndarray, precision: int = 5) -> np.ndarray:
+    """Base-32 geohash strings from INTEGER cell coordinates (x in
+    [0, 2^nlon), y in [0, 2^nlat)) — the re-encode half of the public
+    neighbor algorithm (decode to cells, offset, re-encode)."""
+    nbits, nlon, nlat = _bit_counts(precision)
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    h = np.zeros(len(x), dtype=np.int64)
+    for j in range(nbits):
+        if j % 2 == 0:
+            src, sb = x, nlon - 1 - (j // 2)
+        else:
+            src, sb = y, nlat - 1 - (j // 2)
+        h = (h << 1) | ((src >> sb) & 1)
+    parts = [
+        _ALPHA_ARR[(h >> (5 * (precision - 1 - i))) & 31] for i in range(precision)
+    ]
+    return reduce(np.char.add, parts)
+
+
+def geohash_xy_sql(precision: int, x_expr: str, y_expr: str) -> str:
+    """DuckDB expression mirroring ``geohash_from_xy`` for integer cell
+    columns (correlated scalar subquery, same shape as
+    ``geohash_cell_sql``)."""
+    nbits, nlon, nlat = _bit_counts(precision)
+    terms = []
+    for j in range(nbits):
+        if j % 2 == 0:
+            src, sb = "qx", nlon - 1 - (j // 2)
+        else:
+            src, sb = "qy", nlat - 1 - (j // 2)
+        terms.append(f"((({src} >> {sb}) & 1) << {nbits - 1 - j})")
+    h = " | ".join(terms)
+    chars = [
+        f"substr('{ALPHABET}', CAST((gh >> {5 * (precision - 1 - i)}) & 31 AS INT) + 1, 1)"
+        for i in range(precision)
+    ]
+    concat = " || ".join(chars)
+    return (
+        f"(SELECT {concat} FROM (SELECT ({h}) AS gh FROM "
+        f"(SELECT ({x_expr}) AS qx, ({y_expr}) AS qy)))"
     )

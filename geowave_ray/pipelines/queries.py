@@ -321,6 +321,93 @@ def q_geohash_binned_agg(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+GH_NB_PRECISION = 4
+
+
+def q_geohash_neighbors(sf_dir: str):
+    """GEOHASH NEIGHBOR generation for every occupied cell — the public
+    neighbor algorithm (decode to integer cell coords, offset with
+    longitude WRAP and latitude clamp-drop, re-encode;
+    index/geohash.py::geohash_from_xy), the primitive under geohash
+    proximity search and border-cell expansion
+    (GeohashBinningHelper.java's scheme).  One distinct-cell shuffle,
+    then a map-only 8-direction expansion; pole-adjacent cells emit
+    fewer rows (no latitude neighbor exists), antimeridian cells wrap."""
+    import ray
+
+    from ..index.geohash import _bit_counts, geohash_from_xy
+
+    nbits, nlon, nlat = _bit_counts(GH_NB_PRECISION)
+    nx_mod, ny_max = 1 << nlon, 1 << nlat
+    pts = _events_points(sf_dir)
+
+    def to_xy(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        x = np.clip(
+            np.floor((lon + 180.0) / 360.0 * nx_mod), 0, nx_mod - 1
+        ).astype(np.int64)
+        y = np.clip(
+            np.floor((lat + 90.0) / 180.0 * ny_max), 0, ny_max - 1
+        ).astype(np.int64)
+        return pa.table({"gx": pa.array(x), "gy": pa.array(y)})
+
+    to_xy.__name__ = "gh_to_xy"
+    cells = pts.map_batches(to_xy, batch_format="pyarrow").groupby(["gx", "gy"]).count()
+
+    dirs = np.array(
+        [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)],
+        dtype=np.int64,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        gx = batch.column("gx").to_numpy(zero_copy_only=False)
+        gy = batch.column("gy").to_numpy(zero_copy_only=False)
+        n = len(gx)
+        d = np.tile(np.arange(8, dtype=np.int64), n)
+        bx = np.repeat(gx, 8)
+        by = np.repeat(gy, 8)
+        nx = (bx + dirs[d % 8, 0] + nx_mod) % nx_mod
+        ny = by + dirs[d % 8, 1]
+        keep = (ny >= 0) & (ny < ny_max)
+        bx, by, nx, ny, d = bx[keep], by[keep], nx[keep], ny[keep], d[keep]
+        return pa.table(
+            {
+                "gh": pa.array(geohash_from_xy(bx, by, GH_NB_PRECISION)),
+                "d": pa.array(d),
+                "ngh": pa.array(geohash_from_xy(nx, ny, GH_NB_PRECISION)),
+            }
+        )
+
+    expand.__name__ = "gh_neighbors"
+    return cells.map_batches(expand, batch_format="pyarrow")
+
+
+def _sql_geohash_neighbors() -> str:
+    from ..index.geohash import _bit_counts, geohash_xy_sql
+
+    nbits, nlon, nlat = _bit_counts(GH_NB_PRECISION)
+    nx_mod, ny_max = 1 << nlon, 1 << nlat
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT DISTINCT
+    CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * {nx_mod}), 0), {nx_mod - 1}) AS BIGINT) AS gx,
+    CAST(LEAST(GREATEST(FLOOR((lat + 90.0) / 180.0 * {ny_max}), 0), {ny_max - 1}) AS BIGINT) AS gy
+  FROM pts),
+dirs(d, dx, dy) AS (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                           (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1)),
+nb AS (
+  SELECT gx, gy, d, (gx + dx + {nx_mod}) % {nx_mod} AS nx, gy + dy AS ny
+  FROM cells CROSS JOIN dirs),
+f AS (SELECT * FROM nb WHERE ny >= 0 AND ny < {ny_max})
+SELECT {geohash_xy_sql(GH_NB_PRECISION, "gx", "gy")} AS gh,
+       d,
+       {geohash_xy_sql(GH_NB_PRECISION, "nx", "ny")} AS ngh
+FROM f
+"""
+
+
 def _sql_geohash_binned_agg() -> str:
     from ..index.geohash import geohash_cell_sql
 
@@ -10902,6 +10989,7 @@ QUERIES = {
     "theil_sen": q_theil_sen,
     "tile_equalize": q_tile_equalize,
     "s2_hierarchy": q_s2_hierarchy,
+    "geohash_neighbors": q_geohash_neighbors,
     "phash_near_dup": q_phash_near_dup,
     "token_stats": q_token_stats,
     "langid": q_langid,
@@ -11092,6 +11180,7 @@ ORACLE_SQL = {
     "theil_sen": SQL_THEIL_SEN,
     "tile_equalize": _sql_tile_equalize(),
     "s2_hierarchy": _sql_s2_hierarchy(),
+    "geohash_neighbors": _sql_geohash_neighbors(),
     "embedding_lsh_pairs": _sql_emb_lsh_pairs(),
     "ann_lsh_verified": _sql_ann_lsh_verified(),
     "asof_join": SQL_ASOF_JOIN,

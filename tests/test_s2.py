@@ -188,3 +188,24 @@ def test_hex_center_roundtrip():
     q2, r2 = hex_cells(lonc, latc, 2.0)
     np.testing.assert_array_equal(q2, qs)
     np.testing.assert_array_equal(r2, rs)
+
+
+def test_s2_hierarchy_bit_algebra():
+    """parent(parent-range) contains child range; child id sits inside its
+    own range; the trailing-bit arithmetic never carries across blocks."""
+    import numpy as np
+
+    from geowave_ray.index.s2 import s2_cell_ids
+
+    level = 6
+    lon = np.array([-122.42, 0.0, 179.95, -179.95, 13.37])
+    lat = np.array([37.77, 0.0, -0.1, 0.1, 52.52])
+    u = s2_cell_ids(lon, lat, level).view(np.uint64)
+    lsb_c = np.uint64(1) << np.uint64(2 * (30 - level))
+    lsb_p = lsb_c << np.uint64(4)
+    parent = (u & ~(np.uint64(2) * lsb_p - np.uint64(1))) | lsb_p
+    # child range within parent range (unsigned compare)
+    assert ((u - (lsb_c - np.uint64(1))) >= (parent - (lsb_p - np.uint64(1)))).all()
+    assert ((u + (lsb_c - np.uint64(1))) <= (parent + (lsb_p - np.uint64(1)))).all()
+    # the parent's trailing one sits exactly two levels up
+    assert ((parent & -parent.astype(np.int64).view(np.uint64)) == lsb_p).all()

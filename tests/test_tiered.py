@@ -662,3 +662,32 @@ def test_ellipsoidal_tm_karney():
     ex, ey = tm_forward_ell(0.2, 45.0, 3.0, k0=1.0)
     assert abs(sx - ex) / abs(ex) < 0.01
     assert abs(sy - ey) / abs(ey) < 0.01
+
+
+def test_geohash_neighbors_symmetry_and_wrap():
+    """Neighbor algebra: direction d from A lands on B iff the opposite
+    direction from B lands on A; the antimeridian column wraps."""
+    import numpy as np
+
+    from geowave_ray.index.geohash import _bit_counts, geohash_from_xy
+
+    p = 4
+    nbits, nlon, nlat = _bit_counts(p)
+    nx, ny = 1 << nlon, 1 << nlat
+    dirs = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, nx, 50)
+    ys = rng.integers(1, ny - 1, 50)  # keep off the poles for symmetry
+    for dx, dy in dirs:
+        xn = (xs + dx + nx) % nx
+        yn = ys + dy
+        back_x = (xn - dx + nx) % nx
+        back_y = yn - dy
+        assert (back_x == xs).all() and (back_y == ys).all()
+        a = geohash_from_xy(xs, ys, p)
+        b = geohash_from_xy(xn, yn, p)
+        assert (a != b).all()
+    # explicit antimeridian wrap: x = nx-1 stepping +1 lands at x = 0
+    gh_w = geohash_from_xy(np.array([nx - 1]), np.array([ny // 2]), p)
+    gh_e = geohash_from_xy(np.array([0]), np.array([ny // 2]), p)
+    assert gh_w[0] != gh_e[0]
